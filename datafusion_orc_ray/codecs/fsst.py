@@ -1,0 +1,285 @@
+"""FSST — Fast Static Symbol Table compression for string/binary columns.
+
+Re-implementation (from the published FSST idea: a table of <=255 symbols of
+1-8 bytes, greedy longest-match substitution to 1-byte codes, escape byte
+0xFF for uncovered bytes) targeted by the north rule for url/text/html
+bytes (SURVEY.md §2.3 E16). This is NOT a port of any implementation:
+training is a small iterative merge loop on a sample; encoding is
+vectorized NumPy — per-position longest-match via rolling window keys +
+searchsorted, then a row-parallel greedy scan (one numpy step per emitted
+symbol across all rows of the batch, so the Python-level loop count is
+max-symbols-per-row, not total bytes).
+
+The symbol table is decode state: it is serialized into the stripe footer
+(never kept only in actor memory) — see stripe.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+ESCAPE = 255
+MAX_SYMBOLS = 255  # codes 0..254; 255 reserved for escape
+MAX_SYMBOL_LEN = 8
+PARSE_CHUNK = 512  # parse-unit size; bounds the sequential depth of the scan
+
+
+class SymbolTable:
+    """Immutable FSST symbol table with precomputed lookup structures."""
+
+    __slots__ = ("symbols", "sym_lens", "sym_bytes", "_by_len")
+
+    def __init__(self, symbols: list[bytes]):
+        if len(symbols) > MAX_SYMBOLS:
+            raise ValueError("too many symbols")
+        self.symbols = list(symbols)
+        n = len(symbols)
+        self.sym_lens = np.zeros(256, dtype=np.uint8)
+        self.sym_bytes = np.zeros((256, MAX_SYMBOL_LEN), dtype=np.uint8)
+        for code, s in enumerate(symbols):
+            if not 1 <= len(s) <= MAX_SYMBOL_LEN:
+                raise ValueError(f"bad symbol length {len(s)}")
+            self.sym_lens[code] = len(s)
+            self.sym_bytes[code, : len(s)] = np.frombuffer(s, dtype=np.uint8)
+        # per-length sorted key arrays for vectorized longest-match
+        self._by_len: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        for length in sorted({len(s) for s in symbols}, reverse=True):
+            codes = np.array([c for c, s in enumerate(symbols) if len(s) == length], dtype=np.uint8)
+            keys = np.array(
+                [int.from_bytes(symbols[c], "big") for c in codes], dtype=np.uint64
+            )
+            order = np.argsort(keys)
+            self._by_len[length] = (keys[order], codes[order])
+
+    # -- serialization (decode state travels in the stripe footer) --
+    def to_bytes(self) -> bytes:
+        out = bytearray([len(self.symbols)])
+        out.extend(len(s) for s in self.symbols)
+        for s in self.symbols:
+            out.extend(s)
+        return bytes(out)
+
+    @classmethod
+    def from_bytes(cls, buf: bytes) -> "SymbolTable":
+        n = buf[0]
+        lens = buf[1 : 1 + n]
+        symbols = []
+        pos = 1 + n
+        for ln in lens:
+            symbols.append(bytes(buf[pos : pos + ln]))
+            pos += ln
+        return cls(symbols)
+
+
+def train(sample: bytes, generations: int = 4, max_symbols: int = MAX_SYMBOLS) -> SymbolTable:
+    """Train a symbol table on ``sample`` (keep it <= ~32 KiB).
+
+    Iterative scheme: parse the sample greedily with the current table,
+    count symbol and adjacent-pair frequencies, promote the
+    highest-gain concatenations (gain = saved bytes = freq * (len-1),
+    singles always retained for coverage).
+    """
+    if not sample:
+        return SymbolTable([])
+    singles = [bytes([b]) for b in sorted(set(sample))]
+    table = {s: 0 for s in singles}
+    for _gen in range(generations):
+        counts: dict[bytes, int] = {}
+        pairs: dict[bytes, int] = {}
+        pos = 0
+        prev: bytes | None = None
+        n = len(sample)
+        while pos < n:
+            match = None
+            for ln in range(min(MAX_SYMBOL_LEN, n - pos), 0, -1):
+                cand = sample[pos : pos + ln]
+                if cand in table:
+                    match = cand
+                    break
+            if match is None:  # byte not in table (only possible gen>0 after eviction)
+                match = sample[pos : pos + 1]
+            counts[match] = counts.get(match, 0) + 1
+            if prev is not None and len(prev) + len(match) <= MAX_SYMBOL_LEN:
+                merged = prev + match
+                pairs[merged] = pairs.get(merged, 0) + 1
+            prev = match
+            pos += len(match)
+        # build next generation: singles compete on gain like real FSST
+        # (gain of a single = escapes avoided = its frequency; gain of a
+        # multi-byte symbol = bytes saved = freq * (len - 1)); bytes that
+        # lose a slot fall back to the 2-byte escape path.
+        cand_gain: dict[bytes, int] = {}
+        for s, c in counts.items():
+            cand_gain[s] = max(cand_gain.get(s, 0), c * max(len(s) - 1, 1))
+        for s, c in pairs.items():
+            cand_gain[s] = max(cand_gain.get(s, 0), c * (len(s) - 1))
+        ranked = sorted(cand_gain, key=lambda s: cand_gain[s], reverse=True)
+        table = {s: cand_gain[s] for s in ranked[:max_symbols]}
+    return SymbolTable(list(table.keys()))
+
+
+def _window_keys(data: np.ndarray) -> np.ndarray:
+    """uint64 big-endian 8-byte window key at every position (zero padded)."""
+    n = data.size
+    padded = np.concatenate([data, np.zeros(MAX_SYMBOL_LEN - 1, dtype=np.uint8)])
+    windows = np.lib.stride_tricks.sliding_window_view(padded, MAX_SYMBOL_LEN)[:n]
+    return np.ascontiguousarray(windows).view(">u8").ravel().astype(np.uint64)
+
+
+def _probe(
+    table: SymbolTable, keys8: np.ndarray, limit: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Longest-match (code, length) for the window keys in ``keys8``
+    (length 0 = no match -> escape). ``limit`` = bytes remaining in the
+    position's row — matches never cross row boundaries so each row stays
+    independently parseable."""
+    m = keys8.size
+    code = np.zeros(m, dtype=np.uint8)
+    length_out = np.zeros(m, dtype=np.int64)
+    unm = np.arange(m, dtype=np.int64)  # indices not yet matched
+    for length, (tkeys, tcodes) in table._by_len.items():  # descending lengths
+        keyL = keys8[unm] >> np.uint64(8 * (MAX_SYMBOL_LEN - length))
+        idx = np.searchsorted(tkeys, keyL)
+        idx[idx == tkeys.size] = 0
+        hit = (tkeys[idx] == keyL) & (limit[unm] >= length)
+        hit_idx = unm[hit]
+        code[hit_idx] = tcodes[idx[hit]]
+        length_out[hit_idx] = length
+        unm = unm[~hit]
+        if unm.size == 0:
+            break
+    return code, length_out
+
+
+def encode(
+    table: SymbolTable, data: np.ndarray, row_offsets: np.ndarray
+) -> tuple[bytes, np.ndarray]:
+    """Encode concatenated row bytes.
+
+    ``data``: uint8 array (all rows back to back); ``row_offsets``:
+    int64[n_rows+1] boundaries. Symbols never span row boundaries, which
+    keeps rows independently parseable and lets the greedy scan run one
+    vectorized step per emitted symbol across all rows.
+
+    Returns (code_bytes, encoded_len_per_row int64[n_rows]).
+    """
+    data = np.ascontiguousarray(data, dtype=np.uint8)
+    n_rows = row_offsets.size - 1
+    if data.size == 0:
+        return b"", np.zeros(n_rows, dtype=np.int64)
+    keys8 = _window_keys(data)
+    # split long rows into <=PARSE_CHUNK-byte parse units so the greedy scan
+    # stays wide (one numpy step per symbol ACROSS units); unit boundaries
+    # are invisible to decode, which re-splits by original row lengths.
+    row_starts = row_offsets[:-1].astype(np.int64)
+    row_ends = row_offsets[1:].astype(np.int64)
+    lens = row_ends - row_starts
+    pieces = np.maximum((lens + PARSE_CHUNK - 1) // PARSE_CHUNK, 1)
+    unit_row = np.repeat(np.arange(n_rows, dtype=np.int64), pieces)
+    total_units = int(pieces.sum())
+    first_unit = np.concatenate([[0], np.cumsum(pieces)[:-1]])
+    within = np.arange(total_units, dtype=np.int64) - np.repeat(first_unit, pieces)
+    p = row_starts[unit_row] + within * PARSE_CHUNK
+    ends = np.minimum(p + PARSE_CHUNK, row_ends[unit_row])
+    rid = np.arange(total_units, dtype=np.int64)  # unit id; maps to row via unit_row
+    alive = p < ends
+    p, ends, rid = p[alive], ends[alive], rid[alive]
+    rows_parts: list[np.ndarray] = []
+    codes_parts: list[np.ndarray] = []
+    lits_parts: list[np.ndarray] = []
+    while p.size:
+        c, ln = _probe(table, keys8[p], ends - p)
+        esc = ln == 0
+        if esc.any():
+            c[esc] = ESCAPE
+            ln[esc] = 1
+            lits_parts.append(np.where(esc, data[p], 0).astype(np.uint8))
+        else:
+            lits_parts.append(np.zeros(p.size, dtype=np.uint8))
+        rows_parts.append(rid)
+        codes_parts.append(c)
+        p = p + ln
+        alive = p < ends
+        if not alive.all():
+            p, ends, rid = p[alive], ends[alive], rid[alive]
+    R = np.concatenate(rows_parts)
+    C = np.concatenate(codes_parts)
+    L = np.concatenate(lits_parts)
+    order = np.argsort(R, kind="stable")  # round-major -> row-major, emission order kept
+    C = C[order]
+    L = L[order]
+    R = R[order]
+    unit_len = np.where(C == ESCAPE, 2, 1).astype(np.int64)
+    out = np.empty(int(unit_len.sum()), dtype=np.uint8)
+    off = np.concatenate([[0], np.cumsum(unit_len)[:-1]])
+    out[off] = C
+    esc_mask = C == ESCAPE
+    out[off[esc_mask] + 1] = L[esc_mask]
+    row_nbytes = np.bincount(unit_row[R], weights=unit_len, minlength=n_rows).astype(np.int64)
+    return out.tobytes(), row_nbytes
+
+
+def decode(table: SymbolTable, buf: bytes) -> np.ndarray:
+    """Decode a code stream back to the original concatenated bytes."""
+    codes = np.frombuffer(buf, dtype=np.uint8)
+    n = codes.size
+    if n == 0:
+        return np.empty(0, dtype=np.uint8)
+    esc_positions = np.flatnonzero(codes == ESCAPE)
+    if esc_positions.size == 0:
+        return _expand(table, codes, None, None)
+    # identify maximal runs of ESCAPE bytes; within a run starting at a unit
+    # boundary, even offsets are escape markers, odd offsets are literals;
+    # an odd-length run additionally escapes the byte right after the run.
+    is_literal = np.zeros(n, dtype=bool)
+    is_marker = np.zeros(n, dtype=bool)
+    breaks = np.flatnonzero(np.diff(esc_positions) > 1)
+    run_starts = np.concatenate([[0], breaks + 1])
+    run_ends = np.concatenate([breaks, [esc_positions.size - 1]])
+    for rs, re in zip(run_starts.tolist(), run_ends.tolist()):
+        s = int(esc_positions[rs])
+        length = int(esc_positions[re]) - s + 1
+        markers = np.arange(s, s + length - (length % 2 == 1), 2)
+        is_marker[markers] = True
+        is_literal[markers + 1] = True
+        if length % 2 == 1:
+            is_marker[s + length - 1] = True
+            if s + length < n:
+                is_literal[s + length] = True
+    normal = ~(is_marker | is_literal) & (codes != ESCAPE)
+    # emit units in position order: markers emit their following literal byte
+    unit_pos = np.flatnonzero(normal | is_marker)
+    unit_is_marker = is_marker[unit_pos]
+    unit_codes = codes[unit_pos]
+    literal_bytes = np.zeros(unit_pos.size, dtype=np.uint8)
+    marker_idx = np.flatnonzero(unit_is_marker)
+    literal_bytes[marker_idx] = codes[np.minimum(unit_pos[marker_idx] + 1, n - 1)]
+    return _expand(table, unit_codes, unit_is_marker, literal_bytes)
+
+
+def _expand(
+    table: SymbolTable,
+    codes: np.ndarray,
+    is_literal: np.ndarray | None,
+    literal_bytes: np.ndarray | None,
+) -> np.ndarray:
+    lens = table.sym_lens[codes].astype(np.int64)
+    if is_literal is not None:
+        lens[is_literal] = 1
+    total = int(lens.sum())
+    out = np.empty(total, dtype=np.uint8)
+    off = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    max_len = int(lens.max()) if lens.size else 0
+    for length in range(1, max_len + 1):
+        m = lens == length
+        if is_literal is not None:
+            m &= ~is_literal
+        if not m.any():
+            continue
+        o = off[m]
+        sb = table.sym_bytes[codes[m]]
+        for k in range(length):
+            out[o + k] = sb[:, k]
+    if is_literal is not None and is_literal.any():
+        out[off[is_literal]] = literal_bytes[is_literal]
+    return out

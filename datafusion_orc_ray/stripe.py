@@ -1,0 +1,494 @@
+"""Stripe blob format: self-describing encoded horizontal partition.
+
+The Ray-Data-native equivalent of an ORC stripe + footer (SURVEY.md §1.1,
+§2.3 E14): one blob per encoded batch, holding per-column streams
+(PRESENT / DATA / LENGTHS / EXTRA / DICT..., mirroring the stream kinds
+parsed from the reference fixtures' stripe footers) followed by a JSON
+footer with the stream directory, per-column codec choices and sizes
+(E17 metrics), per-column min/max/null-count stats (E13), and the
+serialized Arrow schema. Layout::
+
+    b"RSTP1" | stream bytes... | footer_json | uint32 footer_len | b"RSTP1"
+
+Decode is the exact inverse and reproduces every column bit-identically
+(ORC round-trip contract, reference golden test src/lib.rs:194-207).
+Column pruning on decode mirrors the shim's ProjectionMask pushdown
+(src/physical_exec.rs:68-78): non-requested columns' streams are never
+touched.
+
+Pure pyarrow/numpy — no Ray dependency; the Ray stages in
+``datafusion_orc_ray.stages`` wrap these functions in ``map_batches``.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import struct
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .codecs import bytes_codec, fsst, outer
+from .codecs.bitpack import pack_bits, unpack_bits
+from .codecs.integers import codec_name, decode_ints, encode_ints
+
+MAGIC = b"RSTP1"
+
+# stream kinds (cf. ORC stream kinds PRESENT/DATA/LENGTH/SECONDARY/
+# DICTIONARY_DATA observed in the reference fixtures)
+PRESENT = "present"
+DATA = "data"
+EXTRA = "extra"  # decimal128 high 64 bits
+LENGTHS = "lengths"
+
+
+class EncoderState:
+    """Mutable per-partition encoder state owned by an encode actor (E16):
+    cached codec decisions + FSST symbol tables per column path, re-trialed
+    every ``REVALIDATE_EVERY`` batches so drifting data retrains instead of
+    bloating. The cache only avoids re-training/trialing — every stripe
+    still embeds the symbol table it used, so stripes stay independently
+    decodable (decode-state discipline, SURVEY.md §7 hard part d)."""
+
+    REVALIDATE_EVERY = 16
+
+    def __init__(self) -> None:
+        # path -> [codec_id, table, est_ratio, ttl]
+        self.bytes_decisions: dict[str, list] = {}
+
+    def choose_bytes(self, path: str, data, offs):
+        cached = self.bytes_decisions.get(path)
+        if cached is not None and cached[3] > 0:
+            cached[3] -= 1
+            return cached[0], cached[1], cached[2]
+        prev_table = cached[1] if cached is not None else None
+        codec_id, table, est = bytes_codec.choose(data, offs, prev_table)
+        self.bytes_decisions[path] = [codec_id, table, est, self.REVALIDATE_EVERY]
+        return codec_id, table, est
+
+
+# --------------------------------------------------------------------- helpers
+
+def _validity(arr: pa.Array) -> tuple[bytes | None, int]:
+    nulls = arr.null_count
+    if nulls == 0:
+        return None, 0
+    mask = arr.is_valid().to_numpy(zero_copy_only=False)
+    return pack_bits(mask.astype(np.uint64), 1), nulls
+
+
+def _unpack_validity(buf: bytes | None, n: int) -> np.ndarray | None:
+    if buf is None:
+        return None
+    return unpack_bits(buf, 1, n).astype(bool)
+
+
+def _np_nonnull_ints(arr: pa.Array) -> np.ndarray:
+    """Non-null values as int64 (bit-exact for all integer/temporal types)."""
+    t = arr.type
+    v = arr.drop_null()
+    if pa.types.is_timestamp(t) or pa.types.is_duration(t) or pa.types.is_time64(t):
+        v = v.view(pa.int64())
+    elif pa.types.is_date32(t) or pa.types.is_time32(t):
+        v = v.view(pa.int32())
+    elif pa.types.is_date64(t):
+        v = v.view(pa.int64())
+    elif pa.types.is_uint64(t):
+        v = v.view(pa.int64())
+    out = v.to_numpy(zero_copy_only=False)
+    return out.astype(np.int64, copy=False) if out.dtype != np.int64 else out
+
+
+def _binary_parts(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """(concatenated value bytes, row_offsets int64) of non-null slots."""
+    v = arr.drop_null().combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr.drop_null()
+    big = pa.types.is_large_string(v.type) or pa.types.is_large_binary(v.type)
+    off_dtype = np.int64 if big else np.int32
+    off_buf = v.buffers()[1]
+    if off_buf is None or len(v) == 0:
+        return np.empty(0, np.uint8), np.zeros(1, np.int64)
+    offs = np.frombuffer(off_buf, dtype=off_dtype)[v.offset : v.offset + len(v) + 1].astype(np.int64)
+    data_buf = v.buffers()[2]
+    data = (
+        np.frombuffer(data_buf, dtype=np.uint8)[offs[0] : offs[-1]]
+        if data_buf is not None
+        else np.empty(0, np.uint8)
+    )
+    return data, offs - offs[0]
+
+
+def _scatter(values: np.ndarray, mask: np.ndarray | None, n: int, fill=0) -> np.ndarray:
+    if mask is None:
+        return values
+    out = np.full(n, fill, dtype=values.dtype)
+    out[mask] = values
+    return out
+
+
+def _arrow_validity_buffer(mask: np.ndarray | None) -> pa.Buffer | None:
+    if mask is None:
+        return None
+    return pa.py_buffer(np.packbits(mask, bitorder="little").tobytes())
+
+
+def _stats(arr: pa.Array) -> dict:
+    st: dict = {"n": len(arr), "null_count": arr.null_count}
+    t = arr.type
+    try:
+        if pa.types.is_integer(t) or pa.types.is_floating(t):
+            mm = pc.min_max(arr)
+            st["min"], st["max"] = mm["min"].as_py(), mm["max"].as_py()
+        elif pa.types.is_timestamp(t) or pa.types.is_date(t):
+            mm = pc.min_max(arr)
+            st["min"], st["max"] = str(mm["min"].as_py()), str(mm["max"].as_py())
+        elif pa.types.is_string(t) or pa.types.is_large_string(t):
+            # skip min/max for long-text columns: little pruning value,
+            # real scan cost (E13 keeps stats for short/key-like strings)
+            if len(arr) == 0 or arr.nbytes // max(len(arr), 1) <= 256:
+                mm = pc.min_max(arr)
+                mn, mx = mm["min"].as_py(), mm["max"].as_py()
+                st["min"] = mn[:48] if mn is not None else None
+                st["max"] = mx[:48] if mx is not None else None
+    except pa.ArrowNotImplementedError:
+        pass
+    return st
+
+
+# --------------------------------------------------------------------- encode
+
+def _add(meta: dict, blobs: list, kind: str, smeta: dict, payload: bytes) -> None:
+    meta.setdefault("streams", {})[kind] = smeta
+    blobs.append((smeta, payload))
+
+
+def encode_column(
+    arr: pa.Array, path: str, state: EncoderState | None = None
+) -> tuple[dict, list[tuple[dict, bytes]]]:
+    """Encode one array. Returns (column_meta, [(stream_meta, bytes)]).
+
+    ``stream_meta`` dicts are shared with ``column_meta["streams"]`` so the
+    stripe assembler can patch in offsets/sizes after outer compression;
+    they carry codec decisions + raw/encoded sizes for the manifest
+    metrics (E17). Child columns own their stream directories.
+    """
+    t = arr.type
+    n = len(arr)
+    meta: dict = {"path": path, "n": n, "streams": {}}
+    blobs: list[tuple[dict, bytes]] = []
+    present, null_count = _validity(arr)
+    meta["null_count"] = null_count
+    if present is not None:
+        _add(meta, blobs, PRESENT, {"codec": "bitpack"}, present)
+    meta["stats"] = _stats(arr) if not pa.types.is_nested(t) else {"n": n, "null_count": null_count}
+
+    if pa.types.is_null(t):
+        meta["enc"] = "null"
+        return meta, blobs
+
+    if pa.types.is_boolean(t):
+        vals = arr.drop_null().to_numpy(zero_copy_only=False).astype(np.uint64)
+        meta["enc"] = "bool_bitpack"
+        _add(meta, blobs, DATA, {"codec": "bitpack"}, pack_bits(vals, 1))
+        return meta, blobs
+
+    if pa.types.is_integer(t) or (pa.types.is_temporal(t) and not pa.types.is_interval(t)):
+        v = _np_nonnull_ints(arr)
+        buf = encode_ints(v)
+        meta["enc"] = "int"
+        _add(meta, blobs, DATA, {"codec": codec_name(buf[0]), "raw_size": 8 * v.size}, buf)
+        return meta, blobs
+
+    if pa.types.is_floating(t):
+        v = arr.drop_null().to_numpy(zero_copy_only=False)
+        meta["enc"] = "float_raw"
+        _add(meta, blobs, DATA, {"codec": "raw"}, v.tobytes())
+        return meta, blobs
+
+    if pa.types.is_decimal(t):
+        v = arr.drop_null()
+        start = v.offset * 16
+        raw = np.frombuffer(v.buffers()[1], dtype="<u8")[start // 8 : start // 8 + 2 * len(v)]
+        lo = raw[0::2].view(np.int64)
+        hi = raw[1::2].view(np.int64)
+        lo_buf, hi_buf = encode_ints(lo), encode_ints(hi)
+        meta["enc"] = "decimal_split"
+        _add(meta, blobs, DATA, {"codec": codec_name(lo_buf[0])}, lo_buf)
+        _add(meta, blobs, EXTRA, {"codec": codec_name(hi_buf[0])}, hi_buf)
+        return meta, blobs
+
+    if (
+        pa.types.is_string(t)
+        or pa.types.is_large_string(t)
+        or pa.types.is_binary(t)
+        or pa.types.is_large_binary(t)
+    ):
+        data, offs = _binary_parts(arr)
+        lengths = np.diff(offs)
+        len_buf = encode_ints(lengths)
+        _add(meta, blobs, LENGTHS, {"codec": codec_name(len_buf[0])}, len_buf)
+        n_valid = lengths.size
+        # dictionary trial (E9): sample distinct ratio
+        use_dict = False
+        if n_valid >= 64:
+            sample = arr.drop_null().slice(0, min(4096, n_valid))
+            distinct = pc.count_distinct(sample).as_py()
+            use_dict = distinct / max(len(sample), 1) <= 0.4
+        if use_dict:
+            dct = pc.dictionary_encode(arr.drop_null())
+            if isinstance(dct, pa.ChunkedArray):
+                dct = dct.combine_chunks()
+            idx_np = dct.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            idx_buf = encode_ints(idx_np)
+            meta["enc"] = "dict"
+            meta["dict_size"] = len(dct.dictionary)
+            _add(
+                meta,
+                blobs,
+                DATA,
+                {"codec": "dict+" + codec_name(idx_buf[0]), "raw_size": int(data.size)},
+                idx_buf,
+            )
+            child_meta, child_blobs = encode_column(dct.dictionary, path + ".dict", state)
+            meta["children"] = [child_meta]
+            blobs.extend(child_blobs)
+            return meta, blobs
+        # plain: RAW vs FSST by sampled trial (E8/E16/E17)
+        if state is not None:
+            codec_id, table, est_ratio = state.choose_bytes(path, data, offs)
+        else:
+            codec_id, table, est_ratio = bytes_codec.choose(data, offs, None)
+        payload = bytes_codec.encode(data, offs, codec_id, table)
+        meta["enc"] = "plain"
+        _add(
+            meta,
+            blobs,
+            DATA,
+            {
+                "codec": bytes_codec.bytes_codec_name(codec_id),
+                "raw_size": int(data.size),
+                "est_ratio": round(float(est_ratio), 3),
+            },
+            payload,
+        )
+        return meta, blobs
+
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        lengths = pc.list_value_length(arr).drop_null().to_numpy(zero_copy_only=False).astype(np.int64)
+        len_buf = encode_ints(lengths)
+        _add(meta, blobs, LENGTHS, {"codec": codec_name(len_buf[0])}, len_buf)
+        child_meta, child_blobs = encode_column(pc.list_flatten(arr), path + ".item", state)
+        meta["enc"] = "list"
+        meta["children"] = [child_meta]
+        blobs.extend(child_blobs)
+        return meta, blobs
+
+    if pa.types.is_map(t):
+        as_list = arr.cast(pa.list_(pa.struct([("key", t.key_type), ("value", t.item_type)])))
+        inner_meta, inner_blobs = encode_column(as_list, path + ".entries", state)
+        meta["enc"] = "map_as_list"
+        meta["children"] = [inner_meta]
+        blobs.extend(inner_blobs)
+        return meta, blobs
+
+    if pa.types.is_struct(t):
+        meta["enc"] = "struct"
+        meta["children"] = []
+        for i, field in enumerate(t):
+            child_meta, child_blobs = encode_column(arr.field(i), path + "." + field.name, state)
+            meta["children"].append(child_meta)
+            blobs.extend(child_blobs)
+        return meta, blobs
+
+    if pa.types.is_dictionary(t):
+        return encode_column(arr.cast(t.value_type), path, state)
+
+    raise NotImplementedError(f"unsupported type {t} at {path}")
+
+
+def encode_table(
+    table: pa.Table, state: EncoderState | None = None, outer_codec: int = outer.ZSTD
+) -> bytes:
+    """Encode a pyarrow Table into one self-describing stripe blob."""
+    table = table.combine_chunks()
+    parts: list[bytes] = [MAGIC]
+    pos = len(MAGIC)
+    columns_meta = []
+    for name in table.column_names:
+        col = table.column(name)
+        if isinstance(col, pa.ChunkedArray):
+            col = pa.concat_arrays(col.chunks) if col.num_chunks else pa.array([], type=col.type)
+        cmeta, blobs = encode_column(col, name, state)
+        for smeta, payload in blobs:
+            framed = outer.compress_auto(payload, outer_codec)
+            smeta["offset"] = pos
+            smeta["size"] = len(framed)
+            smeta["pre_outer_size"] = len(payload)
+            smeta["outer"] = outer.outer_name(framed[0])
+            parts.append(framed)
+            pos += len(framed)
+        columns_meta.append(cmeta)
+    footer = {
+        "format": "rstp1",
+        "n_rows": table.num_rows,
+        "schema_b64": base64.b64encode(table.schema.serialize().to_pybytes()).decode(),
+        "columns": columns_meta,
+    }
+    fbytes = json.dumps(footer, separators=(",", ":")).encode()
+    parts.append(fbytes)
+    parts.append(struct.pack("<I", len(fbytes)))
+    parts.append(MAGIC)
+    return b"".join(parts)
+
+
+# --------------------------------------------------------------------- decode
+
+def read_footer(blob: bytes) -> dict:
+    if blob[: len(MAGIC)] != MAGIC or blob[-len(MAGIC) :] != MAGIC:
+        raise ValueError("not a stripe blob")
+    (flen,) = struct.unpack_from("<I", blob, len(blob) - len(MAGIC) - 4)
+    fstart = len(blob) - len(MAGIC) - 4 - flen
+    return json.loads(blob[fstart : fstart + flen])
+
+
+def _get_stream(blob: bytes, cmeta: dict, kind: str) -> bytes | None:
+    s = cmeta["streams"].get(kind)
+    if s is None:
+        return None
+    return outer.decompress(blob[s["offset"] : s["offset"] + s["size"]])
+
+
+def decode_column(blob: bytes, cmeta: dict, dtype: pa.DataType) -> pa.Array:
+    n = cmeta["n"]
+    present = _get_stream(blob, cmeta, PRESENT)
+    mask = _unpack_validity(present, n)
+    n_valid = n - cmeta["null_count"]
+    vbuf = _arrow_validity_buffer(mask)
+    enc = cmeta["enc"]
+
+    if enc == "null":
+        return pa.nulls(n, type=dtype)
+
+    if enc == "bool_bitpack":
+        bits = unpack_bits(_get_stream(blob, cmeta, DATA), 1, n_valid).astype(bool)
+        full = _scatter(bits, mask, n, fill=False)
+        return pa.Array.from_buffers(
+            pa.bool_(), n, [vbuf, pa.py_buffer(np.packbits(full, bitorder="little").tobytes())]
+        )
+
+    if enc == "int":
+        v = decode_ints(_get_stream(blob, cmeta, DATA), n_valid)
+        full = _scatter(v, mask, n)
+        bw = dtype.bit_width // 8
+        np_dtype = {1: np.int8, 2: np.int16, 4: np.int32, 8: np.int64}[bw]
+        if pa.types.is_unsigned_integer(dtype):
+            data = full.astype(np.uint64).astype({1: np.uint8, 2: np.uint16, 4: np.uint32, 8: np.uint64}[bw], copy=False)
+            if bw == 8:
+                data = full.view(np.uint64)
+        else:
+            data = full.astype(np_dtype, copy=False)
+        return pa.Array.from_buffers(dtype, n, [vbuf, pa.py_buffer(data.tobytes())])
+
+    if enc == "float_raw":
+        np_dtype = np.float32 if pa.types.is_float32(dtype) else np.float64
+        v = np.frombuffer(_get_stream(blob, cmeta, DATA), dtype=np_dtype)
+        full = _scatter(v, mask, n, fill=0.0)
+        return pa.Array.from_buffers(dtype, n, [vbuf, pa.py_buffer(full.tobytes())])
+
+    if enc == "decimal_split":
+        lo = decode_ints(_get_stream(blob, cmeta, DATA), n_valid).view(np.uint64)
+        hi = decode_ints(_get_stream(blob, cmeta, EXTRA), n_valid).view(np.uint64)
+        raw = np.empty(2 * n_valid, dtype=np.uint64)
+        raw[0::2], raw[1::2] = lo, hi
+        pairs = raw.reshape(n_valid, 2) if n_valid else raw.reshape(0, 2)
+        full = np.zeros((n, 2), dtype=np.uint64)
+        if mask is None:
+            full = pairs
+        else:
+            full[mask] = pairs
+        return pa.Array.from_buffers(dtype, n, [vbuf, pa.py_buffer(full.tobytes())])
+
+    if enc in ("plain", "dict"):
+        lengths = decode_ints(_get_stream(blob, cmeta, LENGTHS), n_valid)
+        if enc == "dict":
+            idx = decode_ints(_get_stream(blob, cmeta, DATA), n_valid)
+            child_meta = cmeta["children"][0]
+            dict_vals = decode_column(blob, child_meta, _value_type(dtype))
+            # gather dict values by index, then rebuild buffer
+            gathered = dict_vals.take(pa.array(idx, type=pa.int64()))
+            gdata, goffs = _binary_parts(gathered)
+            values_bytes, lengths = gdata, np.diff(goffs)
+        else:
+            values_bytes = bytes_codec.decode(_get_stream(blob, cmeta, DATA))
+        offs_valid = np.concatenate([[0], np.cumsum(lengths)]).astype(np.int64)
+        # rebuild full offsets with zero-length at null slots
+        full_lengths = _scatter(lengths.astype(np.int64), mask, n)
+        offsets = np.concatenate([[0], np.cumsum(full_lengths)])
+        big = pa.types.is_large_string(dtype) or pa.types.is_large_binary(dtype)
+        off_np = offsets.astype(np.int64 if big else np.int32)
+        return pa.Array.from_buffers(
+            dtype,
+            n,
+            [vbuf, pa.py_buffer(off_np.tobytes()), pa.py_buffer(np.ascontiguousarray(values_bytes).tobytes())],
+        )
+
+    if enc == "list":
+        lengths = decode_ints(_get_stream(blob, cmeta, LENGTHS), n_valid)
+        child = decode_column(blob, cmeta["children"][0], _list_value_type(dtype))
+        full_lengths = _scatter(lengths.astype(np.int64), mask, n)
+        offsets = np.concatenate([[0], np.cumsum(full_lengths)])
+        big = pa.types.is_large_list(dtype)
+        off_np = offsets.astype(np.int64 if big else np.int32)
+        return pa.Array.from_buffers(
+            dtype, n, [vbuf, pa.py_buffer(off_np.tobytes())], children=[child]
+        )
+
+    if enc == "map_as_list":
+        inner = decode_column(
+            blob,
+            cmeta["children"][0],
+            pa.list_(pa.struct([("key", dtype.key_type), ("value", dtype.item_type)])),
+        )
+        offs_np = np.frombuffer(inner.buffers()[1], dtype=np.int32)[: len(inner) + 1]
+        if inner.null_count:
+            valid = inner.is_valid().to_numpy(zero_copy_only=False)
+            offsets_arr = pa.array(offs_np, mask=np.concatenate([~valid, [False]]))
+        else:
+            offsets_arr = pa.array(offs_np)
+        entries = inner.values
+        m = pa.MapArray.from_arrays(offsets_arr, entries.field(0), entries.field(1))
+        return m.cast(dtype) if not m.type.equals(dtype) else m
+
+    if enc == "struct":
+        children = []
+        for i, field in enumerate(dtype):
+            children.append(decode_column(blob, cmeta["children"][i], field.type))
+        return pa.Array.from_buffers(dtype, n, [vbuf], children=children)
+
+    raise ValueError(f"unknown column encoding {enc}")
+
+
+def _value_type(dtype: pa.DataType) -> pa.DataType:
+    return dtype
+
+
+def _list_value_type(dtype: pa.DataType) -> pa.DataType:
+    return dtype.value_type
+
+
+def decode_table(blob: bytes, columns: list[str] | None = None) -> pa.Table:
+    """Decode a stripe blob; ``columns`` prunes decoding to the requested
+    top-level columns (projection pushdown, S5)."""
+    footer = read_footer(blob)
+    schema = pa.ipc.read_schema(pa.py_buffer(base64.b64decode(footer["schema_b64"])))
+    names = [c["path"] for c in footer["columns"]]
+    arrays, fields = [], []
+    for cmeta in footer["columns"]:
+        name = cmeta["path"]
+        if columns is not None and name not in columns:
+            continue
+        field = schema.field(name)
+        arrays.append(decode_column(blob, cmeta, field.type))
+        fields.append(field)
+    return pa.Table.from_arrays(arrays, schema=pa.schema(fields))

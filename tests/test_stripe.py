@@ -1,0 +1,129 @@
+"""Stripe blob round-trip tests: every driver table, every fixture type,
+golden cross-check vs the reference ORC fixtures' value domain
+(SURVEY.md §5: decoded columns bit-identical)."""
+
+import glob
+import io
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.orc
+import pyarrow.parquet as pq
+import pytest
+
+from datafusion_orc_ray import fixtures, stripe
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.mark.parametrize("path", sorted(glob.glob(f"{SF_DIR}/*.parquet")), ids=lambda p: p.split("/")[-1])
+def test_testdata_roundtrip(path):
+    t = pq.read_table(path)
+    blob = stripe.encode_table(t)
+    assert stripe.decode_table(blob).equals(t)
+
+
+def test_alltypes_roundtrip():
+    t = fixtures.alltypes_table()
+    out = stripe.decode_table(stripe.encode_table(t))
+    for c in t.column_names:
+        assert out.column(c).equals(t.column(c)), c
+
+
+def test_nested_roundtrip():
+    t = fixtures.nested_table()
+    out = stripe.decode_table(stripe.encode_table(t))
+    for c in t.column_names:
+        assert out.column(c).equals(t.column(c)), c
+
+
+def test_webtext_roundtrip_and_size_bound():
+    """North-rule contract: bit-identical decode at <= the reference's
+    compressed size (reference = pyarrow.orc snappy of the same table,
+    cf. the in-repo fixtures' SNAPPY framing, BASELINE.md)."""
+    t = fixtures.webtext_table(1000)
+    blob = stripe.encode_table(t)
+    out = stripe.decode_table(blob)
+    assert out.equals(t)
+    buf = io.BytesIO()
+    pa.orc.write_table(t, buf, compression="snappy")
+    assert len(blob) <= buf.tell(), f"ours {len(blob)} > reference {buf.tell()}"
+
+
+def test_webtext_text_html_invariant():
+    """Per-row invariant from BASELINE.json input_hint: byte-identical
+    extracted text per url after decode."""
+    t = fixtures.webtext_table(500)
+    out = stripe.decode_table(stripe.encode_table(t))
+    url_to_text = dict(zip(out.column("url").to_pylist(), out.column("text").to_pylist()))
+    for url, html in zip(out.column("url").to_pylist(), out.column("html").to_pylist()):
+        text = url_to_text[url]
+        if html is None:
+            assert text is None
+        else:
+            assert fixtures.extract_text(html).decode() == text
+
+
+def test_projection_pushdown_decode():
+    """S5: decoding a projection touches only the requested columns."""
+    t = pq.read_table(f"{SF_DIR}/lineitem.parquet")
+    blob = stripe.encode_table(t)
+    out = stripe.decode_table(blob, columns=["l_orderkey", "l_quantity"])
+    assert out.column_names == ["l_orderkey", "l_quantity"]
+    assert out.column("l_orderkey").equals(t.column("l_orderkey"))
+    assert out.column("l_quantity").equals(t.column("l_quantity"))
+
+
+def test_reference_fixture_values_roundtrip():
+    """Golden cross-check (SURVEY.md §5.2): pyarrow.orc's decode of the
+    reference fixtures is the oracle; encoding those same values through
+    our stripe format must reproduce them bit-identically."""
+    for f in glob.glob("/root/reference/tests/basic/data/*.orc"):
+        t = pa.orc.read_table(f)
+        out = stripe.decode_table(stripe.encode_table(t))
+        for c in t.column_names:
+            assert out.column(c).equals(t.column(c)), (f, c)
+
+
+def test_footer_metrics_present():
+    """E17: codec choices + sizes are recorded per stream."""
+    t = fixtures.webtext_table(300)
+    footer = stripe.read_footer(stripe.encode_table(t))
+    assert footer["n_rows"] == 300
+    cols = {c["path"]: c for c in footer["columns"]}
+    assert set(cols) == {"url", "warc_ts", "html", "text", "lang"}
+    for c in cols.values():
+        for smeta in c["streams"].values():
+            assert {"offset", "size", "codec", "outer", "pre_outer_size"} <= set(smeta)
+    assert "stats" in cols["warc_ts"] and cols["warc_ts"]["stats"]["null_count"] == 0
+
+
+def test_empty_table():
+    t = fixtures.webtext_table(5).slice(0, 0)
+    out = stripe.decode_table(stripe.encode_table(t))
+    assert out.num_rows == 0
+    assert out.schema.equals(t.schema)
+
+
+def test_all_null_columns():
+    t = pa.table(
+        {
+            "a": pa.array([None, None, None], pa.int64()),
+            "b": pa.array([None, None, None], pa.string()),
+            "c": pa.array([None] * 3, pa.float64()),
+        }
+    )
+    out = stripe.decode_table(stripe.encode_table(t))
+    assert out.equals(t)
+
+
+def test_encoder_state_reuse():
+    """E16: a cached decision/table re-encodes later batches correctly and
+    each stripe stays independently decodable."""
+    state = stripe.EncoderState()
+    t1 = fixtures.webtext_table(400, seed=1)
+    t2 = fixtures.webtext_table(400, seed=2)
+    b1 = stripe.encode_table(t1, state=state)
+    b2 = stripe.encode_table(t2, state=state)
+    assert stripe.decode_table(b1).equals(t1)
+    assert stripe.decode_table(b2).equals(t2)
