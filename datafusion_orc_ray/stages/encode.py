@@ -1,0 +1,115 @@
+"""Encode stages for ``Dataset.map_batches``.
+
+``StripeEncoder`` is a callable CLASS → Ray runs it as an actor pool
+(SURVEY.md §3.3 Ray lifecycle): per-actor ``EncoderState`` holds cached
+FSST/dict codec decisions (trained once, reused across the actor's
+batches, re-validated periodically — E16), while every emitted stripe
+embeds its own symbol tables so decode needs no actor state.
+
+One input batch -> one stripe blob on disk + one manifest row out.
+The output of the stage is the manifest Dataset — small rows — so the
+pipeline streams: heavy bytes go straight to storage from the worker,
+never back through the driver.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+
+import pyarrow as pa
+
+from .. import stripe
+from ..codecs import outer
+from ..state import manifest
+
+
+def _content_id(blob: bytes) -> str:
+    return hashlib.sha1(blob).hexdigest()[:20]
+
+
+def manifest_row_schema() -> pa.Schema:
+    return pa.schema(
+        [
+            ("stripe_id", pa.string()),
+            ("path", pa.string()),
+            ("n_rows", pa.int64()),
+            ("raw_bytes", pa.int64()),
+            ("encoded_bytes", pa.int64()),
+            ("lineage", pa.string()),
+            ("columns_json", pa.string()),
+        ]
+    )
+
+
+class StripeEncoder:
+    """map_batches(StripeEncoder, batch_format="pyarrow", batch_size=R,
+    concurrency=N, fn_constructor_kwargs={"out_dir": ...})."""
+
+    def __init__(self, out_dir: str, outer_codec: int = outer.ZSTD, lineage: str = "") -> None:
+        self.out_dir = out_dir
+        self.outer_codec = outer_codec
+        self.lineage = lineage
+        self.state = stripe.EncoderState()  # per-actor, init once (E16)
+        manifest.ensure_dirs(out_dir)
+
+    def encode_one(self, batch: pa.Table, stripe_id: str | None = None, lineage: str = "") -> dict:
+        blob = stripe.encode_table(batch, state=self.state, outer_codec=self.outer_codec)
+        if stripe_id is None:
+            stripe_id = _content_id(blob)  # content-addressed -> idempotent rewrite
+        footer = stripe.read_footer(blob)
+        col_metrics = [
+            {
+                "path": c["path"],
+                "enc": c["enc"],
+                "streams": {
+                    k: {kk: s[kk] for kk in ("codec", "outer", "size", "pre_outer_size") if kk in s}
+                    for k, s in c["streams"].items()
+                },
+                "stats": c.get("stats", {}),
+            }
+            for c in footer["columns"]
+        ]
+        return manifest.write_stripe(
+            self.out_dir,
+            stripe_id,
+            blob,
+            {
+                "n_rows": batch.num_rows,
+                "raw_bytes": batch.nbytes,
+                "lineage": lineage or self.lineage,
+                "columns_json": json.dumps(col_metrics, separators=(",", ":")),
+            },
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        entry = self.encode_one(batch)
+        return pa.Table.from_pylist(
+            [{k: entry[k] for k in manifest_row_schema().names}], schema=manifest_row_schema()
+        )
+
+
+class FragmentEncoder(StripeEncoder):
+    """Deterministic-partition variant: the batch rows are fragment specs
+    ``{path, row_group}`` (planned by pipelines.encode.plan_fragments);
+    the actor reads its row group straight from Parquet (columns pruned
+    at the read, S5) and encodes it as one stripe whose id is the
+    fragment hash — the unit of resume."""
+
+    def __init__(self, out_dir: str, columns: list[str] | None = None, **kw) -> None:
+        super().__init__(out_dir, **kw)
+        self.columns = columns
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        rows = []
+        for spec in batch.to_pylist():
+            path, rg = spec["path"], spec["row_group"]
+            frag_key = f"{path}:rg{rg}"
+            stripe_id = hashlib.sha1(frag_key.encode()).hexdigest()[:20]
+            pf = pq.ParquetFile(path)
+            data = pf.read_row_group(rg, columns=self.columns)
+            entry = self.encode_one(data, stripe_id=stripe_id, lineage=frag_key)
+            rows.append({k: entry[k] for k in manifest_row_schema().names})
+        return pa.Table.from_pylist(rows, schema=manifest_row_schema())

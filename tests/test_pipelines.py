@@ -1,0 +1,96 @@
+"""End-to-end Ray Data pipeline tests: fragment encode -> stripes ->
+decode, checkpoint/resume, projection pushdown, skew-aware clustering
+(SURVEY.md §5 "End-to-end fixture" + "Resume test")."""
+
+import glob
+import os
+import shutil
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from datafusion_orc_ray import fixtures
+from datafusion_orc_ray.pipelines import encode as ep
+from datafusion_orc_ray.state import manifest as man
+
+
+def collect(ds) -> pa.Table:
+    return pa.concat_tables(ds.iter_batches(batch_format="pyarrow")).combine_chunks()
+
+
+@pytest.fixture(scope="module")
+def corpus(ray_session, tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("corpus"))
+    os.makedirs(f"{base}/in")
+    wt = fixtures.webtext_table(1500)
+    for i in range(3):
+        pq.write_table(wt.slice(i * 500, 500), f"{base}/in/part-{i}.parquet", row_group_size=250)
+    return base, wt
+
+
+def test_encode_decode_roundtrip(corpus):
+    base, wt = corpus
+    out = f"{base}/enc"
+    mf = ep.encode_parquet(f"{base}/in", out, concurrency=2)
+    rows = mf.take_all()
+    assert len(rows) == 6  # 3 files x 2 row groups
+    got = collect(ep.decode_stripes(out)).sort_by("url")
+    assert got.equals(wt.sort_by("url"))
+    # manifest carries lineage + codec metrics
+    entries = man.load_manifest(out)
+    assert all(e["lineage"].endswith((":rg0", ":rg1")) for e in entries)
+    assert all("columns_json" in e for e in entries)
+
+
+def test_resume_skips_completed(corpus):
+    base, _ = corpus
+    out = f"{base}/enc_resume"
+    ep.encode_parquet(f"{base}/in", out, concurrency=2).take_all()
+    # full resume: nothing to do
+    assert ep.encode_parquet(f"{base}/in", out, concurrency=2).count() == 0
+    # partial resume: drop 2 manifest rows -> exactly 2 re-encoded
+    for f in sorted(glob.glob(f"{out}/manifest/*.json"))[:2]:
+        os.remove(f)
+    assert ep.encode_parquet(f"{base}/in", out, concurrency=2).count() == 2
+    # and the final state decodes completely
+    _, wt = corpus
+    got = collect(ep.decode_stripes(out)).sort_by("url")
+    assert got.equals(wt.sort_by("url"))
+
+
+def test_projection_pushdown(corpus):
+    base, wt = corpus
+    out = f"{base}/enc"
+    if not man.completed_ids(out):
+        ep.encode_parquet(f"{base}/in", out, concurrency=2).take_all()
+    t = collect(ep.decode_stripes(out, columns=["url", "lang"]))
+    assert t.column_names == ["url", "lang"]
+    assert t.num_rows == wt.num_rows
+
+
+def test_cluster_for_compression(corpus):
+    import ray.data
+
+    base, wt = corpus
+    ds = ray.data.read_parquet(f"{base}/in")
+    clustered = ep.cluster_for_compression(ds, key="lang", salt_col="url")
+    out = f"{base}/enc_clustered"
+    mf = ep.encode_dataset(
+        clustered.drop_columns(["__shard"]), out, rows_per_stripe=500, concurrency=2
+    )
+    assert mf.count() >= 1
+    got = collect(ep.decode_stripes(out)).sort_by("url")
+    assert got.equals(wt.sort_by("url"))
+
+
+def test_salt_plan_splits_hot_keys(corpus):
+    import ray.data
+
+    base, _ = corpus
+    ds = ray.data.read_parquet(f"{base}/in")
+    plan = ep.salt_plan(ds, "lang", target_share=0.05)
+    # "en" is ~55% of rows -> must be split into ~11 salt buckets
+    assert plan.get("en", 0) >= 8
+    # cold keys stay unsplit
+    assert plan.get("nl", 1) <= 2
