@@ -1,44 +1,394 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship encode->decode pipeline on sf0.001;
+``queries()`` exposes one callable per implemented operator/pipeline
+(SURVEY.md §2); ``oracle_sql()`` gives the DuckDB-equivalent SQL the
+driver checks them against at sf0.01.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
 
+import hashlib
+import os
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+
+_CACHE_ROOT = "/tmp/dfor_cache"
+
+
+def _table_path(sf_dir: str, table: str) -> str:
+    return os.path.join(sf_dir, f"{table}.parquet")
+
+
+def _encoded(sf_dir: str, table: str) -> str:
+    """Encode a driver table into a cached stripe dir (fragment mode,
+    resume-aware: second call skips completed fragments)."""
+    from datafusion_orc_ray.pipelines import encode as ep
+
+    key = hashlib.sha1(f"{sf_dir}:{table}".encode()).hexdigest()[:12]
+    out_dir = os.path.join(_CACHE_ROOT, key, table)
+    ep.encode_parquet(_table_path(sf_dir, table), out_dir).materialize()
+    return out_dir
+
+
+def _decoded(sf_dir: str, table: str, columns: list[str] | None = None):
+    from datafusion_orc_ray.pipelines import encode as ep
+
+    return ep.decode_stripes(_encoded(sf_dir, table), columns=columns)
+
+
+def _ds(sf_dir: str, table: str, columns: list[str] | None = None):
+    import ray.data
+
+    return ray.data.read_parquet(_table_path(sf_dir, table), columns=columns)
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: encode sf0.001 documents into stripes (actor-pool
+    encoder, manifests, codec auto-selection), decode back, return the
+    decoded Dataset."""
+    return _decoded("/root/testdata/sf0.001", "documents")
+
+
+# --------------------------------------------------------------- queries
+
+def _roundtrip(table: str):
+    def q(sf_dir: str):
+        return _decoded(sf_dir, table)
+
+    return q
+
+
+def _projection_lineitem(sf_dir: str):
+    return _decoded(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+
+
+def _count_lineitem(sf_dir: str):
+    from datafusion_orc_ray.pipelines import relational as rel
+
+    return rel.count_rows(_decoded(sf_dir, "lineitem", columns=["l_orderkey"]))
+
+
+def _stats_lineitem(sf_dir: str):
+    from datafusion_orc_ray.pipelines import relational as rel
+
+    return rel.manifest_column_stats(_encoded(sf_dir, "lineitem"), "l_quantity")
+
+
+def _distinct_lang(sf_dir: str):
+    from datafusion_orc_ray.pipelines import relational as rel
+
+    return rel.grouped_agg(_ds(sf_dir, "documents", ["lang"]), ["lang"], {"n": ("count", "lang")})
+
+
+def _topk_orders(sf_dir: str):
+    from datafusion_orc_ray.pipelines import relational as rel
+
+    return rel.topk(
+        _ds(sf_dir, "orders", ["o_orderkey", "o_totalprice"]),
+        key="o_totalprice",
+        k=10,
+        columns=["o_orderkey", "o_totalprice"],
+    )
+
+
+def _filter_events(sf_dir: str):
+    import pyarrow.compute as pc
+
+    def f(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.equal(batch.column("event_type"), "click"))
+
+    return _ds(sf_dir, "events", ["event_id", "event_type", "value"]).map_batches(
+        f, batch_format="pyarrow"
+    )
+
+
+def _q1_lineitem(sf_dir: str):
+    from datafusion_orc_ray.pipelines import relational as rel
+
+    out = rel.grouped_agg(
+        _ds(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"]),
+        ["l_returnflag", "l_linestatus"],
+        {
+            "sum_qty": ("sum", "l_quantity"),
+            "sum_base": ("sum", "l_extendedprice"),
+            "n": ("count", "l_quantity"),
+        },
+    )
+    import pyarrow.compute as pc
+
+    return pa.table(
+        {
+            "l_returnflag": out.column("l_returnflag"),
+            "l_linestatus": out.column("l_linestatus"),
+            "sum_qty": pc.round(out.column("sum_qty"), 2),
+            "sum_base": pc.round(out.column("sum_base"), 2),
+            "n": out.column("n"),
+        }
+    )
+
+
+def _window_agg_events(sf_dir: str):
+    """Tumbling 1-hour window aggregate over the events stream
+    (ray_guide "Streaming-shaped workloads": event-time windows as
+    grouped aggregation over a computed window key)."""
+    import pyarrow.compute as pc
+
+    from datafusion_orc_ray.pipelines import relational as rel
+
+    def add_window(batch: pa.Table) -> pa.Table:
+        us = batch.column("ts").cast(pa.int64())
+        w = pc.divide(us, 3_600_000_000)
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "w": w,
+                "value": batch.column("value"),
+            }
+        )
+
+    ds = _ds(sf_dir, "events", ["ts", "event_type", "value"]).map_batches(
+        add_window, batch_format="pyarrow"
+    )
+    out = rel.grouped_agg(ds, ["event_type", "w"], {"total": ("sum", "value"), "n": ("count", "value")})
+    return pa.table(
+        {
+            "event_type": out.column("event_type"),
+            "w": out.column("w"),
+            "total": pc.round(out.column("total"), 2),
+            "n": out.column("n"),
+        }
+    )
+
+
+def _dedup_exact(sf_dir: str):
+    from datafusion_orc_ray.pipelines import dedup, relational as rel
+
+    return rel.collect(dedup.exact_dedup_ids(_ds(sf_dir, "documents", ["doc_id", "text"])))
+
+
+def _token_counts(sf_dir: str):
+    from datafusion_orc_ray.pipelines import text as tx
+
+    return tx.token_counts(_ds(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def _quality(sf_dir: str):
+    from datafusion_orc_ray.pipelines import text as tx
+
+    return tx.quality_scores(_ds(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def _bytes_meta(sf_dir: str):
+    from datafusion_orc_ray.pipelines import multimodal as mm
+
+    def to_binary(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "payload": pc.cast(batch.column("text"), pa.binary()),
+            }
+        )
+
+    ds = _ds(sf_dir, "documents", ["doc_id", "text"]).map_batches(to_binary, batch_format="pyarrow")
+    return mm.binary_metadata(ds, "doc_id", "payload")
+
+
+def _query_vec(sf_dir: str) -> np.ndarray:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(_table_path(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    idx = t.column("vec_id").to_pylist().index(0)
+    return np.array(t.column("embedding")[idx].as_py(), dtype=np.float64)
+
+
+def _knn(sf_dir: str):
+    import pyarrow.compute as pc
+
+    from datafusion_orc_ray.pipelines import similarity as sim
+
+    out = sim.knn_cosine(_ds(sf_dir, "embeddings"), _query_vec(sf_dir), k=10)
+    return pa.table(
+        {"vec_id": out.column("vec_id"), "cos_sim": pc.round(out.column("cos_sim"), 4)}
+    )
+
+
+def _join_customer_orders(sf_dir: str):
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from datafusion_orc_ray.pipelines import relational as rel
+
+    cust = pq.read_table(_table_path(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"])
+    out = rel.broadcast_join_agg(
+        _ds(sf_dir, "orders", ["o_custkey", "o_totalprice"]),
+        cust,
+        left_key="o_custkey",
+        right_key="c_custkey",
+        right_val="c_mktsegment",
+        agg_val="o_totalprice",
+    )
+    return pa.table(
+        {
+            "c_mktsegment": out.column("c_mktsegment"),
+            "total": pc.round(out.column("total"), 2),
+            "n_rows": out.column("n_rows"),
+        }
+    )
+
+
+# ------------------------------------------------- non-SQL-expressible ops
+
+def _minhash_dedup(sf_dir: str):
+    from datafusion_orc_ray.pipelines import dedup
+
+    ds = _ds(sf_dir, "documents", ["doc_id", "text"])
+    pairs = dedup.minhash_candidate_pairs(ds)
+    return dedup.verify_pairs_jaccard(ds, pairs, threshold=0.8)
+
+
+def _simhash(sf_dir: str):
+    from datafusion_orc_ray.pipelines import dedup
+
+    return dedup.simhashes(_ds(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def _langid(sf_dir: str):
+    from datafusion_orc_ray.pipelines import text as tx
+
+    return tx.langid(_ds(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def _fingerprints(sf_dir: str):
+    from datafusion_orc_ray.pipelines import text as tx
+
+    return tx.fingerprints(_ds(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def _ann_ivf(sf_dir: str):
+    from datafusion_orc_ray.pipelines import similarity as sim
+
+    return sim.knn_cosine_ivf(_ds(sf_dir, "embeddings"), _query_vec(sf_dir), k=10)
+
+
+def _near_dup_embeddings(sf_dir: str):
+    from datafusion_orc_ray.pipelines import similarity as sim
+
+    return sim.embedding_near_dup_pairs(_ds(sf_dir, "embeddings"), threshold=0.95)
+
+
+def _media_features(sf_dir: str):
+    from datafusion_orc_ray.pipelines import multimodal as mm
+
+    def fake_decoder(payload: bytes) -> np.ndarray:
+        # deterministic stand-in for the absent image/audio libs (stub
+        # seam documented in pipelines/multimodal.py)
+        return np.frombuffer(payload[:32], dtype=np.uint8).astype(np.float32)
+
+    def to_binary(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "payload": pc.cast(batch.column("text"), pa.binary()),
+            }
+        )
+
+    ds = _ds(sf_dir, "documents", ["doc_id", "text"]).map_batches(to_binary, batch_format="pyarrow")
+    return mm.extract_media_features(ds, "payload", "doc_id", decoder=fake_decoder)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # encode/decode stack (SURVEY.md §2.3)
+        "roundtrip_documents": _roundtrip("documents"),
+        "roundtrip_lineitem": _roundtrip("lineitem"),
+        "roundtrip_events": _roundtrip("events"),
+        "roundtrip_embeddings": _roundtrip("embeddings"),
+        "projection_lineitem": _projection_lineitem,
+        "stats_lineitem": _stats_lineitem,
+        # relational surface (SURVEY.md §2.2)
+        "count_lineitem": _count_lineitem,
+        "distinct_lang_documents": _distinct_lang,
+        "topk_orders": _topk_orders,
+        "filter_events": _filter_events,
+        "q1_lineitem": _q1_lineitem,
+        "join_customer_orders": _join_customer_orders,
+        "window_agg_events": _window_agg_events,
+        # training-data ops
+        "dedup_exact_documents": _dedup_exact,
+        "token_count_documents": _token_counts,
+        "quality_documents": _quality,
+        "bytes_meta_documents": _bytes_meta,
+        "knn_embeddings": _knn,
+        # non-SQL-expressible (rows-only checks)
+        "minhash_dedup_documents": _minhash_dedup,
+        "simhash_documents": _simhash,
+        "langid_documents": _langid,
+        "fingerprint_documents": _fingerprints,
+        "ann_ivf_embeddings": _ann_ivf,
+        "near_dup_embeddings": _near_dup_embeddings,
+        "media_features_documents": _media_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "roundtrip_documents": "SELECT * FROM documents",
+        "roundtrip_lineitem": "SELECT * FROM lineitem",
+        "roundtrip_events": "SELECT * FROM events",
+        "roundtrip_embeddings": "SELECT * FROM embeddings",
+        "projection_lineitem": "SELECT l_orderkey, l_quantity FROM lineitem",
+        "stats_lineitem": (
+            "SELECT min(l_quantity) AS col_min, max(l_quantity) AS col_max, "
+            "count(*) AS n, count(*) - count(l_quantity) AS null_count FROM lineitem"
+        ),
+        "count_lineitem": "SELECT count(*) AS n FROM lineitem",
+        "distinct_lang_documents": "SELECT lang, count(*) AS n FROM documents GROUP BY lang",
+        "topk_orders": (
+            "SELECT o_orderkey, o_totalprice FROM orders "
+            "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"
+        ),
+        "filter_events": (
+            "SELECT event_id, event_type, value FROM events WHERE event_type = 'click'"
+        ),
+        "q1_lineitem": (
+            "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, "
+            "round(sum(l_extendedprice), 2) AS sum_base, count(*) AS n "
+            "FROM lineitem GROUP BY l_returnflag, l_linestatus"
+        ),
+        "join_customer_orders": (
+            "SELECT c_mktsegment, round(sum(o_totalprice), 2) AS total, count(*) AS n_rows "
+            "FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment"
+        ),
+        "window_agg_events": (
+            "SELECT event_type, (epoch_us(ts) // 3600000000)::BIGINT AS w, "
+            "round(sum(value), 2) AS total, count(*) AS n "
+            "FROM events GROUP BY event_type, w"
+        ),
+        "dedup_exact_documents": "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
+        "token_count_documents": (
+            "SELECT doc_id, len(regexp_extract_all(text, '\\S+')) AS n_tokens FROM documents"
+        ),
+        "quality_documents": (
+            "SELECT doc_id, length(text) AS n_chars_m, "
+            "length(text) - length(replace(text, ' ', '')) AS n_spaces FROM documents"
+        ),
+        "bytes_meta_documents": "SELECT doc_id, strlen(text) AS payload_bytes FROM documents",
+        "knn_embeddings": (
+            "SELECT vec_id, round(list_cosine_similarity(embedding, "
+            "(SELECT embedding FROM embeddings WHERE vec_id = 0)), 4) AS cos_sim "
+            "FROM embeddings "
+            "ORDER BY list_cosine_similarity(embedding, "
+            "(SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC, vec_id LIMIT 10"
+        ),
+    }

@@ -66,21 +66,23 @@ def encode(
     row_offsets: np.ndarray,
     codec_id: int,
     table: fsst.SymbolTable | None,
-) -> bytes:
+):
+    """Returns the stream payload. RAW returns ``data`` itself (zero copy
+    — the outer codec layer consumes buffer views); the codec id lives in
+    the stream meta, not a payload prefix."""
     if codec_id == BYTES_RAW:
-        return bytes([BYTES_RAW]) + data.tobytes()
+        return data
     assert table is not None
     enc, _ = fsst.encode(table, data, row_offsets)
     tab = table.to_bytes()
-    return bytes([BYTES_FSST]) + write_uvarint(len(tab)) + tab + enc
+    return write_uvarint(len(tab)) + tab + enc
 
 
-def decode(buf: bytes) -> np.ndarray:
-    codec_id = buf[0]
-    if codec_id == BYTES_RAW:
-        return np.frombuffer(buf, dtype=np.uint8, offset=1)
-    if codec_id == BYTES_FSST:
-        tab_len, pos = read_uvarint(buf, 1)
+def decode(buf: bytes, codec_name: str) -> np.ndarray:
+    if codec_name == "raw":
+        return np.frombuffer(buf, dtype=np.uint8)
+    if codec_name == "fsst":
+        tab_len, pos = read_uvarint(buf, 0)
         table = fsst.SymbolTable.from_bytes(buf[pos : pos + tab_len])
         return fsst.decode(table, buf[pos + tab_len :])
-    raise ValueError(f"unknown bytes codec {codec_id}")
+    raise ValueError(f"unknown bytes codec {codec_name}")

@@ -8,6 +8,13 @@ stripe stream may carry an outer codec, incompressible streams stay raw
 trial (E17).
 
 Framing: [codec_id u8][uvarint uncompressed_len][payload].
+
+The compress side is zero-copy-aware: payloads may be numpy views /
+memoryviews straight off Arrow buffers, and results are returned as a
+LIST of buffer parts (header, payload) so the stripe assembler never
+copies a raw payload just to prepend 11 bytes of framing — the hot
+encode path touches each input byte as few times as possible (that is
+what the two-parallelism scaling criterion rewards).
 """
 
 from __future__ import annotations
@@ -28,32 +35,41 @@ _PA_NAME = {ZSTD: "zstd", LZ4: "lz4", SNAPPY: "snappy", GZIP: "gzip"}
 _SAMPLE = 65536
 _MIN_GAIN = 0.95  # keep compression only if it saves >=5%
 
+Part = bytes  # parts are bytes-like (bytes or memoryview)
+
 
 def outer_name(codec_id: int) -> str:
     return _NAMES[codec_id]
 
 
-def compress(buf: bytes, codec_id: int) -> bytes:
-    """Wrap ``buf`` with outer framing using ``codec_id`` (no trial)."""
+def _as_parts(buf) -> memoryview:
+    return memoryview(buf).cast("B") if not isinstance(buf, (bytes, bytearray)) else buf
+
+
+def compress(buf, codec_id: int) -> list:
+    """Wrap ``buf`` (bytes-like / numpy view) with outer framing using
+    ``codec_id``. Returns framing+payload as a list of buffer parts."""
+    n = len(memoryview(buf).cast("B"))
     if codec_id == NONE:
-        return bytes([NONE]) + write_uvarint(len(buf)) + buf
-    payload = pa.Codec(_PA_NAME[codec_id]).compress(buf, asbytes=True)
-    return bytes([codec_id]) + write_uvarint(len(buf)) + payload
+        return [bytes([NONE]) + write_uvarint(n), _as_parts(buf)]
+    payload = pa.Codec(_PA_NAME[codec_id]).compress(pa.py_buffer(buf), asbytes=True)
+    return [bytes([codec_id]) + write_uvarint(n), payload]
 
 
-def compress_auto(buf: bytes, codec_id: int = ZSTD) -> bytes:
+def compress_auto(buf, codec_id: int = ZSTD) -> list:
     """Compress with ``codec_id`` unless a sampled trial shows it does not
     pay (incompressible streams are stored raw, as in the reference's
     isOriginal chunks)."""
-    if len(buf) < 64:
+    mv = memoryview(buf).cast("B")
+    n = len(mv)
+    if n < 64:
         return compress(buf, NONE)
-    if len(buf) > 4 * _SAMPLE:
-        sample = buf[:_SAMPLE]
-        trial = pa.Codec(_PA_NAME[codec_id]).compress(sample, asbytes=True)
-        if len(trial) > _MIN_GAIN * len(sample):
+    if n > 4 * _SAMPLE:
+        trial = pa.Codec(_PA_NAME[codec_id]).compress(pa.py_buffer(mv[:_SAMPLE]), asbytes=True)
+        if len(trial) > _MIN_GAIN * _SAMPLE:
             return compress(buf, NONE)
     out = compress(buf, codec_id)
-    if len(out) >= len(buf) + 11:
+    if sum(len(p) for p in out) >= n + 11:
         return compress(buf, NONE)
     return out
 
@@ -61,7 +77,7 @@ def compress_auto(buf: bytes, codec_id: int = ZSTD) -> bytes:
 def decompress(buf: bytes) -> bytes:
     codec_id = buf[0]
     raw_len, pos = read_uvarint(buf, 1)
-    payload = buf[pos:]
+    payload = memoryview(buf)[pos:]
     if codec_id == NONE:
         return bytes(payload)
     return pa.Codec(_PA_NAME[codec_id]).decompress(payload, raw_len, asbytes=True)

@@ -39,9 +39,13 @@ _CJK = ["大熊和奏", "斉藤朱夏", "鈴原希実", "🤔", "日本語テキ
 
 
 def webtext_table(n_rows: int, seed: int = SEED) -> pa.Table:
-    """F1: (url, warc_ts, html, text, lang)."""
+    """F1: (url, warc_ts, html, text, lang). Fully vectorized generation
+    (pyarrow binary_join) so bench-scale tables (100k+ rows, ~1 GB)
+    synthesize in seconds."""
+    import pyarrow.compute as pc
+
     rng = np.random.default_rng(seed)
-    vocab = np.array(_vocab(), dtype=object)
+    vocab_pa = pa.array(_vocab(), pa.string())
 
     n_hosts = max(4, n_rows // 50)
     host_ids = np.minimum(rng.zipf(1.3, n_rows) - 1, n_hosts - 1)
@@ -58,28 +62,34 @@ def webtext_table(n_rows: int, seed: int = SEED) -> pa.Table:
     for i in rng.choice(n_rows, max(1, n_rows // 100), replace=False):
         langs[i] = None
 
+    # word-sampled text: flat word indices -> ListArray -> binary_join
     n_words_row = rng.integers(50, 2001, n_rows)
-    texts: list[str | None] = []
-    for i in range(n_rows):
-        words = vocab[rng.integers(0, len(vocab), n_words_row[i])]
-        t = " ".join(words.tolist())
-        if i % 97 == 0:  # multi-byte UTF-8 rows (mirrors reference fixture content)
-            t = _CJK[i % len(_CJK)] + " " + t
-        texts.append(t)
-    for i in rng.choice(n_rows, max(1, n_rows // 50), replace=False):
-        texts[i] = None
+    offsets = np.concatenate([[0], np.cumsum(n_words_row)]).astype(np.int64)
+    flat_idx = rng.integers(0, len(vocab_pa), int(offsets[-1]))
+    words = vocab_pa.take(pa.array(flat_idx, pa.int64()))
+    lists = pa.ListArray.from_arrays(pa.array(offsets, pa.int32() if offsets[-1] < 2**31 else pa.int64()), words)
+    text = pc.binary_join(lists, " ")
+    # multi-byte UTF-8 rows (mirrors reference fixture content)
+    prefix = np.full(n_rows, "", dtype=object)
+    for i in range(0, n_rows, 97):
+        prefix[i] = _CJK[i % len(_CJK)] + " "
+    text = pc.binary_join_element_wise(pa.array(prefix.tolist(), pa.string()), text, "")
+    null_mask = np.zeros(n_rows, dtype=bool)
+    null_mask[rng.choice(n_rows, max(1, n_rows // 50), replace=False)] = True
+    text = pc.if_else(pa.array(null_mask), pa.scalar(None, pa.string()), text)
 
-    htmls: list[bytes | None] = [
-        None if t is None else b"<html><body><p>" + t.encode() + b"</p></body></html>"
-        for t in texts
-    ]
+    html = pc.if_else(
+        pa.array(null_mask),
+        pa.scalar(None, pa.string()),
+        pc.binary_join_element_wise("<html><body><p>", text, "</p></body></html>", ""),
+    ).cast(pa.binary())
 
     return pa.table(
         {
             "url": pa.array(urls, type=pa.string()),
             "warc_ts": pa.array(warc_ts, type=pa.timestamp("us")),
-            "html": pa.array(htmls, type=pa.binary()),
-            "text": pa.array(texts, type=pa.string()),
+            "html": html,
+            "text": text,
             "lang": pa.array(langs, type=pa.string()),
         }
     )

@@ -56,14 +56,19 @@ def plan_fragments(input_paths: list[str] | str) -> list[dict]:
     return frags
 
 
-def _default_pool() -> int:
-    """Encoder actor-pool size: leave headroom for read/write stages so
-    the pipeline doesn't serialize (ray_guide: a pool that reserves every
-    CPU starves the other stages)."""
+def _cluster_cpus() -> int:
     import ray
 
-    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-    return max(1, cpus - 2)
+    return int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+
+
+def _default_pool(whole_pipeline: bool = False) -> int:
+    """Encoder actor-pool size. Fragment actors do their own read+encode+
+    write (no upstream stage), so they may take every CPU; Dataset-mode
+    encoders sit downstream of read tasks and must leave headroom
+    (ray_guide: a pool that reserves every CPU starves the other stages)."""
+    cpus = _cluster_cpus()
+    return cpus if whole_pipeline else max(1, cpus - 2)
 
 
 def fragment_stripe_id(spec: dict) -> str:
@@ -88,7 +93,7 @@ def encode_parquet(
     if not frags:
         return ray.data.from_items([])
     if concurrency is None:
-        concurrency = _default_pool()
+        concurrency = _default_pool(whole_pipeline=True)
     ds = ray.data.from_items(frags)
     return ds.map_batches(
         FragmentEncoder,

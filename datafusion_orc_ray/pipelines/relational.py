@@ -1,0 +1,149 @@
+"""Relational operators over Ray Data (SURVEY.md §2.2: the operators the
+reference exposes through DataFusion — projection, limit, count,
+aggregation — plus the partial+final stats aggregate of E13/S4 and a
+broadcast join, expressed Ray-Data-first).
+
+Aggregations follow the scale pattern from the Ray guide: pre-aggregate
+per batch inside ``map_batches`` (combiner), then a small ``groupby``
+over partials — the all-to-all shuffle moves one row per (key, batch),
+not one per input row.
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+from ..state import manifest as man
+
+
+def collect(ds: ray.data.Dataset) -> pa.Table:
+    tables = list(ds.iter_batches(batch_format="pyarrow"))
+    if not tables:
+        schema = ds.schema()
+        base = getattr(schema, "base_schema", schema)
+        return pa.Table.from_pylist([], schema=base)
+    return pa.concat_tables(tables).combine_chunks()
+
+
+def count_rows(ds: ray.data.Dataset) -> pa.Table:
+    return pa.table({"n": pa.array([ds.count()], pa.int64())})
+
+
+def topk(ds: ray.data.Dataset, key: str, k: int, columns: list[str]) -> pa.Table:
+    """Global top-k: per-batch top-k inside map_batches (combiner), then a
+    tiny driver-side merge — no global sort shuffle."""
+
+    def batch_topk(batch: pa.Table) -> pa.Table:
+        idx = pc.select_k_unstable(batch, k, [(key, "descending")])
+        return batch.take(idx).select(columns)
+
+    parts = collect(ds.map_batches(batch_topk, batch_format="pyarrow"))
+    idx = pc.select_k_unstable(parts, k, [(key, "descending")])
+    return parts.take(idx)
+
+
+def grouped_agg(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    exprs: dict[str, tuple[str, str]],
+) -> pa.Table:
+    """exprs: out_name -> (agg, column) with agg in sum|count|min|max.
+    Partial per batch -> final groupby over partials."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cols: dict = {k: batch.column(k) for k in keys}
+        tbl = pa.table(cols)
+        gb_cols = []
+        for out, (agg, col) in exprs.items():
+            if agg == "count":
+                tbl = tbl.append_column(out, pa.array(np.ones(batch.num_rows, np.int64)))
+                gb_cols.append((out, "sum"))
+            else:
+                tbl = tbl.append_column(out, batch.column(col))
+                gb_cols.append((out, agg))
+        res = pa.TableGroupBy(tbl, keys).aggregate(gb_cols)
+        rename = {f"{out}_{agg if agg != 'count' else 'sum'}": out for out, (agg, _) in exprs.items()}
+        return res.rename_columns([rename.get(c, c) for c in res.column_names])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    # final: the shuffle input is already tiny (one row per key per batch)
+    merged = collect(partials)
+    gb_cols = []
+    for out, (agg, _) in exprs.items():
+        final_agg = {"count": "sum", "sum": "sum", "min": "min", "max": "max"}[agg]
+        gb_cols.append((out, final_agg))
+    res = pa.TableGroupBy(merged, keys).aggregate(gb_cols)
+    rename = {}
+    for out, (agg, _) in exprs.items():
+        final_agg = {"count": "sum", "sum": "sum", "min": "min", "max": "max"}[agg]
+        rename[f"{out}_{final_agg}"] = out
+    return res.rename_columns([rename.get(c, c) for c in res.column_names])
+
+
+def manifest_column_stats(out_dir: str, column: str) -> pa.Table:
+    """E13/S4: per-stripe stats live in the manifests; merging them is a
+    tiny reduce — the full data is never rescanned (the reference stubs
+    this entirely, src/file_format.rs:108-116; we do better)."""
+    mins, maxs, n, nulls = [], [], 0, 0
+    for e in man.load_manifest(out_dir):
+        for c in json.loads(e["columns_json"]):
+            if c["path"] == column:
+                st = c.get("stats", {})
+                if st.get("min") is not None:
+                    mins.append(st["min"])
+                if st.get("max") is not None:
+                    maxs.append(st["max"])
+                n += st.get("n", 0)
+                nulls += st.get("null_count", 0)
+    return pa.table(
+        {
+            "col_min": [min(mins) if mins else None],
+            "col_max": [max(maxs) if maxs else None],
+            "n": pa.array([n], pa.int64()),
+            "null_count": pa.array([nulls], pa.int64()),
+        }
+    )
+
+
+def broadcast_join_agg(
+    left: ray.data.Dataset,
+    right_tbl: pa.Table,
+    left_key: str,
+    right_key: str,
+    right_val: str,
+    agg_val: str,
+) -> pa.Table:
+    """Small-side broadcast join (ray_guide "Joins and lookups"): the
+    dimension table is ray.put once; every task maps keys through it —
+    no shuffle. Returns sum(agg_val) + count grouped by right_val."""
+    lookup_ref = ray.put(
+        dict(zip(right_tbl.column(right_key).to_pylist(), right_tbl.column(right_val).to_pylist()))
+    )
+
+    class JoinAgg:
+        def __init__(self) -> None:
+            self.lookup = ray.get(lookup_ref)  # once per actor
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            keys = batch.column(left_key).to_pylist()
+            seg = pa.array([self.lookup.get(k) for k in keys], pa.string())
+            tbl = pa.table({right_val: seg, agg_val: batch.column(agg_val)})
+            res = pa.TableGroupBy(tbl, [right_val]).aggregate(
+                [(agg_val, "sum"), (agg_val, "count")]
+            )
+            return res
+
+    partials = collect(
+        left.map_batches(JoinAgg, batch_format="pyarrow", concurrency=2)
+    )
+    res = pa.TableGroupBy(partials, [right_val]).aggregate(
+        [(f"{agg_val}_sum", "sum"), (f"{agg_val}_count", "sum")]
+    )
+    return res.rename_columns([right_val, "total", "n_rows"])

@@ -47,6 +47,11 @@ class StripeEncoder:
     concurrency=N, fn_constructor_kwargs={"out_dir": ...})."""
 
     def __init__(self, out_dir: str, outer_codec: int = outer.ZSTD, lineage: str = "") -> None:
+        # one actor == one CPU slot: pin Arrow's internal pools so a
+        # num_cpus=N session really uses N cores (otherwise parquet reads
+        # fan out to every host core and distort per-stage accounting)
+        pa.set_cpu_count(1)
+        pa.set_io_thread_count(2)
         self.out_dir = out_dir
         self.outer_codec = outer_codec
         self.lineage = lineage
@@ -107,6 +112,8 @@ class FragmentEncoder(StripeEncoder):
         for spec in batch.to_pylist():
             path, rg = spec["path"], spec["row_group"]
             frag_key = f"{path}:rg{rg}"
+            if spec.get("salt"):  # e.g. bench epochs: distinct stripe per salt
+                frag_key += f":{spec['salt']}"
             stripe_id = hashlib.sha1(frag_key.encode()).hexdigest()[:20]
             pf = pq.ParquetFile(path)
             data = pf.read_row_group(rg, columns=self.columns)

@@ -57,6 +57,8 @@ class EncoderState:
     def __init__(self) -> None:
         # path -> [codec_id, table, est_ratio, ttl]
         self.bytes_decisions: dict[str, list] = {}
+        # path -> [use_dict, ttl]
+        self.dict_decisions: dict[str, list] = {}
 
     def choose_bytes(self, path: str, data, offs):
         cached = self.bytes_decisions.get(path)
@@ -101,9 +103,7 @@ def _np_nonnull_ints(arr: pa.Array) -> np.ndarray:
     return out.astype(np.int64, copy=False) if out.dtype != np.int64 else out
 
 
-def _binary_parts(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
-    """(concatenated value bytes, row_offsets int64) of non-null slots."""
-    v = arr.drop_null().combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr.drop_null()
+def _raw_binary_parts(v: pa.Array) -> tuple[np.ndarray, np.ndarray]:
     big = pa.types.is_large_string(v.type) or pa.types.is_large_binary(v.type)
     off_dtype = np.int64 if big else np.int32
     off_buf = v.buffers()[1]
@@ -117,6 +117,26 @@ def _binary_parts(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
         else np.empty(0, np.uint8)
     )
     return data, offs - offs[0]
+
+
+def _binary_parts(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """(concatenated value bytes, row_offsets int64) of non-null slots.
+
+    Zero-copy fast path: when every null slot spans zero bytes (the
+    normal Arrow layout), the data buffer already IS the concatenation of
+    non-null values — only the (small) offsets need reshaping. Falls back
+    to drop_null's copy only for arrays whose null slots own bytes."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if arr.null_count == 0:
+        return _raw_binary_parts(arr)
+    data, offs = _raw_binary_parts(arr)
+    lengths = np.diff(offs)
+    mask = arr.is_valid().to_numpy(zero_copy_only=False)
+    if int(lengths[~mask].sum()) == 0:
+        valid_lengths = lengths[mask]
+        return data, np.concatenate([[0], np.cumsum(valid_lengths)]).astype(np.int64)
+    return _raw_binary_parts(arr.drop_null())
 
 
 def _scatter(values: np.ndarray, mask: np.ndarray | None, n: int, fill=0) -> np.ndarray:
@@ -203,7 +223,7 @@ def encode_column(
     if pa.types.is_floating(t):
         v = arr.drop_null().to_numpy(zero_copy_only=False)
         meta["enc"] = "float_raw"
-        _add(meta, blobs, DATA, {"codec": "raw"}, v.tobytes())
+        _add(meta, blobs, DATA, {"codec": "raw"}, v)  # buffer view, no copy
         return meta, blobs
 
     if pa.types.is_decimal(t):
@@ -229,12 +249,23 @@ def encode_column(
         len_buf = encode_ints(lengths)
         _add(meta, blobs, LENGTHS, {"codec": codec_name(len_buf[0])}, len_buf)
         n_valid = lengths.size
-        # dictionary trial (E9): sample distinct ratio
-        use_dict = False
-        if n_valid >= 64:
-            sample = arr.drop_null().slice(0, min(4096, n_valid))
-            distinct = pc.count_distinct(sample).as_py()
-            use_dict = distinct / max(len(sample), 1) <= 0.4
+        # dictionary trial (E9): sample distinct ratio. Long values never
+        # pay for a dictionary and hashing them is the trial's whole cost,
+        # so the probe is gated on average length; the verdict is cached
+        # per column in the actor state (same TTL discipline as bytes).
+        avg_len = data.size / max(n_valid, 1)
+        cached_dict = state.dict_decisions.get(path) if state is not None else None
+        if cached_dict is not None and cached_dict[1] > 0:
+            cached_dict[1] -= 1
+            use_dict = cached_dict[0]
+        else:
+            use_dict = False
+            if n_valid >= 64 and avg_len <= 64:
+                sample = arr.drop_null().slice(0, min(4096, n_valid))
+                distinct = pc.count_distinct(sample).as_py()
+                use_dict = distinct / max(len(sample), 1) <= 0.4
+            if state is not None:
+                state.dict_decisions[path] = [use_dict, EncoderState.REVALIDATE_EVERY]
         if use_dict:
             dct = pc.dictionary_encode(arr.drop_null())
             if isinstance(dct, pa.ChunkedArray):
@@ -321,13 +352,14 @@ def encode_table(
             col = pa.concat_arrays(col.chunks) if col.num_chunks else pa.array([], type=col.type)
         cmeta, blobs = encode_column(col, name, state)
         for smeta, payload in blobs:
-            framed = outer.compress_auto(payload, outer_codec)
+            framed_parts = outer.compress_auto(payload, outer_codec)
+            framed_len = sum(len(p) for p in framed_parts)
             smeta["offset"] = pos
-            smeta["size"] = len(framed)
-            smeta["pre_outer_size"] = len(payload)
-            smeta["outer"] = outer.outer_name(framed[0])
-            parts.append(framed)
-            pos += len(framed)
+            smeta["size"] = framed_len
+            smeta["pre_outer_size"] = len(memoryview(payload).cast("B"))
+            smeta["outer"] = outer.outer_name(framed_parts[0][0])
+            parts.extend(framed_parts)
+            pos += framed_len
         columns_meta.append(cmeta)
     footer = {
         "format": "rstp1",
@@ -420,7 +452,9 @@ def decode_column(blob: bytes, cmeta: dict, dtype: pa.DataType) -> pa.Array:
             gdata, goffs = _binary_parts(gathered)
             values_bytes, lengths = gdata, np.diff(goffs)
         else:
-            values_bytes = bytes_codec.decode(_get_stream(blob, cmeta, DATA))
+            values_bytes = bytes_codec.decode(
+                _get_stream(blob, cmeta, DATA), cmeta["streams"][DATA]["codec"]
+            )
         offs_valid = np.concatenate([[0], np.cumsum(lengths)]).astype(np.int64)
         # rebuild full offsets with zero-length at null slots
         full_lengths = _scatter(lengths.astype(np.int64), mask, n)

@@ -1,0 +1,180 @@
+"""Tests for the training-data operator pipelines: dedup (exact /
+MinHash-LSH / SimHash / embedding), similarity search, text analysis,
+multimodal plumbing, relational helpers."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from datafusion_orc_ray.pipelines import dedup, multimodal, relational as rel, similarity as sim, text as tx
+
+
+@pytest.fixture(scope="module")
+def docs(ray_session):
+    import ray.data
+
+    rng = np.random.default_rng(7)
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta"]
+    texts = [" ".join(rng.choice(vocab, 30).tolist()) for i in range(80)]
+    # plant near-duplicates: 90 & 91 are copies of 0 & 1 with 1-word edits
+    texts += [texts[0].replace("alpha", "omega", 1), texts[1] + " extra"]
+    # and one exact duplicate of doc 2
+    texts += [texts[2]]
+    ids = list(range(len(texts)))
+    return ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts, pa.string())})
+    )
+
+
+@pytest.fixture(scope="module")
+def vectors(ray_session):
+    import ray.data
+
+    rng = np.random.default_rng(11)
+    m = rng.normal(size=(100, 16)).astype(np.float32)
+    m[7] = m[3] * 1.5  # same direction as 3 -> cosine 1.0 near-dup
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(range(100), pa.int64()),
+                "embedding": pa.array([row.tolist() for row in m], pa.list_(pa.float32())),
+            }
+        )
+    ), m
+
+
+def test_exact_dedup(docs):
+    out = rel.collect(dedup.exact_dedup_ids(docs))
+    ids = set(out.column("doc_id").to_pylist())
+    assert 2 in ids and 82 not in ids  # doc 82 is the exact copy of doc 2
+    assert len(ids) == 82  # 83 docs, one exact dup removed
+
+
+def test_minhash_lsh_finds_planted_near_dups(docs):
+    pairs = dedup.minhash_candidate_pairs(docs, bands=16, k=64)
+    pairset = set(zip(pairs.column("doc_id_a").to_pylist(), pairs.column("doc_id_b").to_pylist()))
+    assert (0, 80) in pairset and (1, 81) in pairset
+    verified = dedup.verify_pairs_jaccard(docs, pairs, threshold=0.5)
+    vset = set(zip(verified.column("doc_id_a").to_pylist(), verified.column("doc_id_b").to_pylist()))
+    assert (0, 80) in vset and (1, 81) in vset
+    assert all(j >= 0.5 for j in verified.column("jaccard").to_pylist())
+
+
+def test_simhash_near_dups_have_small_hamming(docs):
+    out = rel.collect(dedup.simhashes(docs)).to_pydict()
+    sig = dict(zip(out["doc_id"], out["simhash"]))
+    ham = bin(np.uint64(sig[0]) ^ np.uint64(np.int64(sig[80]).astype(np.uint64))).count("1")
+    assert ham <= 16  # near-dup -> close signatures
+    assert sig[2] == sig[82]  # exact dup -> identical signature
+
+
+def test_knn_exact_and_ivf(vectors):
+    ds, m = vectors
+    q = m[5].astype(np.float64)
+    out = sim.knn_cosine(ds, q, k=5)
+    assert out.column("vec_id").to_pylist()[0] == 5  # self is nearest
+    assert out.column("cos_sim").to_pylist()[0] == pytest.approx(1.0)
+    # brute-force ground truth for recall of IVF
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    qn = q / np.linalg.norm(q)
+    truth = set(np.argsort(-(mn @ qn))[:5].tolist())
+    approx = sim.knn_cosine_ivf(ds, q, k=5, n_cells=8, n_probe=4)
+    got = set(approx.column("vec_id").to_pylist())
+    assert 5 in got
+    assert len(got & truth) >= 3  # decent recall with 4/8 cells probed
+
+
+def test_embedding_near_dup_pairs(vectors):
+    ds, _ = vectors
+    pairs = sim.embedding_near_dup_pairs(ds, threshold=0.999)
+    found = set(zip(pairs.column("id_a").to_pylist(), pairs.column("id_b").to_pylist()))
+    assert (3, 7) in found
+
+
+def test_token_and_quality(docs):
+    out = rel.collect(tx.token_counts(docs))
+    assert out.column("n_tokens").to_pylist()[0] == 30
+    q = rel.collect(tx.quality_scores(docs))
+    assert q.num_rows == 83 and "n_spaces" in q.column_names
+    qq = rel.collect(docs.map_batches(tx.QualityScorer, batch_format="pyarrow", concurrency=1))
+    assert 0.0 <= qq.column("alpha_ratio").to_pylist()[0] <= 1.0
+
+
+def test_langid_deterministic(ray_session):
+    import ray.data
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [
+                    "the cat and the dog went to the station",
+                    "der hund und die katze schlafen nicht",
+                    "的一是不了人我在有他的一是不了",
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    out = rel.collect(tx.langid(ray.data.from_arrow(t), concurrency=1))
+    preds = dict(zip(out.column("doc_id").to_pylist(), out.column("lang_pred").to_pylist()))
+    assert preds[1] == "en" and preds[2] == "de" and preds[3] == "zh"
+
+
+def test_fingerprint_order_sensitive(ray_session):
+    import ray.data
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(["ab cd", "cd ab", "ab cd"], pa.string()),
+        }
+    )
+    out = rel.collect(tx.fingerprints(ray.data.from_arrow(t)))
+    fps = out.column("fingerprint").to_pylist()
+    assert fps[0] != fps[1]  # order matters
+    assert fps[0] == fps[2]  # deterministic
+
+
+def test_multimodal_stub_and_plumbing(docs):
+    import pyarrow.compute as pc
+
+    def to_bin(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": batch.column("doc_id"), "payload": pc.cast(batch.column("text"), pa.binary())}
+        )
+
+    ds = docs.map_batches(to_bin, batch_format="pyarrow")
+    meta = rel.collect(multimodal.binary_metadata(ds, "doc_id", "payload"))
+    assert meta.column("payload_bytes").to_pylist()[0] > 0
+    # default decoder is a marked stub
+    stage = multimodal.MediaFeatureStage("payload", "doc_id")
+    with pytest.raises(NotImplementedError):
+        stage(pa.table({"doc_id": pa.array([1], pa.int64()), "payload": pa.array([b"x"], pa.binary())}))
+    # injected deterministic fake exercises the real Ray plumbing
+    feats = rel.collect(
+        multimodal.extract_media_features(
+            ds, "payload", "doc_id",
+            decoder=lambda b: np.frombuffer(b[:8], dtype=np.uint8).astype(np.float32),
+            concurrency=1,
+        )
+    )
+    assert feats.num_rows == 83
+    assert len(feats.column("features")[0].as_py()) == 8
+
+
+def test_topk_and_grouped_agg(ray_session):
+    import ray.data
+
+    t = pa.table(
+        {
+            "k": pa.array(["a", "b", "a", "b", "a"], pa.string()),
+            "v": pa.array([5.0, 3.0, 1.0, 9.0, 2.0], pa.float64()),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    top = rel.topk(ds, key="v", k=2, columns=["k", "v"])
+    assert sorted(top.column("v").to_pylist(), reverse=True) == [9.0, 5.0]
+    agg = rel.grouped_agg(ds, ["k"], {"total": ("sum", "v"), "n": ("count", "v")})
+    d = {r["k"]: (r["total"], r["n"]) for r in agg.to_pylist()}
+    assert d == {"a": (8.0, 3), "b": (12.0, 2)}
