@@ -29,9 +29,10 @@ def _table_path(sf_dir: str, table: str) -> str:
 def _encoded(sf_dir: str, table: str) -> str:
     """Encode a driver table into a cached stripe dir (fragment mode,
     resume-aware: second call skips completed fragments)."""
+    from datafusion_orc_ray import stripe
     from datafusion_orc_ray.pipelines import encode as ep
 
-    key = hashlib.sha1(f"{sf_dir}:{table}".encode()).hexdigest()[:12]
+    key = hashlib.sha1(f"{sf_dir}:{table}:{stripe.FORMAT}".encode()).hexdigest()[:12]
     out_dir = os.path.join(_CACHE_ROOT, key, table)
     ep.encode_parquet(_table_path(sf_dir, table), out_dir).materialize()
     return out_dir

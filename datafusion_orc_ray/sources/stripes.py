@@ -17,6 +17,55 @@ from ..stages.decode import make_stripe_decoder
 from ..state import manifest
 
 
+def stripes_schema(out_dir: str):
+    """Merged Arrow schema across all stripes (S3: deterministic — footers
+    read in sorted-path order, merged with pa.unify_schemas, mirroring
+    the reference's sort-for-determinism + Schema::try_merge at
+    src/file_format.rs:90-103)."""
+    import base64
+
+    import pyarrow as pa
+
+    from .. import stripe as stripe_mod
+
+    schemas = []
+    seen: set[str] = set()
+    for e in sorted(manifest.load_manifest(out_dir), key=lambda e: e["path"]):
+        with open(e["path"], "rb") as f:
+            blob = f.read()
+        footer = stripe_mod.read_footer(blob)
+        b64 = footer["schema_b64"]
+        if b64 not in seen:
+            seen.add(b64)
+            schemas.append(pa.ipc.read_schema(pa.py_buffer(base64.b64decode(b64))))
+    if not schemas:
+        raise FileNotFoundError(f"no manifest entries under {out_dir}")
+    return pa.unify_schemas(schemas)
+
+
+class Catalog:
+    """Named-table registration over stripe directories (S9/S10 parity:
+    the reference's register_orc / read_orc surface, src/lib.rs:107-169).
+    Registered names resolve to Datasets; schemas come from the stripe
+    footers."""
+
+    def __init__(self) -> None:
+        self._tables: dict[str, str] = {}
+
+    def register_stripes(self, name: str, out_dir: str) -> None:
+        stripes_schema(out_dir)  # validates the directory eagerly
+        self._tables[name] = out_dir
+
+    def schema(self, name: str):
+        return stripes_schema(self._tables[name])
+
+    def table(self, name: str, columns: list[str] | None = None) -> ray.data.Dataset:
+        return read_stripes(self._tables[name], columns=columns)
+
+    def names(self) -> list[str]:
+        return sorted(self._tables)
+
+
 def read_stripes(
     out_dir: str,
     columns: list[str] | None = None,

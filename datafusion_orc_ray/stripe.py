@@ -35,6 +35,8 @@ from .codecs.bitpack import pack_bits, unpack_bits
 from .codecs.integers import codec_name, decode_ints, encode_ints
 
 MAGIC = b"RSTP1"
+FORMAT = "rstp2"  # bump on any layout change: decode refuses older blobs
+                  # loudly and cached encode dirs key on this string
 
 # stream kinds (cf. ORC stream kinds PRESENT/DATA/LENGTH/SECONDARY/
 # DICTIONARY_DATA observed in the reference fixtures)
@@ -362,7 +364,7 @@ def encode_table(
             pos += framed_len
         columns_meta.append(cmeta)
     footer = {
-        "format": "rstp1",
+        "format": FORMAT,
         "n_rows": table.num_rows,
         "schema_b64": base64.b64encode(table.schema.serialize().to_pybytes()).decode(),
         "columns": columns_meta,
@@ -381,7 +383,12 @@ def read_footer(blob: bytes) -> dict:
         raise ValueError("not a stripe blob")
     (flen,) = struct.unpack_from("<I", blob, len(blob) - len(MAGIC) - 4)
     fstart = len(blob) - len(MAGIC) - 4 - flen
-    return json.loads(blob[fstart : fstart + flen])
+    footer = json.loads(blob[fstart : fstart + flen])
+    if footer.get("format") != FORMAT:
+        raise ValueError(
+            f"stripe format {footer.get('format')!r} != {FORMAT!r} — stale blob; re-encode"
+        )
+    return footer
 
 
 def _get_stream(blob: bytes, cmeta: dict, kind: str) -> bytes | None:

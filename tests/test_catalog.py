@@ -1,0 +1,46 @@
+"""Catalog / schema-merge tests (S3, S9, S10 parity)."""
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from datafusion_orc_ray import fixtures
+from datafusion_orc_ray.pipelines import encode as ep
+from datafusion_orc_ray.sources.stripes import Catalog, stripes_schema
+
+
+@pytest.fixture(scope="module")
+def encoded_dir(ray_session, tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("cat"))
+    os.makedirs(f"{base}/in")
+    wt = fixtures.webtext_table(300)
+    pq.write_table(wt, f"{base}/in/part-0.parquet", row_group_size=100)
+    out = f"{base}/enc"
+    ep.encode_parquet(f"{base}/in", out, concurrency=2).take_all()
+    return out, wt
+
+
+def test_stripes_schema_merge(encoded_dir):
+    out, wt = encoded_dir
+    schema = stripes_schema(out)
+    assert schema.equals(wt.schema)
+
+
+def test_catalog_register_and_read(encoded_dir):
+    out, wt = encoded_dir
+    cat = Catalog()
+    cat.register_stripes("webtext", out)
+    assert cat.names() == ["webtext"]
+    assert cat.schema("webtext").names == ["url", "warc_ts", "html", "text", "lang"]
+    ds = cat.table("webtext", columns=["url", "lang"])
+    got = pa.concat_tables(ds.iter_batches(batch_format="pyarrow"))
+    assert got.num_rows == wt.num_rows
+    assert got.column_names == ["url", "lang"]
+
+
+def test_catalog_rejects_missing_dir():
+    cat = Catalog()
+    with pytest.raises(FileNotFoundError):
+        cat.register_stripes("nope", "/tmp/definitely-not-a-stripe-dir")

@@ -59,6 +59,52 @@ def test_resume_skips_completed(corpus):
     assert got.equals(wt.sort_by("url"))
 
 
+def test_crash_mid_write_resume(corpus):
+    """Kill-after-k simulation (SURVEY.md §5 resume test): a crash leaves
+    a stray temp blob and no manifest row; restart re-encodes that
+    fragment cleanly, temp junk is ignored, no duplicate stripes."""
+    base, wt = corpus
+    out = f"{base}/enc_crash"
+    ep.encode_parquet(f"{base}/in", out, concurrency=2).take_all()
+    entries = man.load_manifest(out)
+    victim = entries[0]
+    # simulate: the blob write finished as a temp file, manifest missing
+    os.rename(victim["path"], victim["path"] + ".tmp-deadbeef")
+    os.remove(os.path.join(out, "manifest", f"{victim['stripe_id']}.json"))
+    redone = ep.encode_parquet(f"{base}/in", out, concurrency=2).take_all()
+    assert len(redone) == 1 and redone[0]["stripe_id"] == victim["stripe_id"]
+    final = man.load_manifest(out)
+    assert len(final) == len(entries)
+    assert len({e["stripe_id"] for e in final}) == len(entries)  # no dupes
+    got = collect(ep.decode_stripes(out)).sort_by("url")
+    assert got.equals(wt.sort_by("url"))
+
+
+def test_stale_format_refused(corpus):
+    """Blobs from an older format version fail loudly, not silently."""
+    import json
+
+    from datafusion_orc_ray import stripe as stripe_mod
+
+    base, _ = corpus
+    out = f"{base}/enc"
+    if not man.completed_ids(out):
+        ep.encode_parquet(f"{base}/in", out, concurrency=2).take_all()
+    path = man.load_manifest(out)[0]["path"]
+    blob = open(path, "rb").read()
+    footer = stripe_mod.read_footer(blob)
+    # forge an older version marker
+    old = dict(footer, format="rstp0")
+    fbytes = json.dumps(old, separators=(",", ":")).encode()
+    import struct as st
+
+    flen = st.unpack_from("<I", blob, len(blob) - 9)[0]
+    fstart = len(blob) - 9 - flen
+    forged = blob[:fstart] + fbytes + st.pack("<I", len(fbytes)) + stripe_mod.MAGIC
+    with pytest.raises(ValueError, match="stale blob"):
+        stripe_mod.read_footer(forged)
+
+
 def test_projection_pushdown(corpus):
     base, wt = corpus
     out = f"{base}/enc"
