@@ -228,6 +228,25 @@ def encode_column(
         _add(meta, blobs, DATA, {"codec": "raw"}, v)  # buffer view, no copy
         return meta, blobs
 
+    if pa.types.is_fixed_size_binary(t):
+        # whole-buffer encode (all slots, null slots included verbatim)
+        start = arr.offset * t.byte_width
+        data = np.frombuffer(arr.buffers()[1], dtype=np.uint8)[
+            start : start + len(arr) * t.byte_width
+        ]
+        meta["enc"] = "fixed_binary"
+        _add(meta, blobs, DATA, {"codec": "raw", "raw_size": int(data.size)}, data)
+        return meta, blobs
+
+    if pa.types.is_fixed_size_list(t):
+        child = arr.values.slice(arr.offset * t.list_size, len(arr) * t.list_size)
+        child_meta, child_blobs = encode_column(child, path + ".item", state)
+        meta["enc"] = "fixed_list"
+        meta["list_size"] = t.list_size
+        meta["children"] = [child_meta]
+        blobs.extend(child_blobs)
+        return meta, blobs
+
     if pa.types.is_decimal(t):
         v = arr.drop_null()
         start = v.offset * 16
@@ -348,10 +367,17 @@ def encode_table(
     parts: list[bytes] = [MAGIC]
     pos = len(MAGIC)
     columns_meta = []
+    fields = []
     for name in table.column_names:
         col = table.column(name)
         if isinstance(col, pa.ChunkedArray):
             col = pa.concat_arrays(col.chunks) if col.num_chunks else pa.array([], type=col.type)
+        if pa.types.is_dictionary(col.type):
+            # dictionary-typed INPUT is densified at ingest (dict encoding
+            # is re-chosen per stripe by the E9 trial); footer schema
+            # records the value type so decode round-trips consistently
+            col = col.cast(col.type.value_type)
+        fields.append(pa.field(name, col.type))
         cmeta, blobs = encode_column(col, name, state)
         for smeta, payload in blobs:
             framed_parts = outer.compress_auto(payload, outer_codec)
@@ -363,10 +389,11 @@ def encode_table(
             parts.extend(framed_parts)
             pos += framed_len
         columns_meta.append(cmeta)
+    schema = pa.schema(fields, metadata=table.schema.metadata)
     footer = {
         "format": FORMAT,
         "n_rows": table.num_rows,
-        "schema_b64": base64.b64encode(table.schema.serialize().to_pybytes()).decode(),
+        "schema_b64": base64.b64encode(schema.serialize().to_pybytes()).decode(),
         "columns": columns_meta,
     }
     fbytes = json.dumps(footer, separators=(",", ":")).encode()
@@ -430,10 +457,18 @@ def decode_column(blob: bytes, cmeta: dict, dtype: pa.DataType) -> pa.Array:
         return pa.Array.from_buffers(dtype, n, [vbuf, pa.py_buffer(data.tobytes())])
 
     if enc == "float_raw":
-        np_dtype = np.float32 if pa.types.is_float32(dtype) else np.float64
+        np_dtype = {2: np.float16, 4: np.float32, 8: np.float64}[dtype.bit_width // 8]
         v = np.frombuffer(_get_stream(blob, cmeta, DATA), dtype=np_dtype)
-        full = _scatter(v, mask, n, fill=0.0)
+        full = _scatter(v, mask, n, fill=np_dtype(0.0))
         return pa.Array.from_buffers(dtype, n, [vbuf, pa.py_buffer(full.tobytes())])
+
+    if enc == "fixed_binary":
+        data = _get_stream(blob, cmeta, DATA)
+        return pa.Array.from_buffers(dtype, n, [vbuf, pa.py_buffer(data)])
+
+    if enc == "fixed_list":
+        child = decode_column(blob, cmeta["children"][0], dtype.value_type)
+        return pa.Array.from_buffers(dtype, n, [vbuf], children=[child])
 
     if enc == "decimal_split":
         lo = decode_ints(_get_stream(blob, cmeta, DATA), n_valid).view(np.uint64)
