@@ -147,6 +147,24 @@ def run_bench() -> dict:
         extras["decoded_rows"] = n
     shutil.rmtree(out_dir, ignore_errors=True)
 
+    # skew-aware clustered encode (the optional sort shuffle): sample key
+    # frequencies, salt hot langs, range-partition by shard, encode
+    if not os.environ.get("BENCH_HEADLINE_ONLY"):
+        import ray.data as rdata
+
+        out_c = os.path.join(BENCH_ROOT, f"encc_{NUM_CPUS}_{int(time.time())}")
+        t0 = time.time()
+        # 20% sample: demonstrates the groupby-shuffle path without paying
+        # a full second encode of the corpus in every bench run
+        ds = rdata.read_parquet(in_dir).random_sample(0.2, seed=42)
+        ep.encode_clustered(ds, out_c, rows_per_stripe=16384).materialize()
+        queries["encode_webtext_clustered"] = round(time.time() - t0, 3)
+        entries_c = man.load_manifest(out_c)
+        enc_c = sum(e["encoded_bytes"] for e in entries_c)
+        raw_c = sum(e["raw_bytes"] for e in entries_c)
+        extras["clustered_compression_ratio"] = round(raw_c / enc_c, 3) if enc_c else None
+        shutil.rmtree(out_c, ignore_errors=True)
+
     # operator pipelines over the driver tables (skipped in scaling
     # children: at num_cpus=2 a concurrency=2 actor pool would reserve
     # every CPU and starve the producer tasks)

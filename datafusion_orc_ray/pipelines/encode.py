@@ -131,6 +131,22 @@ def decode_stripes(
     return read_stripes(out_dir, columns=columns, concurrency=concurrency)
 
 
+def decode_to_parquet(
+    out_dir: str,
+    parquet_dir: str,
+    columns: list[str] | None = None,
+    min_rows_per_file: int = 100_000,
+) -> None:
+    """Decode stripes straight to partitioned Parquet — the streaming
+    sink (never materializes; one part file per ~min_rows_per_file so a
+    rerun can skip finished partitions)."""
+    ds = decode_stripes(out_dir, columns=columns)
+    try:
+        ds.write_parquet(parquet_dir, min_rows_per_file=min_rows_per_file)
+    except TypeError:  # older Ray releases
+        ds.write_parquet(parquet_dir, num_rows_per_file=min_rows_per_file)
+
+
 # ----------------------------------------------------------------- skew/salt
 
 def salt_plan(
@@ -142,10 +158,9 @@ def salt_plan(
     per distinct key)."""
     import pyarrow.compute as pc
 
-    total = ds.count()
-    sample = ds if total <= sample_rows else ds.random_sample(sample_rows / total, seed=42)
+    sample = ds.select_columns([key]).limit(sample_rows)
     tbl = pa.concat_tables(
-        sample.select_columns([key]).iter_batches(batch_format="pyarrow", batch_size=sample_rows)
+        sample.iter_batches(batch_format="pyarrow", batch_size=sample_rows)
     )
     vc = pc.value_counts(pc.fill_null(tbl.column(key).combine_chunks(), "\x00null"))
     n = sum(c.as_py() for c in vc.field("counts")) or 1
@@ -156,15 +171,14 @@ def salt_plan(
     return plan
 
 
-def cluster_for_compression(
+def add_shard_column(
     ds: ray.data.Dataset,
     key: str = "lang",
     salt_col: str = "url",
     target_share: float = 0.05,
 ) -> ray.data.Dataset:
-    """Co-locate rows by (key, salt) with hot keys split across salts —
-    the skew-aware shuffle. Sorting by the combined shard key range-
-    partitions the stream so each encode batch sees homogeneous data."""
+    """Append a ``__shard`` key = key + salt, hot keys split across
+    ceil(freq/target_share) salt buckets (sampled frequencies)."""
     plan = salt_plan(ds, key, target_share=target_share)
 
     def add_shard(batch: pa.Table) -> pa.Table:
@@ -181,4 +195,56 @@ def cluster_for_compression(
         ]
         return batch.append_column("__shard", pa.array(shard, pa.string()))
 
-    return ds.map_batches(add_shard, batch_format="pyarrow").sort("__shard")
+    return ds.map_batches(add_shard, batch_format="pyarrow")
+
+
+def cluster_for_compression(
+    ds: ray.data.Dataset,
+    key: str = "lang",
+    salt_col: str = "url",
+    target_share: float = 0.05,
+) -> ray.data.Dataset:
+    """Co-locate rows by (key, salt) with hot keys split across salts —
+    the skew-aware shuffle. Sorting by the combined shard key range-
+    partitions the stream so each encode batch sees homogeneous data."""
+    return add_shard_column(ds, key, salt_col, target_share).sort("__shard")
+
+
+def encode_clustered(
+    ds: ray.data.Dataset,
+    out_dir: str,
+    key: str = "lang",
+    salt_col: str = "url",
+    target_share: float = 0.05,
+    rows_per_stripe: int = 32768,
+) -> ray.data.Dataset:
+    """Skew-aware clustered encode in ONE shuffle: shard key -> groupby ->
+    encode each shard inside map_groups (a shard IS the encoder's
+    partition, so symbol tables/dictionaries see homogeneous data).
+    Bounded shards regardless of key skew because hot keys were salted."""
+    from ..stages.encode import StripeEncoder
+
+    sharded = add_shard_column(ds, key, salt_col, target_share)
+
+    def encode_group(group: pa.Table) -> pa.Table:
+        shard = group.column("__shard")[0].as_py() if group.num_rows else ""
+        enc = StripeEncoder(out_dir, lineage=f"shard={shard}")
+        body = group.drop_columns(["__shard"])
+        rows = []
+        for start in range(0, body.num_rows, rows_per_stripe):
+            chunk = body.slice(start, rows_per_stripe)
+            entry = enc.encode_one(chunk, lineage=f"shard={shard}:{start}")
+            rows.append({k: entry[k] for k in _manifest_names()})
+        return pa.Table.from_pylist(rows, schema=_manifest_schema())
+
+    return sharded.groupby("__shard").map_groups(encode_group, batch_format="pyarrow")
+
+
+def _manifest_schema():
+    from ..stages.encode import manifest_row_schema
+
+    return manifest_row_schema()
+
+
+def _manifest_names():
+    return _manifest_schema().names

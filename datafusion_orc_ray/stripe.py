@@ -224,8 +224,31 @@ def encode_column(
 
     if pa.types.is_floating(t):
         v = arr.drop_null().to_numpy(zero_copy_only=False)
-        meta["enc"] = "float_raw"
-        _add(meta, blobs, DATA, {"codec": "raw"}, v)  # buffer view, no copy
+        # byte-stream-split trial: grouping sign/exponent byte planes often
+        # makes otherwise-incompressible floats compressible by the outer
+        # codec (same role as ORC's DIRECT float stream + block codec, E6,
+        # with the Parquet BYTE_STREAM_SPLIT idea applied per chunk)
+        use_bss = False
+        if v.size >= 256:
+            import pyarrow as _pa
+
+            itemsize = v.dtype.itemsize
+            sample = v[: 16384 // itemsize]
+            s_raw = memoryview(sample).cast("B")
+            s_bss = np.ascontiguousarray(
+                sample.view(np.uint8).reshape(-1, itemsize).T
+            )
+            zstd = _pa.Codec("zstd")
+            raw_sz = len(zstd.compress(_pa.py_buffer(s_raw), asbytes=True))
+            bss_sz = len(zstd.compress(_pa.py_buffer(s_bss), asbytes=True))
+            use_bss = bss_sz < 0.95 * raw_sz
+        if use_bss:
+            planes = np.ascontiguousarray(v.view(np.uint8).reshape(-1, v.dtype.itemsize).T)
+            meta["enc"] = "float_bss"
+            _add(meta, blobs, DATA, {"codec": "bss"}, planes)
+        else:
+            meta["enc"] = "float_raw"
+            _add(meta, blobs, DATA, {"codec": "raw"}, v)  # buffer view, no copy
         return meta, blobs
 
     if pa.types.is_fixed_size_binary(t):
@@ -459,6 +482,14 @@ def decode_column(blob: bytes, cmeta: dict, dtype: pa.DataType) -> pa.Array:
     if enc == "float_raw":
         np_dtype = {2: np.float16, 4: np.float32, 8: np.float64}[dtype.bit_width // 8]
         v = np.frombuffer(_get_stream(blob, cmeta, DATA), dtype=np_dtype)
+        full = _scatter(v, mask, n, fill=np_dtype(0.0))
+        return pa.Array.from_buffers(dtype, n, [vbuf, pa.py_buffer(full.tobytes())])
+
+    if enc == "float_bss":
+        np_dtype = {2: np.float16, 4: np.float32, 8: np.float64}[dtype.bit_width // 8]
+        itemsize = np.dtype(np_dtype).itemsize
+        planes = np.frombuffer(_get_stream(blob, cmeta, DATA), dtype=np.uint8)
+        v = np.ascontiguousarray(planes.reshape(itemsize, -1).T).view(np_dtype).reshape(-1)
         full = _scatter(v, mask, n, fill=np_dtype(0.0))
         return pa.Array.from_buffers(dtype, n, [vbuf, pa.py_buffer(full.tobytes())])
 

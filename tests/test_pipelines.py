@@ -130,6 +130,22 @@ def test_cluster_for_compression(corpus):
     assert got.equals(wt.sort_by("url"))
 
 
+def test_encode_clustered_single_shuffle(corpus):
+    """The one-shuffle clustered encode (groupby shard -> encode inside
+    map_groups) round-trips and records shard lineage per stripe."""
+    import ray.data
+
+    base, wt = corpus
+    ds = ray.data.read_parquet(f"{base}/in")
+    out = f"{base}/enc_grouped"
+    mf = ep.encode_clustered(ds, out, rows_per_stripe=400)
+    assert mf.count() >= 1
+    entries = man.load_manifest(out)
+    assert all(e["lineage"].startswith("shard=") for e in entries)
+    got = collect(ep.decode_stripes(out)).sort_by("url")
+    assert got.equals(wt.sort_by("url"))
+
+
 def test_salt_plan_splits_hot_keys(corpus):
     import ray.data
 
