@@ -135,6 +135,20 @@ def _q1_lineitem(sf_dir: str):
     )
 
 
+def _hash_join_orders_customer(sf_dir: str):
+    """Partitioned hash join (both sides shuffled by key bucket)."""
+    from datafusion_orc_ray.pipelines import relational as rel
+
+    return rel.collect(
+        rel.hash_join(
+            _ds(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"]),
+            _ds(sf_dir, "customer", ["c_custkey", "c_mktsegment"]),
+            "o_custkey",
+            "c_custkey",
+        )
+    )
+
+
 def _window_agg_events(sf_dir: str):
     """Tumbling 1-hour window aggregate over the events stream
     (ray_guide "Streaming-shaped workloads": event-time windows as
@@ -325,6 +339,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q1_lineitem": _q1_lineitem,
         "join_customer_orders": _join_customer_orders,
         "window_agg_events": _window_agg_events,
+        "hash_join_orders_customer": _hash_join_orders_customer,
         # training-data ops
         "dedup_exact_documents": _dedup_exact,
         "token_count_documents": _token_counts,
@@ -370,6 +385,10 @@ def oracle_sql() -> dict[str, str]:
         "join_customer_orders": (
             "SELECT c_mktsegment, round(sum(o_totalprice), 2) AS total, count(*) AS n_rows "
             "FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment"
+        ),
+        "hash_join_orders_customer": (
+            "SELECT o_orderkey, o_custkey, o_totalprice, c_custkey, c_mktsegment "
+            "FROM orders JOIN customer ON o_custkey = c_custkey"
         ),
         "window_agg_events": (
             "SELECT event_type, (epoch_us(ts) // 3600000000)::BIGINT AS w, "

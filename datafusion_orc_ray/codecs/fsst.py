@@ -25,15 +25,21 @@ PARSE_CHUNK = 512  # parse-unit size; bounds the sequential depth of the scan
 
 
 class SymbolTable:
-    """Immutable FSST symbol table with precomputed lookup structures."""
+    """Immutable FSST symbol table with precomputed lookup structures.
 
-    __slots__ = ("symbols", "sym_lens", "sym_bytes", "_by_len")
+    Longest-prefix matching uses one predecessor binary search over the
+    zero-padded 8-byte symbol keys plus a fallback chain: the longest
+    symbol matching window w is always on the longest-proper-prefix chain
+    of the table's predecessor of w (any table entry between a matching
+    prefix s-padded and w itself must start with s), so a match resolves
+    in <= 8 vectorized chain steps instead of one probe per length."""
+
+    __slots__ = ("symbols", "sym_lens", "sym_bytes", "pk", "pcodes", "plens", "pfall")
 
     def __init__(self, symbols: list[bytes]):
         if len(symbols) > MAX_SYMBOLS:
             raise ValueError("too many symbols")
         self.symbols = list(symbols)
-        n = len(symbols)
         self.sym_lens = np.zeros(256, dtype=np.uint8)
         self.sym_bytes = np.zeros((256, MAX_SYMBOL_LEN), dtype=np.uint8)
         for code, s in enumerate(symbols):
@@ -41,15 +47,27 @@ class SymbolTable:
                 raise ValueError(f"bad symbol length {len(s)}")
             self.sym_lens[code] = len(s)
             self.sym_bytes[code, : len(s)] = np.frombuffer(s, dtype=np.uint8)
-        # per-length sorted key arrays for vectorized longest-match
-        self._by_len: dict[int, tuple[np.ndarray, np.ndarray]] = {}
-        for length in sorted({len(s) for s in symbols}, reverse=True):
-            codes = np.array([c for c, s in enumerate(symbols) if len(s) == length], dtype=np.uint8)
-            keys = np.array(
-                [int.from_bytes(symbols[c], "big") for c in codes], dtype=np.uint64
-            )
-            order = np.argsort(keys)
-            self._by_len[length] = (keys[order], codes[order])
+        # sorted padded keys + fallback (longest proper prefix) pointers
+        order = sorted(
+            range(len(symbols)),
+            key=lambda c: (int.from_bytes(symbols[c] + b"\x00" * (8 - len(symbols[c])), "big"), len(symbols[c])),
+        )
+        self.pk = np.array(
+            [int.from_bytes(symbols[c] + b"\x00" * (8 - len(symbols[c])), "big") for c in order],
+            dtype=np.uint64,
+        )
+        self.pcodes = np.array(order, dtype=np.uint8)
+        self.plens = np.array([len(symbols[c]) for c in order], dtype=np.int64)
+        pos_of = {symbols[c]: i for i, c in enumerate(order)}
+        fall = np.full(len(order), -1, dtype=np.int64)
+        for i, c in enumerate(order):
+            s = symbols[c]
+            for cut in range(len(s) - 1, 0, -1):
+                j = pos_of.get(s[:cut])
+                if j is not None:
+                    fall[i] = j
+                    break
+        self.pfall = fall
 
     # -- serialization (decode state travels in the stripe footer) --
     def to_bytes(self) -> bytes:
@@ -132,22 +150,33 @@ def _probe(
     """Longest-match (code, length) for the window keys in ``keys8``
     (length 0 = no match -> escape). ``limit`` = bytes remaining in the
     position's row — matches never cross row boundaries so each row stays
-    independently parseable."""
+    independently parseable.
+
+    One predecessor binary search, then the fallback chain (see
+    SymbolTable docstring) resolves the longest valid prefix in <= 8
+    shrinking vectorized steps."""
     m = keys8.size
     code = np.zeros(m, dtype=np.uint8)
     length_out = np.zeros(m, dtype=np.int64)
-    unm = np.arange(m, dtype=np.int64)  # indices not yet matched
-    for length, (tkeys, tcodes) in table._by_len.items():  # descending lengths
-        keyL = keys8[unm] >> np.uint64(8 * (MAX_SYMBOL_LEN - length))
-        idx = np.searchsorted(tkeys, keyL)
-        idx[idx == tkeys.size] = 0
-        hit = (tkeys[idx] == keyL) & (limit[unm] >= length)
+    if table.pk.size == 0 or m == 0:
+        return code, length_out
+    cur = np.searchsorted(table.pk, keys8, side="right").astype(np.int64) - 1
+    unm = np.flatnonzero(cur >= 0)
+    cur = cur[unm]
+    while unm.size:
+        plen = table.plens[cur]
+        shift = (np.uint64(8) * (np.uint64(MAX_SYMBOL_LEN) - plen.view(np.uint64)))
+        hit = ((keys8[unm] >> shift) == (table.pk[cur] >> shift)) & (plen <= limit[unm])
         hit_idx = unm[hit]
-        code[hit_idx] = tcodes[idx[hit]]
-        length_out[hit_idx] = length
-        unm = unm[~hit]
-        if unm.size == 0:
-            break
+        code[hit_idx] = table.pcodes[cur[hit]]
+        length_out[hit_idx] = plen[hit]
+        miss = ~hit
+        cur = table.pfall[cur[miss]]
+        unm = unm[miss]
+        alive = cur >= 0
+        if not alive.all():
+            cur = cur[alive]
+            unm = unm[alive]
     return code, length_out
 
 

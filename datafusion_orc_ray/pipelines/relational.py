@@ -112,6 +112,76 @@ def manifest_column_stats(out_dir: str, column: str) -> pa.Table:
     )
 
 
+def hash_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    left_key: str,
+    right_key: str,
+    n_buckets: int = 16,
+) -> ray.data.Dataset:
+    """Partitioned hash join for two LARGE sides (ray_guide "Joins and
+    lookups"): both sides get a bucket = crc32(key) % B column, one
+    groupby co-locates matching buckets, and each bucket joins with a
+    pandas merge inside map_groups. Skewed keys can be salted upstream
+    with add_shard_column; B is the explicit partitioning knob."""
+    import zlib
+
+    import pandas as pd
+
+    l_schema = getattr(left.schema(), "base_schema", left.schema())
+    r_schema = getattr(right.schema(), "base_schema", right.schema())
+    l_cols, r_cols = list(l_schema.names), list(r_schema.names)
+    overlap = (set(l_cols) & set(r_cols)) - {left_key, right_key}
+    if overlap:
+        raise ValueError(f"ambiguous join columns: {sorted(overlap)}")
+    combined = pa.schema(
+        [l_schema.field(c) for c in l_cols]
+        + [r_schema.field(c) for c in r_cols if c not in l_cols]
+        + [pa.field("__bucket", pa.int32()), pa.field("__side", pa.int8())]
+    )
+
+    def tag(key_col: str, side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            keys = batch.column(key_col).to_pylist()
+            b = [zlib.crc32(str(k).encode()) % n_buckets for k in keys]
+            cols = []
+            for f in combined:
+                if f.name == "__bucket":
+                    cols.append(pa.array(b, pa.int32()))
+                elif f.name == "__side":
+                    cols.append(pa.array(np.full(batch.num_rows, side, np.int8)))
+                elif f.name in batch.column_names:
+                    cols.append(batch.column(f.name))
+                else:
+                    cols.append(pa.nulls(batch.num_rows, f.type))
+            return pa.Table.from_arrays(cols, schema=combined)
+
+        return fn
+
+    l_tag = left.map_batches(tag(left_key, 0), batch_format="pyarrow")
+    r_tag = right.map_batches(tag(right_key, 1), batch_format="pyarrow")
+    both = l_tag.union(r_tag)
+
+    # the null-padded union coerces int columns to float in pandas;
+    # restore each side's true dtypes after subselecting its rows
+    int_cols = {
+        f.name: "int" + str(f.type.bit_width)
+        for f in combined
+        if pa.types.is_integer(f.type) and f.name not in ("__bucket", "__side")
+    }
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g[g["__side"] == 0][l_cols]
+        rg = g[g["__side"] == 1][list(r_cols)]
+        for df, cols in ((lg, l_cols), (rg, r_cols)):
+            for c in cols:
+                if c in int_cols:
+                    df[c] = df[c].astype(int_cols[c])
+        return lg.merge(rg, left_on=left_key, right_on=right_key)
+
+    return both.groupby("__bucket").map_groups(join_bucket, batch_format="pandas")
+
+
 def broadcast_join_agg(
     left: ray.data.Dataset,
     right_tbl: pa.Table,
