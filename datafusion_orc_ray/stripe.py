@@ -30,7 +30,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from .codecs import bytes_codec, fsst, outer
+from .codecs import bytes_codec, outer
 from .codecs.bitpack import pack_bits, unpack_bits
 from .codecs.integers import codec_name, decode_ints, encode_ints
 
