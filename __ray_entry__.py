@@ -135,6 +135,36 @@ def _q1_lineitem(sf_dir: str):
     )
 
 
+def _distinct_count_orders(sf_dir: str):
+    """Distinct-count via per-batch partial distinct -> global unique
+    (set op / dedup primitive over a key column)."""
+
+    def partial_distinct(batch: pa.Table) -> pa.Table:
+        return pa.table({"o_custkey": batch.column("o_custkey").unique()})
+
+    ds = _ds(sf_dir, "orders", ["o_custkey"]).map_batches(partial_distinct, batch_format="pyarrow")
+    from datafusion_orc_ray.pipelines import relational as rel
+
+    merged = rel.collect(ds)
+    n = len(merged.column("o_custkey").unique())
+    return pa.table({"n": pa.array([n], pa.int64())})
+
+
+def _string_funcs_documents(sf_dir: str):
+    """Vectorized scalar string functions (upper/substr) in map_batches."""
+    import pyarrow.compute as pc
+
+    def fn(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "head10": pc.utf8_upper(pc.utf8_slice_codeunits(batch.column("text"), 0, 10)),
+            }
+        )
+
+    return _ds(sf_dir, "documents", ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")
+
+
 def _hash_join_orders_customer(sf_dir: str):
     """Partitioned hash join (both sides shuffled by key bucket)."""
     from datafusion_orc_ray.pipelines import relational as rel
@@ -340,6 +370,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_customer_orders": _join_customer_orders,
         "window_agg_events": _window_agg_events,
         "hash_join_orders_customer": _hash_join_orders_customer,
+        "distinct_count_orders": _distinct_count_orders,
+        "string_funcs_documents": _string_funcs_documents,
         # training-data ops
         "dedup_exact_documents": _dedup_exact,
         "token_count_documents": _token_counts,
@@ -389,6 +421,10 @@ def oracle_sql() -> dict[str, str]:
         "hash_join_orders_customer": (
             "SELECT o_orderkey, o_custkey, o_totalprice, c_custkey, c_mktsegment "
             "FROM orders JOIN customer ON o_custkey = c_custkey"
+        ),
+        "distinct_count_orders": "SELECT count(DISTINCT o_custkey) AS n FROM orders",
+        "string_funcs_documents": (
+            "SELECT doc_id, upper(substr(text, 1, 10)) AS head10 FROM documents"
         ),
         "window_agg_events": (
             "SELECT event_type, (epoch_us(ts) // 3600000000)::BIGINT AS w, "

@@ -123,32 +123,52 @@ _FP_BASE = np.uint64(1099511628211)  # FNV-ish multiplier for the rolling hash
 
 
 def fingerprints(ds: ray.data.Dataset) -> ray.data.Dataset:
-    """doc_id, fingerprint — order-sensitive rolling hash over the UTF-8
-    bytes (vectorized polynomial hash, wraparound uint64)."""
+    """doc_id, fingerprint — order-sensitive polynomial rolling hash over
+    the UTF-8 bytes (fp = sum b[i] * BASE^(len-1-i) mod 2^64), fully
+    vectorized across the batch: one flat byte buffer, per-position power
+    exponents from the row offsets, one segmented reduceat."""
 
     def fn(batch: pa.Table) -> pa.Table:
-        texts = batch.column("text")
-        fps = []
-        for t in texts.to_pylist():
-            if t is None:
-                fps.append(None)
-                continue
-            b = np.frombuffer(t.encode(), dtype=np.uint8).astype(np.uint64)
-            # polynomial rolling hash: sum b[i] * BASE^(n-1-i) mod 2^64
-            powers = np.empty(b.size, dtype=np.uint64)
-            if b.size:
-                powers[0] = 1
-                np.multiply.accumulate(np.full(b.size, _FP_BASE, np.uint64), out=powers)
-                powers = np.roll(powers, 1)
-                powers[0] = np.uint64(1)
-            fps.append(int((b * powers[::-1]).sum(dtype=np.uint64)))
+        text = batch.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        valid = text.is_valid().to_numpy(zero_copy_only=False)
+        from ..stripe import _binary_parts
+
+        n_valid = int(valid.sum())
+        if n_valid == 0:
+            fps_valid = np.empty(0, dtype=np.uint64)
+        else:
+            data_u8, offs = _binary_parts(text)
+            data = data_u8.astype(np.uint64)
+            lens = np.diff(offs)
+            n_bytes = data.size
+            if n_bytes:
+                # exponent of byte i = (row_end - 1 - i); build via repeat
+                row_end_at = np.repeat(offs[1:], lens)
+                exp = row_end_at - 1 - np.arange(n_bytes, dtype=np.int64)
+                max_len = int(lens.max())
+                pow_table = np.empty(max_len + 1, dtype=np.uint64)
+                pow_table[0] = 1
+                np.multiply.accumulate(
+                    np.full(max_len, _FP_BASE, np.uint64), out=pow_table[1:]
+                )
+                terms = data * pow_table[exp]
+                starts = offs[:-1]
+                # reduceat needs strictly valid indices; empty rows -> 0
+                nonempty = lens > 0
+                fps_valid = np.zeros(n_valid, dtype=np.uint64)
+                if nonempty.any():
+                    seg = np.add.reduceat(terms, starts[nonempty])
+                    fps_valid[nonempty] = seg
+            else:
+                fps_valid = np.zeros(n_valid, dtype=np.uint64)
+        full = np.zeros(len(text), dtype=np.int64)
+        full[valid] = fps_valid.view(np.int64)
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
-                "fingerprint": pa.array(
-                    [None if f is None else np.uint64(f).astype(np.int64).item() for f in fps],
-                    pa.int64(),
-                ),
+                "fingerprint": pa.array(full, pa.int64(), mask=~valid),
             }
         )
 
