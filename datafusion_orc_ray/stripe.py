@@ -61,6 +61,19 @@ class EncoderState:
         self.bytes_decisions: dict[str, list] = {}
         # path -> [use_dict, ttl]
         self.dict_decisions: dict[str, list] = {}
+        # path -> [int_codec_id, ttl]
+        self.int_decisions: dict[str, list] = {}
+
+    def encode_ints_cached(self, path: str, v) -> bytes:
+        from .codecs.integers import encode_ints, encode_ints_with
+
+        cached = self.int_decisions.get(path)
+        if cached is not None and cached[1] > 0:
+            cached[1] -= 1
+            return encode_ints_with(v, cached[0])
+        buf = encode_ints(v)
+        self.int_decisions[path] = [buf[0], self.REVALIDATE_EVERY]
+        return buf
 
     def choose_bytes(self, path: str, data, offs):
         cached = self.bytes_decisions.get(path)
@@ -217,7 +230,7 @@ def encode_column(
 
     if pa.types.is_integer(t) or (pa.types.is_temporal(t) and not pa.types.is_interval(t)):
         v = _np_nonnull_ints(arr)
-        buf = encode_ints(v)
+        buf = state.encode_ints_cached(path, v) if state is not None else encode_ints(v)
         meta["enc"] = "int"
         _add(meta, blobs, DATA, {"codec": codec_name(buf[0]), "raw_size": 8 * v.size}, buf)
         return meta, blobs
