@@ -96,6 +96,7 @@ def _topk_orders(sf_dir: str):
         key="o_totalprice",
         k=10,
         columns=["o_orderkey", "o_totalprice"],
+        tiebreak="o_orderkey",
     )
 
 

@@ -35,17 +35,23 @@ def count_rows(ds: ray.data.Dataset) -> pa.Table:
     return pa.table({"n": pa.array([ds.count()], pa.int64())})
 
 
-def topk(ds: ray.data.Dataset, key: str, k: int, columns: list[str]) -> pa.Table:
+def topk(
+    ds: ray.data.Dataset,
+    key: str,
+    k: int,
+    columns: list[str],
+    tiebreak: str | None = None,
+) -> pa.Table:
     """Global top-k: per-batch top-k inside map_batches (combiner), then a
-    tiny driver-side merge — no global sort shuffle."""
+    tiny driver-side merge — no global sort shuffle. ``tiebreak`` (asc)
+    makes the result deterministic under duplicate key values."""
+    sort_keys = [(key, "descending")] + ([(tiebreak, "ascending")] if tiebreak else [])
 
     def batch_topk(batch: pa.Table) -> pa.Table:
-        idx = pc.select_k_unstable(batch, k, [(key, "descending")])
-        return batch.take(idx).select(columns)
+        return batch.take(pc.select_k_unstable(batch, k, sort_keys)).select(columns)
 
     parts = collect(ds.map_batches(batch_topk, batch_format="pyarrow"))
-    idx = pc.select_k_unstable(parts, k, [(key, "descending")])
-    return parts.take(idx)
+    return parts.take(pc.select_k_unstable(parts, k, sort_keys))
 
 
 def grouped_agg(
