@@ -31,9 +31,7 @@ def stripes_schema(out_dir: str):
     schemas = []
     seen: set[str] = set()
     for e in sorted(manifest.load_manifest(out_dir), key=lambda e: e["path"]):
-        with open(e["path"], "rb") as f:
-            blob = f.read()
-        footer = stripe_mod.read_footer(blob)
+        footer = stripe_mod.read_footer_from_file(e["path"])  # tail read only
         b64 = footer["schema_b64"]
         if b64 not in seen:
             seen.add(b64)

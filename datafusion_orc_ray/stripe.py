@@ -454,6 +454,32 @@ def read_footer(blob: bytes) -> dict:
     return footer
 
 
+def read_footer_from_file(path: str, tail_guess: int = 1 << 20) -> dict:
+    """Footer via tail-ranged reads only — metadata ops never scan stripe
+    bodies (mirrors the reference's postscript/footer tail reads,
+    src/object_store_reader.rs:48-58 + ArrowReaderBuilder)."""
+    import os as _os
+
+    size = _os.path.getsize(path)
+    with open(path, "rb") as f:
+        f.seek(max(0, size - tail_guess))
+        tail = f.read()
+        if tail[-len(MAGIC) :] != MAGIC:
+            raise ValueError("not a stripe blob")
+        (flen,) = struct.unpack_from("<I", tail, len(tail) - len(MAGIC) - 4)
+        needed = flen + 4 + 2 * len(MAGIC)
+        if needed > len(tail):
+            f.seek(max(0, size - needed))
+            tail = f.read()
+        fstart = len(tail) - len(MAGIC) - 4 - flen
+        footer = json.loads(tail[fstart : fstart + flen])
+    if footer.get("format") != FORMAT:
+        raise ValueError(
+            f"stripe format {footer.get('format')!r} != {FORMAT!r} — stale blob; re-encode"
+        )
+    return footer
+
+
 def _get_stream(blob: bytes, cmeta: dict, kind: str) -> bytes | None:
     s = cmeta["streams"].get(kind)
     if s is None:
