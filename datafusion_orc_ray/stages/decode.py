@@ -26,8 +26,12 @@ def make_stripe_decoder(
 
     def decode_stripes(batch: pa.Table) -> Iterator[pa.Table]:
         for path in batch.column("path").to_pylist():
-            with open(path, "rb") as f:
-                blob = f.read()
-            yield stripe.decode_table(blob, columns=columns)
+            if columns is not None:
+                # projected: ranged reads of just the selected streams
+                yield stripe.decode_file(path, columns=columns)
+            else:
+                with open(path, "rb") as f:
+                    blob = f.read()
+                yield stripe.decode_table(blob)
 
     return decode_stripes

@@ -480,11 +480,34 @@ def read_footer_from_file(path: str, tail_guess: int = 1 << 20) -> dict:
     return footer
 
 
-def _get_stream(blob: bytes, cmeta: dict, kind: str) -> bytes | None:
+class _FileSource:
+    """Ranged reads from a stripe file — the decode path's equivalent of
+    the reference's AsyncChunkReader ranged GETs (S8,
+    src/object_store_reader.rs:48-58): a projected decode touches only
+    the selected columns' stream byte ranges, never the whole blob."""
+
+    def __init__(self, path: str) -> None:
+        self._f = open(path, "rb")
+        self.bytes_read = 0
+
+    def read(self, offset: int, size: int) -> bytes:
+        self._f.seek(offset)
+        self.bytes_read += size
+        return self._f.read(size)
+
+    def close(self) -> None:
+        self._f.close()
+
+
+def _get_stream(blob, cmeta: dict, kind: str) -> bytes | None:
     s = cmeta["streams"].get(kind)
     if s is None:
         return None
-    return outer.decompress(blob[s["offset"] : s["offset"] + s["size"]])
+    if isinstance(blob, (bytes, bytearray, memoryview)):
+        raw = blob[s["offset"] : s["offset"] + s["size"]]
+    else:
+        raw = blob.read(s["offset"], s["size"])
+    return outer.decompress(raw)
 
 
 def decode_column(blob: bytes, cmeta: dict, dtype: pa.DataType) -> pa.Array:
@@ -623,12 +646,8 @@ def _list_value_type(dtype: pa.DataType) -> pa.DataType:
     return dtype.value_type
 
 
-def decode_table(blob: bytes, columns: list[str] | None = None) -> pa.Table:
-    """Decode a stripe blob; ``columns`` prunes decoding to the requested
-    top-level columns (projection pushdown, S5)."""
-    footer = read_footer(blob)
+def _decode_from(footer: dict, blob, columns: list[str] | None) -> pa.Table:
     schema = pa.ipc.read_schema(pa.py_buffer(base64.b64decode(footer["schema_b64"])))
-    names = [c["path"] for c in footer["columns"]]
     arrays, fields = [], []
     for cmeta in footer["columns"]:
         name = cmeta["path"]
@@ -638,3 +657,20 @@ def decode_table(blob: bytes, columns: list[str] | None = None) -> pa.Table:
         arrays.append(decode_column(blob, cmeta, field.type))
         fields.append(field)
     return pa.Table.from_arrays(arrays, schema=pa.schema(fields))
+
+
+def decode_table(blob: bytes, columns: list[str] | None = None) -> pa.Table:
+    """Decode a stripe blob; ``columns`` prunes decoding to the requested
+    top-level columns (projection pushdown, S5)."""
+    return _decode_from(read_footer(blob), blob, columns)
+
+
+def decode_file(path: str, columns: list[str] | None = None) -> pa.Table:
+    """Decode straight from a stripe file: footer via tail read, then
+    ranged reads of only the projected columns' streams (S5 + S8)."""
+    footer = read_footer_from_file(path)
+    src = _FileSource(path)
+    try:
+        return _decode_from(footer, src, columns)
+    finally:
+        src.close()

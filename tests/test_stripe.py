@@ -74,6 +74,24 @@ def test_projection_pushdown_decode():
     assert out.column("l_quantity").equals(t.column("l_quantity"))
 
 
+def test_projected_decode_reads_only_selected_streams(tmp_path):
+    """S5 + S8: a projected decode_file does ranged reads of just the
+    selected columns' streams — it must touch a small fraction of the
+    blob, never the whole file."""
+    t = pq.read_table(f"{SF_DIR}/lineitem.parquet")
+    path = str(tmp_path / "x.rstp")
+    blob = stripe.encode_table(t)
+    with open(path, "wb") as f:
+        f.write(blob)
+    src = stripe._FileSource(path)
+    footer = stripe.read_footer_from_file(path)
+    out = stripe._decode_from(footer, src, ["l_orderkey", "l_quantity"])
+    src.close()
+    assert out.column("l_orderkey").equals(t.column("l_orderkey"))
+    assert src.bytes_read < 0.3 * len(blob)
+    assert stripe.decode_file(path).equals(t)
+
+
 def test_reference_fixture_values_roundtrip():
     """Golden cross-check (SURVEY.md §5.2): pyarrow.orc's decode of the
     reference fixtures is the oracle; encoding those same values through
