@@ -136,6 +136,19 @@ def _q1_lineitem(sf_dir: str):
     )
 
 
+def _filter_pushdown_orders(sf_dir: str):
+    """Stats-driven scan pruning: stripes whose manifest min/max exclude
+    the predicate are skipped before any IO; survivors get a vectorized
+    residual filter (E13/S4 — the reference stubs stats entirely)."""
+    from datafusion_orc_ray.sources.stripes import read_stripes
+
+    return read_stripes(
+        _encoded(sf_dir, "orders"),
+        columns=["o_orderkey", "o_totalprice"],
+        predicate=("o_orderkey", "<", 1000),
+    )
+
+
 def _distinct_count_orders(sf_dir: str):
     """Distinct-count via per-batch partial distinct -> global unique
     (set op / dedup primitive over a key column)."""
@@ -372,6 +385,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_agg_events": _window_agg_events,
         "hash_join_orders_customer": _hash_join_orders_customer,
         "distinct_count_orders": _distinct_count_orders,
+        "filter_pushdown_orders": _filter_pushdown_orders,
         "string_funcs_documents": _string_funcs_documents,
         # training-data ops
         "dedup_exact_documents": _dedup_exact,
@@ -424,6 +438,9 @@ def oracle_sql() -> dict[str, str]:
             "FROM orders JOIN customer ON o_custkey = c_custkey"
         ),
         "distinct_count_orders": "SELECT count(DISTINCT o_custkey) AS n FROM orders",
+        "filter_pushdown_orders": (
+            "SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey < 1000"
+        ),
         "string_funcs_documents": (
             "SELECT doc_id, upper(substr(text, 1, 10)) AS head10 FROM documents"
         ),

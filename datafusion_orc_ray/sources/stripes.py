@@ -68,15 +68,52 @@ def read_stripes(
     out_dir: str,
     columns: list[str] | None = None,
     concurrency: int | None = None,
+    predicate: tuple[str, str, object] | None = None,
 ) -> ray.data.Dataset:
+    """Stripe scan. ``predicate`` = (column, op, value) with op in
+    <, <=, >, >=, == enables stats-driven scan pruning (E13/S4: the
+    per-stripe min/max recorded in the manifests — which the reference
+    stubs entirely — skip whole stripes before any IO) plus a vectorized
+    residual filter inside the decode stage, mirroring ORC's row-index
+    skipping at stripe granularity."""
     entries = manifest.load_manifest(out_dir)
     if not entries:
         raise FileNotFoundError(f"no manifest entries under {out_dir}")
+    if predicate is not None:
+        entries = [e for e in entries if _stats_may_match(e, predicate)]
     items = [{"path": e["path"]} for e in sorted(entries, key=lambda e: e["path"])]
+    if not items:
+        import pyarrow as pa
+
+        empty = pa.Table.from_pylist([], schema=stripes_schema(out_dir))
+        if columns is not None:
+            empty = empty.select(columns)
+        return ray.data.from_arrow(empty)
     ds = ray.data.from_items(items)
     return ds.map_batches(
-        make_stripe_decoder(columns),
+        make_stripe_decoder(columns, predicate=predicate),
         batch_format="pyarrow",
         batch_size=1,  # one decode task per stripe; stripes are already coarse
         concurrency=concurrency,
     )
+
+
+_OPS = {
+    "<": lambda mn, mx, v: mn is None or mn < v,
+    "<=": lambda mn, mx, v: mn is None or mn <= v,
+    ">": lambda mn, mx, v: mx is None or mx > v,
+    ">=": lambda mn, mx, v: mx is None or mx >= v,
+    "==": lambda mn, mx, v: (mn is None or mn <= v) and (mx is None or mx >= v),
+}
+
+
+def _stats_may_match(entry: dict, predicate: tuple[str, str, object]) -> bool:
+    import json
+
+    col, op, val = predicate
+    for c in json.loads(entry.get("columns_json", "[]")):
+        if c["path"] == col:
+            st = c.get("stats", {})
+            mn, mx = st.get("min"), st.get("max")
+            return _OPS[op](mn, mx, val)
+    return True  # unknown column/stats -> cannot prune

@@ -19,19 +19,32 @@ from .. import stripe
 
 def make_stripe_decoder(
     columns: list[str] | None = None,
+    predicate: tuple[str, str, object] | None = None,
 ) -> Callable[[pa.Table], Iterator[pa.Table]]:
     """Returns a map_batches fn. Input batches carry a ``path`` column
     (manifest rows); yields one decoded table per stripe so memory stays
-    at one-stripe granularity."""
+    at one-stripe granularity. ``predicate`` applies the residual
+    vectorized row filter after stats pruning (see sources.stripes)."""
+    read_cols = columns
+    if predicate is not None and columns is not None and predicate[0] not in columns:
+        read_cols = [*columns, predicate[0]]
 
     def decode_stripes(batch: pa.Table) -> Iterator[pa.Table]:
+        import pyarrow.compute as pc
+
+        ops = {"<": pc.less, "<=": pc.less_equal, ">": pc.greater, ">=": pc.greater_equal, "==": pc.equal}
         for path in batch.column("path").to_pylist():
-            if columns is not None:
+            if read_cols is not None:
                 # projected: ranged reads of just the selected streams
-                yield stripe.decode_file(path, columns=columns)
+                t = stripe.decode_file(path, columns=read_cols)
             else:
                 with open(path, "rb") as f:
-                    blob = f.read()
-                yield stripe.decode_table(blob)
+                    t = stripe.decode_table(f.read())
+            if predicate is not None:
+                col, op, val = predicate
+                t = t.filter(ops[op](t.column(col), val))
+                if columns is not None:
+                    t = t.select(columns)
+            yield t
 
     return decode_stripes

@@ -146,6 +146,33 @@ def test_encode_clustered_single_shuffle(corpus):
     assert got.equals(wt.sort_by("url"))
 
 
+def test_predicate_pushdown_prunes_stripes(ray_session, tmp_path):
+    """E13/S4: manifest min/max skip whole stripes; residual filter
+    applied to survivors; result matches a plain filter."""
+    import pyarrow as pa
+
+    from datafusion_orc_ray.sources.stripes import _stats_may_match, read_stripes
+
+    base = str(tmp_path)
+    ids = pa.table({"id": pa.array(range(1000), pa.int64()), "v": pa.array([float(i) for i in range(1000)])})
+    pq.write_table(ids, f"{base}/ids.parquet", row_group_size=250)  # 4 disjoint ranges
+    out = f"{base}/enc"
+    ep.encode_parquet(f"{base}/ids.parquet", out, concurrency=2).take_all()
+    entries = man.load_manifest(out)
+    pred = ("id", "<", 260)
+    kept = [e for e in entries if _stats_may_match(e, pred)]
+    assert len(entries) == 4 and len(kept) == 2  # two stripes pruned by stats
+    got = collect(read_stripes(out, columns=["id", "v"], predicate=pred)).sort_by("id")
+    assert got.num_rows == 260
+    assert got.column("id").to_pylist() == list(range(260))
+    # predicate excluding everything -> empty table, schema intact
+    from datafusion_orc_ray.pipelines.relational import collect as rel_collect
+
+    none = read_stripes(out, columns=["id"], predicate=("id", ">", 10_000))
+    empty = rel_collect(none)
+    assert empty.num_rows == 0 and empty.column_names == ["id"]
+
+
 def test_salt_plan_splits_hot_keys(corpus):
     import ray.data
 
