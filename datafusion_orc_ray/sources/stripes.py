@@ -91,7 +91,7 @@ def read_stripes(
         return ray.data.from_arrow(empty)
     ds = ray.data.from_items(items)
     return ds.map_batches(
-        make_stripe_decoder(columns, predicate=predicate),
+        make_stripe_decoder(columns, predicate=predicate, unified_schema=stripes_schema(out_dir)),
         batch_format="pyarrow",
         batch_size=1,  # one decode task per stripe; stripes are already coarse
         concurrency=concurrency,
@@ -107,13 +107,37 @@ _OPS = {
 }
 
 
+def _epoch_int(val, unit: str) -> int:
+    """Predicate value -> the epoch-integer representation the footer
+    stats use for temporal columns (stripe._stats stores epoch ints, not
+    str(), so datetime predicates compare without TypeError)."""
+    import pyarrow as pa
+
+    if unit == "date32":
+        return pa.scalar(val, pa.date32()).cast(pa.int32()).as_py()
+    if unit == "date64":
+        return pa.scalar(val, pa.date64()).cast(pa.int64()).as_py()
+    return pa.scalar(val, pa.timestamp(unit)).cast(pa.int64()).as_py()
+
+
 def _stats_may_match(entry: dict, predicate: tuple[str, str, object]) -> bool:
+    """False only when the stripe PROVABLY has no matching row. min/max are
+    exact; min_bound/max_bound are safe outer bounds for truncated string
+    stats (a truncated max is never a plain prefix — see stripe._inc_prefix).
+    Any conversion/comparison failure means 'cannot prune'."""
     import json
 
     col, op, val = predicate
     for c in json.loads(entry.get("columns_json", "[]")):
         if c["path"] == col:
             st = c.get("stats", {})
-            mn, mx = st.get("min"), st.get("max")
-            return _OPS[op](mn, mx, val)
+            mn = st.get("min", st.get("min_bound"))
+            mx = st.get("max", st.get("max_bound"))
+            unit = st.get("temporal_unit")
+            try:
+                if unit is not None and not isinstance(val, int):
+                    val = _epoch_int(val, unit)
+                return _OPS[op](mn, mx, val)
+            except (TypeError, ValueError, OverflowError):
+                return True  # incomparable stat/value -> cannot prune
     return True  # unknown column/stats -> cannot prune

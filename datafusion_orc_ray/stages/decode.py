@@ -20,11 +20,18 @@ from .. import stripe
 def make_stripe_decoder(
     columns: list[str] | None = None,
     predicate: tuple[str, str, object] | None = None,
+    unified_schema: pa.Schema | None = None,
+    rows_per_block: int = 32768,
 ) -> Callable[[pa.Table], Iterator[pa.Table]]:
     """Returns a map_batches fn. Input batches carry a ``path`` column
-    (manifest rows); yields one decoded table per stripe so memory stays
-    at one-stripe granularity. ``predicate`` applies the residual
-    vectorized row filter after stats pruning (see sources.stripes)."""
+    (manifest rows); yields ≤``rows_per_block``-row slices per stripe so
+    one oversized stripe never becomes one giant downstream block
+    (mirrors the reference's fixed-row batch stream, src/file_source.rs:45
+    — a slice of a decoded Arrow table is zero-copy, so this bounds every
+    DOWNSTREAM stage's block size while decode memory stays one stripe).
+    ``predicate`` applies the residual vectorized row filter after stats
+    pruning (see sources.stripes); ``unified_schema`` null-fills columns a
+    schema-evolved stripe lacks."""
     read_cols = columns
     if predicate is not None and columns is not None and predicate[0] not in columns:
         read_cols = [*columns, predicate[0]]
@@ -36,15 +43,18 @@ def make_stripe_decoder(
         for path in batch.column("path").to_pylist():
             if read_cols is not None:
                 # projected: ranged reads of just the selected streams
-                t = stripe.decode_file(path, columns=read_cols)
+                t = stripe.decode_file(path, columns=read_cols, unified_schema=unified_schema)
             else:
-                with open(path, "rb") as f:
-                    t = stripe.decode_table(f.read())
+                with open(path, "rb") as f:  # full decode: one sequential read
+                    t = stripe.decode_table(f.read(), unified_schema=unified_schema)
             if predicate is not None:
                 col, op, val = predicate
                 t = t.filter(ops[op](t.column(col), val))
                 if columns is not None:
                     t = t.select(columns)
-            yield t
+            for start in range(0, t.num_rows, rows_per_block):
+                yield t.slice(start, rows_per_block)
+            if t.num_rows == 0:
+                yield t  # keep the (empty, schema-bearing) table flowing
 
     return decode_stripes

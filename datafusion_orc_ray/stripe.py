@@ -35,7 +35,7 @@ from .codecs.bitpack import pack_bits, unpack_bits
 from .codecs.integers import codec_name, decode_ints, encode_ints
 
 MAGIC = b"RSTP1"
-FORMAT = "rstp2"  # bump on any layout change: decode refuses older blobs
+FORMAT = "rstp3"  # bump on any layout change: decode refuses older blobs
                   # loudly and cached encode dirs key on this string
 
 # stream kinds (cf. ORC stream kinds PRESENT/DATA/LENGTH/SECONDARY/
@@ -168,7 +168,45 @@ def _arrow_validity_buffer(mask: np.ndarray | None) -> pa.Buffer | None:
     return pa.py_buffer(np.packbits(mask, bitorder="little").tobytes())
 
 
+_STR_STAT_LIMIT = 48
+
+
+def _inc_prefix(s: str, limit: int) -> str | None:
+    """ORC/Parquet-style truncated UPPER bound: take a prefix then bump its
+    last code point so the bound is >= every string sharing the prefix.
+    Returns None when no representable bound exists (all-max code points) —
+    callers must then treat the max as unbounded. A plain prefix is only
+    safe for the LOWER bound (prefix <= full string); using it as a max
+    silently pruned matching stripes (ADVICE r1, high)."""
+    cps = list(s[:limit])
+    while cps:
+        o = ord(cps[-1])
+        if o < 0x10FFFF:
+            nxt = o + 1
+            if 0xD800 <= nxt <= 0xDFFF:  # skip the surrogate gap
+                nxt = 0xE000
+            cps[-1] = chr(nxt)
+            return "".join(cps)
+        cps.pop()
+    return None
+
+
+def _temporal_unit(t: pa.DataType) -> str:
+    if pa.types.is_timestamp(t):
+        return t.unit  # "s" | "ms" | "us" | "ns"
+    if pa.types.is_date32(t):
+        return "date32"  # days
+    return "date64"  # ms
+
+
 def _stats(arr: pa.Array) -> dict:
+    """Per-column min/max/null-count (E13). Contract for the pruning code
+    in sources.stripes._stats_may_match: ``min``/``max`` are EXACT values;
+    ``min_bound``/``max_bound`` are safe outer bounds for truncated string
+    stats (bound-only stats never appear in manifest_column_stats output).
+    Temporal stats are epoch integers + a ``temporal_unit`` marker so the
+    pruner can compare against datetime predicate values without the
+    str-vs-datetime TypeError (ADVICE r1, medium)."""
     st: dict = {"n": len(arr), "null_count": arr.null_count}
     t = arr.type
     try:
@@ -176,16 +214,28 @@ def _stats(arr: pa.Array) -> dict:
             mm = pc.min_max(arr)
             st["min"], st["max"] = mm["min"].as_py(), mm["max"].as_py()
         elif pa.types.is_timestamp(t) or pa.types.is_date(t):
-            mm = pc.min_max(arr)
-            st["min"], st["max"] = str(mm["min"].as_py()), str(mm["max"].as_py())
+            v = _np_nonnull_ints(arr)
+            if v.size:
+                st["min"], st["max"] = int(v.min()), int(v.max())
+            st["temporal_unit"] = _temporal_unit(t)
         elif pa.types.is_string(t) or pa.types.is_large_string(t):
             # skip min/max for long-text columns: little pruning value,
             # real scan cost (E13 keeps stats for short/key-like strings)
             if len(arr) == 0 or arr.nbytes // max(len(arr), 1) <= 256:
                 mm = pc.min_max(arr)
                 mn, mx = mm["min"].as_py(), mm["max"].as_py()
-                st["min"] = mn[:48] if mn is not None else None
-                st["max"] = mx[:48] if mx is not None else None
+                if mn is not None:
+                    if len(mn) <= _STR_STAT_LIMIT:
+                        st["min"] = mn
+                    else:  # prefix is a valid (inexact) lower bound
+                        st["min_bound"] = mn[:_STR_STAT_LIMIT]
+                if mx is not None:
+                    if len(mx) <= _STR_STAT_LIMIT:
+                        st["max"] = mx
+                    else:
+                        ub = _inc_prefix(mx, _STR_STAT_LIMIT)
+                        if ub is not None:
+                            st["max_bound"] = ub
     except pa.ArrowNotImplementedError:
         pass
     return st
@@ -283,7 +333,15 @@ def encode_column(
         blobs.extend(child_blobs)
         return meta, blobs
 
-    if pa.types.is_decimal(t):
+    if pa.types.is_decimal(t) and not pa.types.is_decimal128(t):
+        # the split-int64 layout below is decimal128-specific; writing other
+        # widths through it persisted corrupt blobs that only failed at
+        # decode (ADVICE r1, medium) — fail loudly at encode instead
+        raise NotImplementedError(
+            f"only decimal128 is supported (got {t} at {path}); cast before encoding"
+        )
+
+    if pa.types.is_decimal128(t):
         v = arr.drop_null()
         start = v.offset * 16
         raw = np.frombuffer(v.buffers()[1], dtype="<u8")[start // 8 : start // 8 + 2 * len(v)]
@@ -646,31 +704,72 @@ def _list_value_type(dtype: pa.DataType) -> pa.DataType:
     return dtype.value_type
 
 
-def _decode_from(footer: dict, blob, columns: list[str] | None) -> pa.Table:
+def _decode_from(
+    footer: dict,
+    blob,
+    columns: list[str] | None,
+    unified_schema: pa.Schema | None = None,
+) -> pa.Table:
+    """``unified_schema`` (the directory-wide merged schema from
+    stripes_schema) makes schema-evolved directories decode consistently:
+    requested columns absent from THIS stripe's footer are null-filled to
+    the unified type instead of silently dropped, and a column unknown to
+    both the footer and the unified schema raises (misspelling guard —
+    ADVICE r1, low)."""
     schema = pa.ipc.read_schema(pa.py_buffer(base64.b64decode(footer["schema_b64"])))
+    by_name = {c["path"]: c for c in footer["columns"]}
+    if columns is not None:
+        wanted = list(columns)
+    elif unified_schema is not None:
+        wanted = list(unified_schema.names)
+    else:
+        wanted = [c["path"] for c in footer["columns"]]
+    n_rows = footer["n_rows"]
     arrays, fields = [], []
-    for cmeta in footer["columns"]:
-        name = cmeta["path"]
-        if columns is not None and name not in columns:
-            continue
+    for name in wanted:
+        cmeta = by_name.get(name)
+        if cmeta is None:
+            if unified_schema is not None and name in unified_schema.names:
+                field = unified_schema.field(name)
+                arrays.append(pa.nulls(n_rows, type=field.type))
+                fields.append(field)
+                continue
+            raise KeyError(
+                f"column {name!r} not in stripe footer "
+                f"(has: {sorted(by_name)}) and no unified schema to null-fill from"
+            )
         field = schema.field(name)
-        arrays.append(decode_column(blob, cmeta, field.type))
+        arr = decode_column(blob, cmeta, field.type)
+        if unified_schema is not None and name in unified_schema.names:
+            ufield = unified_schema.field(name)
+            if not ufield.type.equals(field.type):
+                arr = arr.cast(ufield.type)
+            field = ufield
+        arrays.append(arr)
         fields.append(field)
     return pa.Table.from_arrays(arrays, schema=pa.schema(fields))
 
 
-def decode_table(blob: bytes, columns: list[str] | None = None) -> pa.Table:
+def decode_table(
+    blob: bytes,
+    columns: list[str] | None = None,
+    unified_schema: pa.Schema | None = None,
+) -> pa.Table:
     """Decode a stripe blob; ``columns`` prunes decoding to the requested
     top-level columns (projection pushdown, S5)."""
-    return _decode_from(read_footer(blob), blob, columns)
+    return _decode_from(read_footer(blob), blob, columns, unified_schema)
 
 
-def decode_file(path: str, columns: list[str] | None = None) -> pa.Table:
+def decode_file(
+    path: str,
+    columns: list[str] | None = None,
+    unified_schema: pa.Schema | None = None,
+) -> pa.Table:
     """Decode straight from a stripe file: footer via tail read, then
     ranged reads of only the projected columns' streams (S5 + S8)."""
     footer = read_footer_from_file(path)
     src = _FileSource(path)
     try:
-        return _decode_from(footer, src, columns)
+        return _decode_from(footer, src, columns, unified_schema)
     finally:
         src.close()

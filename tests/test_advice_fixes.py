@@ -1,0 +1,138 @@
+"""Regression tests for the round-1 ADVICE findings: string-stat
+truncation pruning, temporal-predicate pruning, decimal width gating,
+and schema-evolution / misspelled-column handling on projected decode."""
+
+import datetime
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from datafusion_orc_ray import stripe as stripe_mod
+from datafusion_orc_ray.pipelines import encode as ep
+from datafusion_orc_ray.pipelines.relational import collect, manifest_column_stats
+from datafusion_orc_ray.sources.stripes import _stats_may_match, read_stripes
+from datafusion_orc_ray.state import manifest as man
+
+
+def _encode_one_table(tbl: pa.Table, base: str) -> str:
+    pq.write_table(tbl, f"{base}/in.parquet")
+    out = f"{base}/enc"
+    ep.encode_parquet(f"{base}/in.parquet", out, concurrency=1).take_all()
+    return out
+
+
+def test_long_string_max_not_prefix_truncated(ray_session, tmp_path):
+    """A 60-char max must never be pruned by a >48-char predicate: the
+    stored upper bound is prefix+increment (or absent), not a plain
+    prefix (ADVICE r1 high)."""
+    tbl = pa.table({"s": pa.array(["a" * 60, "m" * 10, "z" * 60]), "i": pa.array([1, 2, 3])})
+    out = _encode_one_table(tbl, str(tmp_path))
+    entries = man.load_manifest(out)
+    assert len(entries) == 1
+    for pred in [("s", ">", "z" * 50), ("s", "==", "z" * 60), ("s", ">=", "z" * 60)]:
+        assert _stats_may_match(entries[0], pred), pred
+        got = collect(read_stripes(out, columns=["s", "i"], predicate=pred))
+        assert "z" * 60 in got.column("s").to_pylist(), pred
+    # lower bound: a long min must not break < predicates either
+    assert _stats_may_match(entries[0], ("s", "<", "a" * 70))
+    got = collect(read_stripes(out, columns=["s"], predicate=("s", "<", "b")))
+    assert got.column("s").to_pylist() == ["a" * 60]
+
+
+def test_short_string_stats_exact_and_pruning_works(ray_session, tmp_path):
+    tbl = pa.table({"s": pa.array(["apple", "pear"]), "i": pa.array([1, 2])})
+    out = _encode_one_table(tbl, str(tmp_path))
+    e = man.load_manifest(out)[0]
+    st = manifest_column_stats(out, "s")
+    assert st.column("col_min")[0].as_py() == "apple"
+    assert st.column("col_max")[0].as_py() == "pear"
+    assert not _stats_may_match(e, ("s", ">", "zebra"))  # genuinely prunable
+    assert _stats_may_match(e, ("s", "==", "pear"))
+
+
+def test_temporal_predicate_prunes_without_crash(ray_session, tmp_path):
+    """Datetime predicate values vs footer stats: stats are epoch ints
+    now, so this neither raises TypeError nor mis-prunes (ADVICE r1
+    medium)."""
+    ts = [datetime.datetime(2024, 1, 1) + datetime.timedelta(hours=h) for h in range(100)]
+    tbl = pa.table({"ts": pa.array(ts, pa.timestamp("us")), "v": pa.array(range(100), pa.int64())})
+    pq.write_table(tbl, f"{tmp_path}/in.parquet", row_group_size=25)
+    out = f"{tmp_path}/enc"
+    ep.encode_parquet(f"{tmp_path}/in.parquet", out, concurrency=1).take_all()
+    entries = man.load_manifest(out)
+    assert len(entries) == 4
+    cut = datetime.datetime(2024, 1, 2, 2)  # hour 26 -> keep stripes 2..4
+    pred = ("ts", ">=", cut)
+    kept = [e for e in entries if _stats_may_match(e, pred)]
+    assert len(kept) == 3
+    got = collect(read_stripes(out, columns=["ts", "v"], predicate=pred))
+    assert got.num_rows == 100 - 26
+    assert min(got.column("ts").to_pylist()) == cut
+    # date32 column too
+    d = pa.table({"d": pa.array([datetime.date(2024, 1, 1 + i) for i in range(9)]), "v": pa.array(range(9))})
+    (tmp_path / "d2").mkdir()
+    out2 = _encode_one_table(d, str(tmp_path / "d2"))
+    e2 = man.load_manifest(out2)[0]
+    assert _stats_may_match(e2, ("d", "==", datetime.date(2024, 1, 5)))
+    assert not _stats_may_match(e2, ("d", ">", datetime.date(2024, 2, 1)))
+
+
+def test_decimal256_raises_at_encode():
+    arr = pa.array([1, 2, 3]).cast(pa.decimal256(50, 2))
+    tbl = pa.table({"d": arr})
+    with pytest.raises(NotImplementedError, match="decimal128"):
+        stripe_mod.encode_table(tbl)
+
+
+def test_decimal128_still_roundtrips():
+    from decimal import Decimal
+
+    arr = pa.array([Decimal("12.34"), None, Decimal("-999.99")], pa.decimal128(20, 2))
+    tbl = pa.table({"d": arr})
+    assert stripe_mod.decode_table(stripe_mod.encode_table(tbl)).equals(tbl)
+
+
+def test_misspelled_column_raises():
+    tbl = pa.table({"a": pa.array([1, 2, 3], pa.int64())})
+    blob = stripe_mod.encode_table(tbl)
+    with pytest.raises(KeyError, match="not in stripe footer"):
+        stripe_mod.decode_table(blob, columns=["a_typo"])
+
+
+def test_schema_evolution_null_fills(ray_session, tmp_path):
+    """Two stripes with different column sets in one directory: reads see
+    ONE consistent unified schema, missing columns null-filled."""
+    from datafusion_orc_ray.stages.encode import StripeEncoder
+
+    out = str(tmp_path / "enc")
+    enc = StripeEncoder(out)
+    enc.encode_one(pa.table({"a": pa.array([1, 2], pa.int64())}), stripe_id="s1")
+    enc.encode_one(
+        pa.table({"a": pa.array([3], pa.int64()), "b": pa.array(["x"])}), stripe_id="s2"
+    )
+    got = collect(read_stripes(out)).sort_by("a")
+    assert got.column_names == ["a", "b"]
+    assert got.column("a").to_pylist() == [1, 2, 3]
+    assert got.column("b").to_pylist()[:2] == [None, None]
+    # projected read including the evolved column is consistent too
+    proj = collect(read_stripes(out, columns=["b"]))
+    assert proj.column_names == ["b"] and proj.num_rows == 3
+
+
+def test_decoder_slices_large_stripes(ray_session, tmp_path):
+    """One oversized stripe yields bounded blocks downstream (sub-stripe
+    batching, reference src/file_source.rs:45)."""
+    from datafusion_orc_ray.stages.decode import make_stripe_decoder
+
+    out = str(tmp_path / "enc")
+    from datafusion_orc_ray.stages.encode import StripeEncoder
+
+    enc = StripeEncoder(out)
+    big = pa.table({"x": pa.array(range(100_000), pa.int64())})
+    entry = enc.encode_one(big, stripe_id="big")
+    dec = make_stripe_decoder(rows_per_block=8192)
+    blocks = list(dec(pa.table({"path": [entry["path"]]})))
+    assert len(blocks) == 13  # ceil(100k / 8192)
+    assert max(b.num_rows for b in blocks) <= 8192
+    assert pa.concat_tables(blocks).equals(big)
