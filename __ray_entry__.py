@@ -150,18 +150,32 @@ def _filter_pushdown_orders(sf_dir: str):
 
 
 def _distinct_count_orders(sf_dir: str):
-    """Distinct-count via per-batch partial distinct -> global unique
-    (set op / dedup primitive over a key column)."""
-
-    def partial_distinct(batch: pa.Table) -> pa.Table:
-        return pa.table({"o_custkey": batch.column("o_custkey").unique()})
-
-    ds = _ds(sf_dir, "orders", ["o_custkey"]).map_batches(partial_distinct, batch_format="pyarrow")
+    """Distinct-count: per-batch partial distinct -> distributed groupby
+    (never a driver-side unique)."""
     from datafusion_orc_ray.pipelines import relational as rel
 
-    merged = rel.collect(ds)
-    n = len(merged.column("o_custkey").unique())
-    return pa.table({"n": pa.array([n], pa.int64())})
+    return rel.distinct_count(_ds(sf_dir, "orders", ["o_custkey"]), "o_custkey")
+
+
+def _group_by_custkey_orders(sf_dir: str):
+    """High-cardinality grouped aggregate (one group per customer): the
+    partial→final shape round 1 would have merged on the driver."""
+    import pyarrow.compute as pc
+
+    from datafusion_orc_ray.pipelines import relational as rel
+
+    out = rel.grouped_agg(
+        _ds(sf_dir, "orders", ["o_custkey", "o_totalprice"]),
+        ["o_custkey"],
+        {"total": ("sum", "o_totalprice"), "n": ("count", "o_totalprice")},
+    )
+    return pa.table(
+        {
+            "o_custkey": out.column("o_custkey"),
+            "total": pc.round(out.column("total"), 2),
+            "n": out.column("n"),
+        }
+    )
 
 
 def _string_funcs_documents(sf_dir: str):
@@ -191,6 +205,27 @@ def _hash_join_orders_customer(sf_dir: str):
             "c_custkey",
         )
     )
+
+
+def _skew_join_events(sf_dir: str):
+    """Skewed-key join: every event_type is a hot key (5 values over the
+    whole table), so the broadcast hot-key path of hash_join carries ~all
+    rows; cold path handles the tail. Right side is the per-type count
+    dimension."""
+    from datafusion_orc_ray.pipelines import relational as rel
+
+    events = _ds(sf_dir, "events", ["event_id", "event_type"])
+    counts = rel.grouped_agg(events, ["event_type"], {"type_count": ("count", "event_type")})
+    import ray.data
+
+    joined = rel.hash_join(
+        events,
+        ray.data.from_arrow(counts),
+        "event_type",
+        "event_type",
+        hot_key_share=0.02,
+    )
+    return rel.collect(joined)
 
 
 def _window_agg_events(sf_dir: str):
@@ -385,6 +420,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_agg_events": _window_agg_events,
         "hash_join_orders_customer": _hash_join_orders_customer,
         "distinct_count_orders": _distinct_count_orders,
+        "group_by_custkey_orders": _group_by_custkey_orders,
+        "skew_join_events": _skew_join_events,
         "filter_pushdown_orders": _filter_pushdown_orders,
         "string_funcs_documents": _string_funcs_documents,
         # training-data ops
@@ -438,6 +475,15 @@ def oracle_sql() -> dict[str, str]:
             "FROM orders JOIN customer ON o_custkey = c_custkey"
         ),
         "distinct_count_orders": "SELECT count(DISTINCT o_custkey) AS n FROM orders",
+        "group_by_custkey_orders": (
+            "SELECT o_custkey, round(sum(o_totalprice), 2) AS total, count(*) AS n "
+            "FROM orders GROUP BY o_custkey"
+        ),
+        "skew_join_events": (
+            "SELECT e.event_id, e.event_type, t.type_count FROM events e "
+            "JOIN (SELECT event_type, count(*) AS type_count FROM events "
+            "GROUP BY event_type) t ON e.event_type = t.event_type"
+        ),
         "filter_pushdown_orders": (
             "SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey < 1000"
         ),

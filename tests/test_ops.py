@@ -178,3 +178,63 @@ def test_topk_and_grouped_agg(ray_session):
     agg = rel.grouped_agg(ds, ["k"], {"total": ("sum", "v"), "n": ("count", "v")})
     d = {r["k"]: (r["total"], r["n"]) for r in agg.to_pylist()}
     assert d == {"a": (8.0, 3), "b": (12.0, 2)}
+
+
+def test_hash_join_null_keys_and_hot_path(ray_session):
+    """SQL inner-join semantics: NULL keys never join (round-1 pandas
+    merge matched NaN==NaN — ADVICE r1 medium); hot keys go the
+    broadcast path and results are identical either way."""
+    import ray.data
+
+    left = pa.table(
+        {
+            "k": pa.array(["hot", "hot", "hot", "hot", "cold", None], pa.string()),
+            "lv": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+        }
+    )
+    right = pa.table(
+        {
+            "rk": pa.array(["hot", "cold", None], pa.string()),
+            "rv": pa.array([10, 20, 30], pa.int64()),
+        }
+    )
+    for share in (0.05, 2.0):  # hot path on / off
+        out = rel.collect(
+            rel.hash_join(
+                ray.data.from_arrow(left), ray.data.from_arrow(right),
+                "k", "rk", hot_key_share=share,
+            )
+        ).sort_by("lv")
+        assert out.column("lv").to_pylist() == [1, 2, 3, 4, 5]
+        assert out.column("rv").to_pylist() == [10, 10, 10, 10, 20]
+        assert None not in out.column("k").to_pylist()
+
+
+def test_hash_join_int_keys_with_side_nulls(ray_session):
+    """Integer columns with genuine nulls survive the join without the
+    pandas IntCastingNaNError the round-1 path hit."""
+    import ray.data
+
+    left = pa.table(
+        {
+            "k": pa.array([1, 2, 2, None], pa.int64()),
+            "payload": pa.array([None, 20, 30, 40], pa.int64()),
+        }
+    )
+    right = pa.table({"rk": pa.array([1, 2], pa.int64()), "name": pa.array(["a", "b"])})
+    out = rel.collect(
+        rel.hash_join(ray.data.from_arrow(left), ray.data.from_arrow(right), "k", "rk")
+    ).sort_by("k")
+    assert out.column("k").to_pylist() == [1, 2, 2]
+    assert out.column("payload").to_pylist() == [None, 20, 30]
+    assert out.column("name").to_pylist() == ["a", "b", "b"]
+
+
+def test_distinct_count(ray_session):
+    import ray.data
+
+    t = pa.table({"k": pa.array([1, 2, 2, 3, 3, 3, None], pa.int64())})
+    out = rel.distinct_count(ray.data.from_arrow(t), "k")
+    # nulls count as a distinct group per Arrow unique(); oracle queries
+    # use non-null key columns
+    assert out.column("n")[0].as_py() in (3, 4)
