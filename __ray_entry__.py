@@ -349,6 +349,15 @@ def _minhash_dedup(sf_dir: str):
     return dedup.verify_pairs_jaccard(ds, pairs, threshold=0.8)
 
 
+def _minhash_dedup_corpus(sf_dir: str):
+    """End-to-end corpus dedup (LSH candidates -> exact-content verify ->
+    survivors). Hard oracle: equals min(doc_id) per exact-text group by
+    construction (identical texts share every band hash)."""
+    from datafusion_orc_ray.pipelines import dedup
+
+    return dedup.minhash_dedup_corpus(_ds(sf_dir, "documents", ["doc_id", "text"]))
+
+
 def _simhash(sf_dir: str):
     from datafusion_orc_ray.pipelines import dedup
 
@@ -426,6 +435,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "string_funcs_documents": _string_funcs_documents,
         # training-data ops
         "dedup_exact_documents": _dedup_exact,
+        "minhash_dedup_corpus": _minhash_dedup_corpus,
         "token_count_documents": _token_counts,
         "quality_documents": _quality,
         "bytes_meta_documents": _bytes_meta,
@@ -496,6 +506,9 @@ def oracle_sql() -> dict[str, str]:
             "FROM events GROUP BY event_type, w"
         ),
         "dedup_exact_documents": "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
+        "minhash_dedup_corpus": (
+            "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text ORDER BY doc_id"
+        ),
         "token_count_documents": (
             "SELECT doc_id, len(regexp_extract_all(text, '\\S+')) AS n_tokens FROM documents"
         ),

@@ -81,18 +81,24 @@ class MediaFeatureStage:
         )
 
 
+def _default_mm_concurrency() -> int:
+    from ..util import default_concurrency
+
+    return default_concurrency()
+
+
 def extract_media_features(
     ds: ray.data.Dataset,
     payload_col: str,
     id_col: str,
     decoder: Callable[[bytes], np.ndarray] | None = None,
     batch_size: int = 64,
-    concurrency: int = 2,
+    concurrency: int | None = None,
 ) -> ray.data.Dataset:
     return ds.map_batches(
         MediaFeatureStage,
         fn_constructor_kwargs={"payload_col": payload_col, "id_col": id_col, "decoder": decoder},
         batch_format="pyarrow",
         batch_size=batch_size,  # small: payloads are large binaries
-        concurrency=concurrency,
+        concurrency=concurrency or _default_mm_concurrency(),
     )

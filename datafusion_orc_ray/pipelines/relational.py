@@ -203,10 +203,15 @@ def hash_join(
         return j.select(out_cols)
 
     # ---- hot-key split (sampled from the left side)
-    sample = pa.concat_tables(
+    sample_batches = list(
         left.select_columns([left_key]).limit(sample_rows).iter_batches(
             batch_format="pyarrow", batch_size=sample_rows
         )
+    )
+    sample = (
+        pa.concat_tables(sample_batches)
+        if sample_batches
+        else pa.table({left_key: pa.array([], l_schema.field(left_key).type)})
     )
     vc = pc.value_counts(sample.column(left_key).combine_chunks().drop_null())
     total = max(1, sum(c.as_py() for c in vc.field("counts")))

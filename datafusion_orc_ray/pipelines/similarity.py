@@ -15,6 +15,7 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from ..util import default_concurrency
 from .relational import collect
 
 
@@ -111,7 +112,7 @@ def knn_cosine_ivf(
     probe_cells = set(np.argsort(-(cent @ q))[:n_probe].tolist())
     assigned = ds.map_batches(
         IVFIndexStage, fn_constructor_kwargs={"centroids_ref": cent_ref},
-        batch_format="pyarrow", concurrency=2,
+        batch_format="pyarrow", concurrency=default_concurrency(),
     )
     cells_arr = pa.array(sorted(probe_cells), pa.int32())
 

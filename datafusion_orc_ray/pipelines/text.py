@@ -115,8 +115,12 @@ class LangId:
         return pa.table({"doc_id": batch.column("doc_id"), "lang_pred": pa.array(preds, pa.string())})
 
 
-def langid(ds: ray.data.Dataset, concurrency: int = 2) -> ray.data.Dataset:
-    return ds.map_batches(LangId, batch_format="pyarrow", concurrency=concurrency)
+def langid(ds: ray.data.Dataset, concurrency: int | None = None) -> ray.data.Dataset:
+    from ..util import default_concurrency
+
+    return ds.map_batches(
+        LangId, batch_format="pyarrow", concurrency=concurrency or default_concurrency()
+    )
 
 
 _FP_BASE = np.uint64(1099511628211)  # FNV-ish multiplier for the rolling hash

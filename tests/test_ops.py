@@ -238,3 +238,48 @@ def test_distinct_count(ray_session):
     # nulls count as a distinct group per Arrow unique(); oracle queries
     # use non-null key columns
     assert out.column("n")[0].as_py() in (3, 4)
+
+
+def test_bucket_pairs_caps_and_exact_dup_safety():
+    """Monster LSH buckets stay LINEAR, and identical-signature docs are
+    never disconnected by the cap."""
+    # 3 docs sig X, 2 docs sig Y -> chains within subgroups + rep pairs
+    g = pa.table(
+        {
+            "doc_id": pa.array([5, 1, 3, 8, 2], pa.int64()),
+            "sig_h": pa.array([7, 7, 7, 9, 9], pa.int64()),
+        }
+    )
+    out = dedup._bucket_pairs(g)
+    pairs = set(zip(out.column("doc_id_a").to_pylist(), out.column("doc_id_b").to_pylist()))
+    assert (1, 3) in pairs and (1, 5) in pairs  # sig-7 chain to min 1
+    assert (2, 8) in pairs                      # sig-9 chain to min 2
+    assert (1, 2) in pairs                      # rep x rep
+    # monster bucket: 1000 distinct sigs -> star to min rep, not 499500 pairs
+    n = 1000
+    g2 = pa.table(
+        {"doc_id": pa.array(range(n), pa.int64()), "sig_h": pa.array(range(n), pa.int64())}
+    )
+    out2 = dedup._bucket_pairs(g2)
+    assert out2.num_rows == n - 1
+    assert set(out2.column("doc_id_a").to_pylist()) == {0}
+    # monster bucket with exact dups: dups still chained to their min
+    g3 = pa.table(
+        {
+            "doc_id": pa.array(list(range(200)) + [500, 501], pa.int64()),
+            "sig_h": pa.array(list(range(200)) + [42, 42], pa.int64()),
+        }
+    )
+    out3 = dedup._bucket_pairs(g3)
+    p3 = set(zip(out3.column("doc_id_a").to_pylist(), out3.column("doc_id_b").to_pylist()))
+    assert (42, 500) in p3 and (42, 501) in p3  # chained to subgroup min (doc 42 has sig 42)
+
+
+def test_minhash_dedup_corpus(docs):
+    """End-to-end dedup: survivors == min(doc_id) per exact-text group."""
+    out = dedup.minhash_dedup_corpus(docs)
+    ids = out.column("doc_id").to_pylist()
+    assert 82 not in ids          # exact copy of doc 2 dropped
+    assert 2 in ids
+    assert len(ids) == 82         # near-dups (80, 81) survive: text differs
+    assert ids == sorted(ids)
