@@ -89,51 +89,86 @@ class SymbolTable:
         return cls(symbols)
 
 
+def _parse_sample(table: SymbolTable, data: np.ndarray, keys8: np.ndarray):
+    """Greedy-parse ``data`` with ``table`` (chunked like encode(), so the
+    Python loop count is symbols-per-chunk, not total symbols). Returns
+    (positions, lengths) of the emitted symbols in text order; escapes
+    emit length 1."""
+    n = data.size
+    starts = np.arange(0, n, PARSE_CHUNK, dtype=np.int64)
+    ends = np.minimum(starts + PARSE_CHUNK, n)
+    p, e = starts.copy(), ends.copy()
+    pos_parts, len_parts = [], []
+    while p.size:
+        _, ln = _probe(table, keys8[p], e - p)
+        ln = np.where(ln == 0, 1, ln)  # escape -> single byte
+        pos_parts.append(p.copy())
+        len_parts.append(ln)
+        p = p + ln
+        alive = p < e
+        p, e = p[alive], e[alive]
+    P = np.concatenate(pos_parts)
+    L = np.concatenate(len_parts)
+    o = np.argsort(P, kind="stable")
+    return P[o], L[o]
+
+
+def _count_gains(keys8: np.ndarray, pos: np.ndarray, length: np.ndarray, weight_fn):
+    """Vectorized frequency counting of the (position, length) substrings
+    via their masked 8-byte window keys. Returns (keys, lens, gains)."""
+    shift = np.uint64(8) * (np.uint64(MAX_SYMBOL_LEN) - length.astype(np.uint64))
+    skey = keys8[pos] >> shift
+    order = np.lexsort((length, skey))
+    sk, sl = skey[order], length[order]
+    new = np.concatenate([[True], (sk[1:] != sk[:-1]) | (sl[1:] != sl[:-1])])
+    starts = np.flatnonzero(new)
+    counts = np.diff(np.append(starts, sk.size))
+    return sk[starts], sl[starts], weight_fn(counts, sl[starts])
+
+
 def train(sample: bytes, generations: int = 4, max_symbols: int = MAX_SYMBOLS) -> SymbolTable:
     """Train a symbol table on ``sample`` (keep it <= ~32 KiB).
 
-    Iterative scheme: parse the sample greedily with the current table,
-    count symbol and adjacent-pair frequencies, promote the
-    highest-gain concatenations (gain = saved bytes = freq * (len-1),
-    singles always retained for coverage).
-    """
+    Iterative scheme (same as the original dict-based loop, now fully
+    vectorized on the _probe matcher): parse the sample greedily with the
+    current table, count symbol and adjacent-pair frequencies, promote
+    the highest-gain concatenations (gain = saved bytes = freq*(len-1),
+    singles compete on escape-avoidance gain = freq)."""
     if not sample:
         return SymbolTable([])
-    singles = [bytes([b]) for b in sorted(set(sample))]
-    table = {s: 0 for s in singles}
+    data = np.frombuffer(sample, dtype=np.uint8)
+    keys8 = _window_keys(data)
+    table = SymbolTable([bytes([int(b)]) for b in np.unique(data)][:max_symbols])
     for _gen in range(generations):
-        counts: dict[bytes, int] = {}
-        pairs: dict[bytes, int] = {}
-        pos = 0
-        prev: bytes | None = None
-        n = len(sample)
-        while pos < n:
-            match = None
-            for ln in range(min(MAX_SYMBOL_LEN, n - pos), 0, -1):
-                cand = sample[pos : pos + ln]
-                if cand in table:
-                    match = cand
-                    break
-            if match is None:  # byte not in table (only possible gen>0 after eviction)
-                match = sample[pos : pos + 1]
-            counts[match] = counts.get(match, 0) + 1
-            if prev is not None and len(prev) + len(match) <= MAX_SYMBOL_LEN:
-                merged = prev + match
-                pairs[merged] = pairs.get(merged, 0) + 1
-            prev = match
-            pos += len(match)
-        # build next generation: singles compete on gain like real FSST
-        # (gain of a single = escapes avoided = its frequency; gain of a
-        # multi-byte symbol = bytes saved = freq * (len - 1)); bytes that
-        # lose a slot fall back to the 2-byte escape path.
-        cand_gain: dict[bytes, int] = {}
-        for s, c in counts.items():
-            cand_gain[s] = max(cand_gain.get(s, 0), c * max(len(s) - 1, 1))
-        for s, c in pairs.items():
-            cand_gain[s] = max(cand_gain.get(s, 0), c * (len(s) - 1))
-        ranked = sorted(cand_gain, key=lambda s: cand_gain[s], reverse=True)
-        table = {s: cand_gain[s] for s in ranked[:max_symbols]}
-    return SymbolTable(list(table.keys()))
+        P, L = _parse_sample(table, data, keys8)
+        sym_k, sym_l, sym_g = _count_gains(
+            keys8, P, L, lambda c, ln: c * np.maximum(ln - 1, 1)
+        )
+        # adjacent-pair candidates: contiguous emissions whose merged
+        # length fits a symbol
+        comb = L[:-1] + L[1:]
+        adj = (P[1:] == P[:-1] + L[:-1]) & (comb <= MAX_SYMBOL_LEN)
+        if adj.any():
+            pair_k, pair_l, pair_g = _count_gains(
+                keys8, P[:-1][adj], comb[adj], lambda c, ln: c * (ln - 1)
+            )
+            all_k = np.concatenate([sym_k, pair_k])
+            all_l = np.concatenate([sym_l, pair_l])
+            all_g = np.concatenate([sym_g, pair_g])
+        else:
+            all_k, all_l, all_g = sym_k, sym_l, sym_g
+        # dedupe (key,len) keeping max gain, then top max_symbols by gain
+        order = np.lexsort((-all_g, all_l, all_k))
+        k_s, l_s, g_s = all_k[order], all_l[order], all_g[order]
+        first = np.concatenate([[True], (k_s[1:] != k_s[:-1]) | (l_s[1:] != l_s[:-1])])
+        k_u, l_u, g_u = k_s[first], l_s[first], g_s[first]
+        top = np.argsort(-g_u, kind="stable")[:max_symbols]
+        symbols = [
+            int(k).to_bytes(MAX_SYMBOL_LEN, "big")[MAX_SYMBOL_LEN - int(ln):]
+            for k, ln in zip(k_u[top], l_u[top])
+        ]
+        table = SymbolTable(symbols)
+    return table
 
 
 def _window_keys(data: np.ndarray) -> np.ndarray:

@@ -49,17 +49,20 @@ LENGTHS = "lengths"
 class EncoderState:
     """Mutable per-partition encoder state owned by an encode actor (E16):
     cached codec decisions + FSST symbol tables per column path, re-trialed
-    every ``REVALIDATE_EVERY`` batches so drifting data retrains instead of
+    after ``REVALIDATE_BYTES`` of column data (byte-based, not stripe-based:
+    clustered encodes emit many small stripes and a per-stripe TTL made
+    FSST training dominate wall time) so drifting data retrains instead of
     bloating. The cache only avoids re-training/trialing — every stripe
     still embeds the symbol table it used, so stripes stay independently
     decodable (decode-state discipline, SURVEY.md §7 hard part d)."""
 
-    REVALIDATE_EVERY = 16
+    REVALIDATE_EVERY = 16          # int decisions: cheap, per-chunk TTL
+    REVALIDATE_BYTES = 256 << 20   # bytes/dict decisions: per column data volume
 
     def __init__(self) -> None:
-        # path -> [codec_id, table, est_ratio, ttl]
+        # path -> [codec_id, table, est_ratio, bytes_budget]
         self.bytes_decisions: dict[str, list] = {}
-        # path -> [use_dict, ttl]
+        # path -> [use_dict, bytes_budget]
         self.dict_decisions: dict[str, list] = {}
         # path -> [int_codec_id, ttl]
         self.int_decisions: dict[str, list] = {}
@@ -78,11 +81,11 @@ class EncoderState:
     def choose_bytes(self, path: str, data, offs):
         cached = self.bytes_decisions.get(path)
         if cached is not None and cached[3] > 0:
-            cached[3] -= 1
+            cached[3] -= int(data.size)
             return cached[0], cached[1], cached[2]
         prev_table = cached[1] if cached is not None else None
         codec_id, table, est = bytes_codec.choose(data, offs, prev_table)
-        self.bytes_decisions[path] = [codec_id, table, est, self.REVALIDATE_EVERY]
+        self.bytes_decisions[path] = [codec_id, table, est, self.REVALIDATE_BYTES]
         return codec_id, table, est
 
 
@@ -371,7 +374,7 @@ def encode_column(
         avg_len = data.size / max(n_valid, 1)
         cached_dict = state.dict_decisions.get(path) if state is not None else None
         if cached_dict is not None and cached_dict[1] > 0:
-            cached_dict[1] -= 1
+            cached_dict[1] -= int(data.size)
             use_dict = cached_dict[0]
         else:
             use_dict = False
@@ -380,7 +383,7 @@ def encode_column(
                 distinct = pc.count_distinct(sample).as_py()
                 use_dict = distinct / max(len(sample), 1) <= 0.4
             if state is not None:
-                state.dict_decisions[path] = [use_dict, EncoderState.REVALIDATE_EVERY]
+                state.dict_decisions[path] = [use_dict, EncoderState.REVALIDATE_BYTES]
         if use_dict:
             dct = pc.dictionary_encode(arr.drop_null())
             if isinstance(dct, pa.ChunkedArray):
