@@ -1,0 +1,93 @@
+"""External-ORC ingest: read real ORC files (written by any ORC writer)
+as a ``ray.data.Dataset`` and re-encode them into RSTP stripes.
+
+This closes the interop loop with the reference, which reads
+external-writer ORC (its golden fixture tests/basic/data/
+alltypes.snappy.orc — the same file our conformance test uses): a user
+of the reference can point this engine at their existing ORC data and
+keep their pipelines. One decode task per (file, stripe) — the ORC
+stripe is the parallelism unit, mirroring the reference's
+stripe-granular scan (src/physical_exec.rs:79-82).
+
+Gated on pyarrow's optional orc module (import-try per the environment
+rules); everything else in the engine works without it.
+"""
+
+from __future__ import annotations
+
+import ray.data
+
+try:
+    from pyarrow import orc as pa_orc
+
+    HAVE_ORC = True
+except ImportError:  # pragma: no cover - environment without pyarrow.orc
+    pa_orc = None
+    HAVE_ORC = False
+
+
+def _require_orc() -> None:
+    if not HAVE_ORC:
+        raise NotImplementedError(
+            "pyarrow was built without ORC support; external-ORC ingest is "
+            "unavailable in this environment"
+        )
+
+
+def plan_orc_stripes(paths: list[str] | str) -> list[dict]:
+    """Deterministic work list: one spec per (file, stripe), sorted by
+    path (same sort-for-determinism as parquet fragment planning)."""
+    import glob
+    import os
+
+    _require_orc()
+    if isinstance(paths, str):
+        if os.path.isdir(paths):
+            paths = sorted(glob.glob(os.path.join(paths, "*.orc")))
+        else:
+            paths = [paths]
+    else:
+        paths = sorted(paths)
+    specs = []
+    for p in paths:
+        f = pa_orc.ORCFile(p)
+        specs.extend({"path": p, "stripe": i} for i in range(f.nstripes))
+    return specs
+
+
+def read_orc(
+    paths: list[str] | str,
+    columns: list[str] | None = None,
+    concurrency: int | None = None,
+) -> ray.data.Dataset:
+    """External ORC -> Dataset; one decode task per ORC stripe, column
+    pruning pushed into the ORC reader."""
+    _require_orc()
+    specs = plan_orc_stripes(paths)
+    if not specs:
+        raise FileNotFoundError(f"no ORC files under {paths!r}")
+    cols = columns
+
+    def decode(batch):
+        import pyarrow as pa
+
+        for row in batch.to_pylist():
+            f = pa_orc.ORCFile(row["path"])
+            t = f.read_stripe(row["stripe"], columns=cols)
+            yield t if isinstance(t, pa.Table) else pa.Table.from_batches([t])
+
+    return ray.data.from_items(specs).map_batches(
+        decode, batch_format="pyarrow", batch_size=1, concurrency=concurrency
+    )
+
+
+def ingest_orc(
+    paths: list[str] | str,
+    out_dir: str,
+    columns: list[str] | None = None,
+    rows_per_stripe: int = 32768,
+) -> ray.data.Dataset:
+    """External ORC -> RSTP stripe dir (manifest Dataset out)."""
+    from ..pipelines.encode import encode_dataset
+
+    return encode_dataset(read_orc(paths, columns), out_dir, rows_per_stripe=rows_per_stripe)

@@ -63,6 +63,48 @@ class Catalog:
     def names(self) -> list[str]:
         return sorted(self._tables)
 
+    def sql(self, query: str):
+        """SQL over registered stripe tables (the reference's headline UX:
+        ``register_orc`` -> DataFusion SQL, src/lib.rs:107-169). Tables
+        referenced by the query are exposed to DuckDB as STREAMING Arrow
+        record-batch readers fed by the Ray decode pipeline — stripes
+        decode in parallel on the cluster with backpressure; only the
+        batches DuckDB pulls (and the final result) materialize on the
+        node running the query. Use the native operators for wide
+        all-to-all work; this layer is for interactive SQL parity.
+
+        Returns a pyarrow.Table."""
+        import re
+
+        import duckdb
+
+        con = duckdb.connect()
+        readers = []  # keep referenced readers alive until fetch
+        for name in self._tables:
+            if not re.search(rf"\b{re.escape(name)}\b", query):
+                continue
+            reader = _dataset_reader(self.table(name))
+            readers.append(reader)
+            con.register(name, reader)
+        try:
+            return con.sql(query).fetch_arrow_table()
+        finally:
+            con.close()
+
+
+def _dataset_reader(ds: ray.data.Dataset):
+    """ray.data.Dataset -> streaming pyarrow.RecordBatchReader."""
+    import pyarrow as pa
+
+    schema = ds.schema()
+    schema = getattr(schema, "base_schema", schema)
+
+    def gen():
+        for tbl in ds.iter_batches(batch_format="pyarrow"):
+            yield from tbl.to_batches()
+
+    return pa.RecordBatchReader.from_batches(schema, gen())
+
 
 def read_stripes(
     out_dir: str,

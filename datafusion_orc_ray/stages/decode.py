@@ -45,8 +45,10 @@ def make_stripe_decoder(
                 # projected: ranged reads of just the selected streams
                 t = stripe.decode_file(path, columns=read_cols, unified_schema=unified_schema)
             else:
-                with open(path, "rb") as f:  # full decode: one sequential read
-                    t = stripe.decode_table(f.read(), unified_schema=unified_schema)
+                from .. import io as dio
+
+                # full decode: one sequential read (any pyarrow.fs URI)
+                t = stripe.decode_table(dio.read_bytes(path), unified_schema=unified_schema)
             if predicate is not None:
                 col, op, val = predicate
                 t = t.filter(ops[op](t.column(col), val))

@@ -98,12 +98,26 @@ class FragmentEncoder(StripeEncoder):
     """Deterministic-partition variant: the batch rows are fragment specs
     ``{path, row_group}`` (planned by pipelines.encode.plan_fragments);
     the actor reads its row group straight from Parquet (columns pruned
-    at the read, S5) and encodes it as one stripe whose id is the
-    fragment hash — the unit of resume."""
+    at the read, S5). A row group larger than ``target_stripe_bytes``
+    raw is split into multiple stripes (chunk count is deterministic
+    from the data, so reruns produce identical ids) — a 512 MB input
+    row group must never become one 512 MB stripe/decode block
+    (reference batches at fixed size, src/file_source.rs:45).
 
-    def __init__(self, out_dir: str, columns: list[str] | None = None, **kw) -> None:
+    Resume unit stays the FRAGMENT: chunk 0 carries the fragment hash id
+    that ``completed_ids`` checks, and it is written LAST, so a fragment
+    is only ever marked complete once every chunk stripe is durable."""
+
+    def __init__(
+        self,
+        out_dir: str,
+        columns: list[str] | None = None,
+        target_stripe_bytes: int = 64 << 20,
+        **kw,
+    ) -> None:
         super().__init__(out_dir, **kw)
         self.columns = columns
+        self.target_stripe_bytes = target_stripe_bytes
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import pyarrow.parquet as pq
@@ -114,9 +128,20 @@ class FragmentEncoder(StripeEncoder):
             frag_key = f"{path}:rg{rg}"
             if spec.get("salt"):  # e.g. bench epochs: distinct stripe per salt
                 frag_key += f":{spec['salt']}"
-            stripe_id = hashlib.sha1(frag_key.encode()).hexdigest()[:20]
+            frag_id = hashlib.sha1(frag_key.encode()).hexdigest()[:20]
             pf = pq.ParquetFile(path)
             data = pf.read_row_group(rg, columns=self.columns)
-            entry = self.encode_one(data, stripe_id=stripe_id, lineage=frag_key)
-            rows.append({k: entry[k] for k in manifest_row_schema().names})
+            n_chunks = max(1, -(-data.nbytes // self.target_stripe_bytes))
+            rows_per_chunk = -(-data.num_rows // n_chunks) if data.num_rows else 1
+            chunks = [
+                data.slice(s, rows_per_chunk)
+                for s in range(0, max(data.num_rows, 1), rows_per_chunk)
+            ]
+            entries = [None] * len(chunks)
+            for i in range(len(chunks) - 1, -1, -1):  # chunk 0 (marker) last
+                sid = frag_id if i == 0 else f"{frag_id}-c{i}"
+                lineage = frag_key if len(chunks) == 1 else f"{frag_key}#c{i}"
+                entries[i] = self.encode_one(chunks[i], stripe_id=sid, lineage=lineage)
+            for entry in entries:
+                rows.append({k: entry[k] for k in manifest_row_schema().names})
         return pa.Table.from_pylist(rows, schema=manifest_row_schema())

@@ -518,46 +518,28 @@ def read_footer(blob: bytes) -> dict:
 def read_footer_from_file(path: str, tail_guess: int = 1 << 20) -> dict:
     """Footer via tail-ranged reads only — metadata ops never scan stripe
     bodies (mirrors the reference's postscript/footer tail reads,
-    src/object_store_reader.rs:48-58 + ArrowReaderBuilder)."""
-    import os as _os
+    src/object_store_reader.rs:48-58 + ArrowReaderBuilder). ``path`` may
+    be a local path or any pyarrow.fs URI (file://, s3://...)."""
+    from . import io as dio
 
-    size = _os.path.getsize(path)
-    with open(path, "rb") as f:
-        f.seek(max(0, size - tail_guess))
-        tail = f.read()
+    src = dio.RangedReader(path)
+    try:
+        tail = src.read_tail(tail_guess)
         if tail[-len(MAGIC) :] != MAGIC:
             raise ValueError("not a stripe blob")
         (flen,) = struct.unpack_from("<I", tail, len(tail) - len(MAGIC) - 4)
         needed = flen + 4 + 2 * len(MAGIC)
         if needed > len(tail):
-            f.seek(max(0, size - needed))
-            tail = f.read()
+            tail = src.read_tail(needed)
         fstart = len(tail) - len(MAGIC) - 4 - flen
         footer = json.loads(tail[fstart : fstart + flen])
+    finally:
+        src.close()
     if footer.get("format") != FORMAT:
         raise ValueError(
             f"stripe format {footer.get('format')!r} != {FORMAT!r} — stale blob; re-encode"
         )
     return footer
-
-
-class _FileSource:
-    """Ranged reads from a stripe file — the decode path's equivalent of
-    the reference's AsyncChunkReader ranged GETs (S8,
-    src/object_store_reader.rs:48-58): a projected decode touches only
-    the selected columns' stream byte ranges, never the whole blob."""
-
-    def __init__(self, path: str) -> None:
-        self._f = open(path, "rb")
-        self.bytes_read = 0
-
-    def read(self, offset: int, size: int) -> bytes:
-        self._f.seek(offset)
-        self.bytes_read += size
-        return self._f.read(size)
-
-    def close(self) -> None:
-        self._f.close()
 
 
 def _get_stream(blob, cmeta: dict, kind: str) -> bytes | None:
@@ -769,9 +751,12 @@ def decode_file(
     unified_schema: pa.Schema | None = None,
 ) -> pa.Table:
     """Decode straight from a stripe file: footer via tail read, then
-    ranged reads of only the projected columns' streams (S5 + S8)."""
+    ranged reads of only the projected columns' streams (S5 + S8).
+    ``path`` may be local or any pyarrow.fs URI."""
+    from . import io as dio
+
     footer = read_footer_from_file(path)
-    src = _FileSource(path)
+    src = dio.RangedReader(path)
     try:
         return _decode_from(footer, src, columns, unified_schema)
     finally:

@@ -44,3 +44,29 @@ def test_catalog_rejects_missing_dir():
     cat = Catalog()
     with pytest.raises(FileNotFoundError):
         cat.register_stripes("nope", "/tmp/definitely-not-a-stripe-dir")
+
+
+def test_catalog_sql(ray_session, tmp_path):
+    """SQL over registered stripe tables (register_orc -> SQL parity):
+    the query streams decoded batches into DuckDB."""
+    import pyarrow.parquet as pq
+
+    from datafusion_orc_ray.pipelines import encode as ep
+    from datafusion_orc_ray.sources.stripes import Catalog
+
+    t = pa.table(
+        {
+            "k": pa.array(["a", "b", "a", "c", "b", "a"]),
+            "v": pa.array([1.0, 2.0, 3.0, 4.0, 5.0, 6.0]),
+        }
+    )
+    pq.write_table(t, f"{tmp_path}/t.parquet", row_group_size=2)
+    ep.encode_parquet(f"{tmp_path}/t.parquet", f"{tmp_path}/enc", concurrency=1).take_all()
+    cat = Catalog()
+    cat.register_stripes("mytbl", f"{tmp_path}/enc")
+    out = cat.sql("SELECT k, sum(v) AS total FROM mytbl GROUP BY k ORDER BY k")
+    assert out.column("k").to_pylist() == ["a", "b", "c"]
+    assert out.column("total").to_pylist() == [10.0, 7.0, 4.0]
+    # projection-only query works too
+    n = cat.sql("SELECT count(*) AS n FROM mytbl").column("n")[0].as_py()
+    assert n == 6

@@ -183,3 +183,34 @@ def test_salt_plan_splits_hot_keys(corpus):
     assert plan.get("en", 0) >= 8
     # cold keys stay unsplit
     assert plan.get("nl", 1) <= 2
+
+
+def test_fragment_encoder_splits_giant_row_groups(ray_session, tmp_path):
+    """A row group bigger than target_stripe_bytes becomes multiple
+    stripes; the fragment-hash marker stripe is written last so resume
+    stays correct; roundtrip is exact."""
+    import pyarrow as pa
+
+    t = pa.table({"x": pa.array(range(40_000), pa.int64()),
+                  "s": pa.array([f"row{i}" * 6 for i in range(40_000)])})
+    pq.write_table(t, f"{tmp_path}/big.parquet", row_group_size=40_000)  # ONE giant rg
+    out = f"{tmp_path}/enc"
+    import ray.data
+
+    from datafusion_orc_ray.stages.encode import FragmentEncoder
+
+    ds = ray.data.from_items([{"path": f"{tmp_path}/big.parquet", "row_group": 0}])
+    ds.map_batches(
+        FragmentEncoder,
+        fn_constructor_kwargs={"out_dir": out, "target_stripe_bytes": 512 * 1024},
+        batch_format="pyarrow", batch_size=1, concurrency=1,
+    ).take_all()
+    entries = man.load_manifest(out)
+    assert len(entries) > 1                      # split happened
+    assert max(e["raw_bytes"] for e in entries) < 2 * 512 * 1024
+    got = collect(ep.decode_stripes(out)).sort_by("x")
+    assert got.equals(t)
+    # resume: the fragment id (chunk-0 stripe id) is in completed_ids
+    from datafusion_orc_ray.pipelines.encode import fragment_stripe_id
+
+    assert fragment_stripe_id({"path": f"{tmp_path}/big.parquet", "row_group": 0}) in man.completed_ids(out)

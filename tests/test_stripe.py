@@ -83,7 +83,9 @@ def test_projected_decode_reads_only_selected_streams(tmp_path):
     blob = stripe.encode_table(t)
     with open(path, "wb") as f:
         f.write(blob)
-    src = stripe._FileSource(path)
+    from datafusion_orc_ray import io as dio
+
+    src = dio.RangedReader(path)
     footer = stripe.read_footer_from_file(path)
     out = stripe._decode_from(footer, src, ["l_orderkey", "l_quantity"])
     src.close()
