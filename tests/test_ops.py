@@ -283,3 +283,32 @@ def test_minhash_dedup_corpus(docs):
     assert 2 in ids
     assert len(ids) == 82         # near-dups (80, 81) survive: text differs
     assert ids == sorted(ids)
+
+
+def test_embedding_lsh_matches_bruteforce(vectors):
+    ds, m = vectors
+    lsh = sim.embedding_near_dup_pairs(ds, threshold=0.95)
+    brute = sim.embedding_near_dup_pairs_bruteforce(ds, threshold=0.95)
+    lp = list(zip(lsh.column("id_a").to_pylist(), lsh.column("id_b").to_pylist()))
+    bp = list(zip(brute.column("id_a").to_pylist(), brute.column("id_b").to_pylist()))
+    assert lp == bp and (3, 7) in lp
+
+
+def test_ivf_index_persists_and_never_rebuilds(vectors, tmp_path):
+    ds, m = vectors
+    q = m[3]
+    before = sim.CENTROID_BUILDS
+    idx = sim.build_ivf_index(ds, n_cells=8)
+    assert sim.CENTROID_BUILDS == before + 1
+    r1 = idx.query(q, k=5)
+    r2 = idx.query(q, k=5)
+    assert sim.CENTROID_BUILDS == before + 1  # queries never rebuild
+    assert r1.column("vec_id").to_pylist() == r2.column("vec_id").to_pylist()
+    assert 3 in r1.column("vec_id").to_pylist()
+    # disk persistence: save -> load -> query via stats-pruned stripe scan
+    out = str(tmp_path / "ivf")
+    idx.save(out)
+    idx2 = sim.IVFIndex.load(out)
+    r3 = idx2.query(q, k=5)
+    assert sim.CENTROID_BUILDS == before + 1
+    assert 3 in r3.column("vec_id").to_pylist()
