@@ -70,22 +70,18 @@ def webtext_input_dir(sf: float) -> str:
 def run_bench() -> dict:
     import ray
 
-    # glibc mmap/munmap of per-batch buffers causes cross-core TLB
-    # shootdowns that cap parallel encode well below the memory-bandwidth
-    # ceiling; keeping big allocations on the reusable heap measurably
-    # raises the saturation knee (see BASELINE.md).
-    alloc_env = {
-        "MALLOC_MMAP_THRESHOLD_": "1073741824",
-        "MALLOC_TRIM_THRESHOLD_": "1073741824",
-    }
-    os.environ.update(alloc_env)
+    # NOTE: round 1 pinned MALLOC_MMAP/TRIM_THRESHOLD_ to 1 GiB here to
+    # avoid mmap TLB shootdowns. Re-measured in round 2 against the
+    # byte-budget encoder: the pinned allocator is now ~1.8x SLOWER for
+    # both encode (4.4 s -> 7.9 s) and decode (2.9 s -> 8.2 s) at sf0.1
+    # x32 CPUs — workers holding multi-hundred-MB heaps cost more than
+    # the mmap churn saved. Defaults restored.
     ray.init(
         address="local",
         num_cpus=NUM_CPUS,
         include_dashboard=False,
         ignore_reinit_error=True,
         logging_level="ERROR",
-        runtime_env={"env_vars": alloc_env},
     )
     from ray.data import DataContext
 
@@ -147,32 +143,36 @@ def run_bench() -> dict:
         extras["decoded_rows"] = n
     shutil.rmtree(out_dir, ignore_errors=True)
 
-    # skew-aware clustered encode (the optional sort shuffle): sample key
-    # frequencies, salt hot langs, range-partition by shard, encode
+    # clustered encode (zero-shuffle local mode: per-batch (lang, url)
+    # sort + per-key stripes) over the FULL corpus so the per-byte cost
+    # is directly comparable to the plain headline above
     if not os.environ.get("BENCH_HEADLINE_ONLY"):
         import ray.data as rdata
 
         out_c = os.path.join(BENCH_ROOT, f"encc_{NUM_CPUS}_{int(time.time())}")
         t0 = time.time()
-        # 20% sample: demonstrates the groupby-shuffle path without paying
-        # a full second encode of the corpus in every bench run
-        ds = rdata.read_parquet(in_dir).random_sample(0.2, seed=42)
+        # override_num_blocks: the bench input is just 8 files (a real
+        # corpus has thousands), so let the read split to cluster width
+        ds = rdata.read_parquet(in_dir, override_num_blocks=max(NUM_CPUS, 8))
         ep.encode_clustered(ds, out_c, rows_per_stripe=16384).materialize()
-        queries["encode_webtext_clustered"] = round(time.time() - t0, 3)
+        t_clustered = time.time() - t0
+        queries["encode_webtext_clustered"] = round(t_clustered, 3)
         entries_c = man.load_manifest(out_c)
         enc_c = sum(e["encoded_bytes"] for e in entries_c)
         raw_c = sum(e["raw_bytes"] for e in entries_c)
         extras["clustered_compression_ratio"] = round(raw_c / enc_c, 3) if enc_c else None
+        extras["clustered_vs_plain_per_byte"] = round(t_clustered / t_encode, 2)
         shutil.rmtree(out_c, ignore_errors=True)
 
     # operator pipelines over the driver tables (skipped in scaling
-    # children: at num_cpus=2 a concurrency=2 actor pool would reserve
-    # every CPU and starve the producer tasks)
+    # children — headline is encode)
     op_names = (
         ()
         if os.environ.get("BENCH_HEADLINE_ONLY")
         else ("q1_lineitem", "token_count_documents", "knn_embeddings",
-              "dedup_exact_documents", "simhash_documents")
+              "dedup_exact_documents", "simhash_documents",
+              "group_by_custkey_orders", "hash_join_orders_customer",
+              "minhash_dedup_documents")
     )
     for name in op_names:
         fn = entry.queries()[name]

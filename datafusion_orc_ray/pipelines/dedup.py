@@ -260,12 +260,15 @@ def verify_pairs_jaccard(
     cand = pc.unique(
         pa.chunked_array([pairs_tbl.column("doc_id_a"), pairs_tbl.column("doc_id_b")]).combine_chunks()
     )
-    sh_a = ds.map_batches(_shingle_rows_fn(cand, shingle, out_id="doc_id_a"), batch_format="pyarrow")
-    sh_a = sh_a.map_batches(
+    # ONE filtered shingle scan over the corpus, materialized (candidate
+    # rows only — small); both join sides derive from it by rename
+    sh = ds.map_batches(
+        _shingle_rows_fn(cand, shingle, out_id="doc_id"), batch_format="pyarrow"
+    ).materialize()
+    sh_a = sh.map_batches(
         lambda b: b.rename_columns(["doc_id_a", "sh_a"]), batch_format="pyarrow"
     )
-    sh_b = ds.map_batches(_shingle_rows_fn(cand, shingle, out_id="doc_id_b"), batch_format="pyarrow")
-    sh_b = sh_b.map_batches(
+    sh_b = sh.map_batches(
         lambda b: b.rename_columns(["doc_id_b", "sh_b"]), batch_format="pyarrow"
     )
     pairs_ds = ray.data.from_arrow(pairs_tbl)

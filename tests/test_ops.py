@@ -198,11 +198,11 @@ def test_hash_join_null_keys_and_hot_path(ray_session):
             "rv": pa.array([10, 20, 30], pa.int64()),
         }
     )
-    for share in (0.05, 2.0):  # hot path on / off
+    for share in (0.05, 2.0):  # hot path on / off (broadcast_rows=0 forces the shuffle path)
         out = rel.collect(
             rel.hash_join(
                 ray.data.from_arrow(left), ray.data.from_arrow(right),
-                "k", "rk", hot_key_share=share,
+                "k", "rk", hot_key_share=share, broadcast_rows=0,
             )
         ).sort_by("lv")
         assert out.column("lv").to_pylist() == [1, 2, 3, 4, 5]
@@ -223,8 +223,12 @@ def test_hash_join_int_keys_with_side_nulls(ray_session):
     )
     right = pa.table({"rk": pa.array([1, 2], pa.int64()), "name": pa.array(["a", "b"])})
     out = rel.collect(
+        rel.hash_join(ray.data.from_arrow(left), ray.data.from_arrow(right), "k", "rk", broadcast_rows=0)
+    ).sort_by("k")
+    out_bc = rel.collect(
         rel.hash_join(ray.data.from_arrow(left), ray.data.from_arrow(right), "k", "rk")
     ).sort_by("k")
+    assert out_bc.equals(out)  # broadcast fast path agrees with shuffle path
     assert out.column("k").to_pylist() == [1, 2, 2]
     assert out.column("payload").to_pylist() == [None, 20, 30]
     assert out.column("name").to_pylist() == ["a", "b", "b"]
