@@ -261,6 +261,65 @@ def _window_agg_events(sf_dir: str):
     )
 
 
+def _sessionize_events(sf_dir: str):
+    """Gap-based sessionization (30-min gaps) — the streaming-window
+    custom operator as one user-hash-bucket shuffle + vectorized
+    per-bucket session assignment."""
+    from datafusion_orc_ray.pipelines import relational as rel, windows as w
+
+    out = rel.collect(w.sessionize(_ds(sf_dir, "events", ["user_id", "ts"])))
+    return out
+
+
+def _sliding_window_events(sf_dir: str):
+    """Sliding event-time windows (2h long, 1h slide): vectorized fan-out
+    to member windows + partial/tree aggregate."""
+    import pyarrow.compute as pc
+
+    from datafusion_orc_ray.pipelines import windows as w
+
+    out = w.sliding_window_agg(
+        _ds(sf_dir, "events", ["ts", "event_type", "value"]),
+        "ts", "event_type", "value",
+        window_us=2 * 3_600_000_000, slide_us=3_600_000_000,
+    )
+    return pa.table(
+        {
+            "event_type": out.column("event_type"),
+            "w": out.column("w"),
+            "total": pc.round(out.column("total"), 2),
+            "n": out.column("n"),
+        }
+    )
+
+
+def _asof_join_events(sf_dir: str):
+    """As-of join: each event picks the latest click-hour mark <= its ts
+    (broadcast sorted marks + per-batch searchsorted — no shuffle)."""
+    import pyarrow.compute as pc
+
+    from datafusion_orc_ray.pipelines import relational as rel, windows as w
+
+    events = _ds(sf_dir, "events", ["event_id", "ts", "event_type"])
+
+    def to_marks(batch: pa.Table) -> pa.Table:
+        clicks = batch.filter(pc.equal(batch.column("event_type"), "click"))
+        mts = pc.floor_temporal(clicks.column("ts"), unit="hour")
+        return pa.table({"mts": mts.unique()})
+
+    # marks table: bounded dimension (distinct hours of click events)
+    marks = rel.collect(events.map_batches(to_marks, batch_format="pyarrow"))
+    marks = pa.table({"mts": marks.column("mts").combine_chunks().unique()})
+    joined = w.asof_join_broadcast(
+        events.map_batches(
+            lambda b: b.select(["event_id", "ts"]), batch_format="pyarrow"
+        ),
+        marks, "ts", "mts",
+    )
+    out = rel.collect(joined)
+    return out.select(["event_id", "mts"])
+
+
 def _dedup_exact(sf_dir: str):
     from datafusion_orc_ray.pipelines import dedup, relational as rel
 
@@ -431,6 +490,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_count_orders": _distinct_count_orders,
         "group_by_custkey_orders": _group_by_custkey_orders,
         "skew_join_events": _skew_join_events,
+        "sessionize_events": _sessionize_events,
+        "sliding_window_events": _sliding_window_events,
+        "asof_join_events": _asof_join_events,
         "filter_pushdown_orders": _filter_pushdown_orders,
         "string_funcs_documents": _string_funcs_documents,
         # training-data ops
@@ -493,6 +555,28 @@ def oracle_sql() -> dict[str, str]:
             "SELECT e.event_id, e.event_type, t.type_count FROM events e "
             "JOIN (SELECT event_type, count(*) AS type_count FROM events "
             "GROUP BY event_type) t ON e.event_type = t.event_type"
+        ),
+        "sessionize_events": (
+            "WITH l AS (SELECT user_id, ts, lag(ts) OVER "
+            "(PARTITION BY user_id ORDER BY ts) AS prev FROM events), "
+            "m AS (SELECT user_id, ts, CASE WHEN prev IS NULL OR "
+            "ts - prev > INTERVAL 30 MINUTES THEN 1 ELSE 0 END AS new_s FROM l), "
+            "s AS (SELECT user_id, ts, sum(new_s) OVER (PARTITION BY user_id "
+            "ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM m) "
+            "SELECT user_id, sid::BIGINT AS sid, count(*) AS n_events, "
+            "min(ts) AS session_start FROM s GROUP BY user_id, sid"
+        ),
+        "sliding_window_events": (
+            "SELECT event_type, w, round(sum(value), 2) AS total, count(*) AS n "
+            "FROM (SELECT event_type, (epoch_us(ts) // 3600000000)::BIGINT AS w, value "
+            "FROM events UNION ALL SELECT event_type, "
+            "(epoch_us(ts) // 3600000000)::BIGINT - 1 AS w, value FROM events) "
+            "GROUP BY event_type, w"
+        ),
+        "asof_join_events": (
+            "SELECT e.event_id, m.mts FROM events e ASOF JOIN "
+            "(SELECT DISTINCT date_trunc('hour', ts) AS mts FROM events "
+            "WHERE event_type = 'click') m ON e.ts >= m.mts"
         ),
         "filter_pushdown_orders": (
             "SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey < 1000"

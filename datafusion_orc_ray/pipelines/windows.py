@@ -1,0 +1,166 @@
+"""Event-time operators Ray Data lacks natively, built per the brief's
+custom-operator ladder: composition of map_batches + groupby/map_groups
+first, broadcast state second — never driver loops.
+
+* tumbling windows      — see __ray_entry__ window_agg_events (grouped_agg)
+* sliding windows       — each row fans out to the windows containing it
+                          (vectorized flat-map), then the same partial ->
+                          tree-reduce aggregate; no extra shuffle beyond
+                          the aggregate itself
+* sessionization        — gap-based sessions per user: users co-locate by
+                          hash bucket (ONE groupby shuffle), then a fully
+                          vectorized per-bucket pass (sort, boundary diff,
+                          cumsum session ids, Arrow groupby)
+* as-of join            — broadcast variant: the right side (sorted event
+                          marks / checkpoints) is ray.put once; each batch
+                          resolves its as-of row with one searchsorted.
+                          Partitioning assumption: right side fits memory
+                          (marks/dimensions); a range-bucketed variant is
+                          the path for large rights.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+from .relational import _stable_hash64, collect, grouped_agg
+
+
+def sliding_window_agg(
+    ds: ray.data.Dataset,
+    ts_col: str,
+    key_col: str,
+    val_col: str,
+    window_us: int,
+    slide_us: int,
+) -> pa.Table:
+    """Aggregate over sliding event-time windows (window length
+    ``window_us``, advancing every ``slide_us``; window id = start/slide
+    index). A row at time t belongs to windows
+    floor(t/slide)-window/slide+1 .. floor(t/slide)."""
+    n_per = window_us // slide_us
+
+    def fan_out(batch: pa.Table) -> pa.Table:
+        us = batch.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        base = us // slide_us
+        parts = []
+        for i in range(n_per):
+            parts.append(
+                pa.table(
+                    {
+                        key_col: batch.column(key_col),
+                        "w": pa.array(base - i),
+                        val_col: batch.column(val_col),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    fanned = ds.map_batches(fan_out, batch_format="pyarrow")
+    return grouped_agg(
+        fanned, [key_col, "w"], {"total": ("sum", val_col), "n": ("count", val_col)}
+    )
+
+
+def sessionize(
+    ds: ray.data.Dataset,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_us: int = 30 * 60 * 1_000_000,
+    n_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Gap-based sessions: a new session starts when a user's inter-event
+    gap exceeds ``gap_us``. Returns one row per (user, session):
+    (user_col, sid, n_events, session_start). One shuffle (user-hash
+    bucket groupby); everything inside a bucket is vectorized numpy."""
+    from ..util import cluster_cpus
+
+    if n_buckets is None:
+        n_buckets = max(16, 2 * cluster_cpus())
+
+    def tag(batch: pa.Table) -> pa.Table:
+        b = (_stable_hash64(batch.column(user_col)) % n_buckets).astype(np.int32)
+        return pa.table(
+            {
+                user_col: batch.column(user_col),
+                ts_col: batch.column(ts_col),
+                "__bucket": pa.array(b),
+            }
+        )
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow")
+
+    def bucket_sessions(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table(
+                {
+                    user_col: pa.array([], pa.int64()),
+                    "sid": pa.array([], pa.int64()),
+                    "n_events": pa.array([], pa.int64()),
+                    "session_start": pa.array([], pa.timestamp("us")),
+                }
+            )
+        g = group.sort_by([(user_col, "ascending"), (ts_col, "ascending")])
+        users = g.column(user_col).to_numpy(zero_copy_only=False)
+        us = g.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        new_user = np.concatenate([[True], users[1:] != users[:-1]])
+        gap = np.concatenate([[True], (us[1:] - us[:-1]) > gap_us])
+        new_session = new_user | gap
+        # session id restarts at 1 per user (cumsum of starts, offset by
+        # the user's first session index - 1)
+        sess_cum = np.cumsum(new_session)
+        user_base = np.zeros(len(users), dtype=np.int64)
+        first_idx = np.flatnonzero(new_user)
+        user_base[first_idx] = sess_cum[first_idx] - 1
+        user_base = np.maximum.accumulate(user_base)
+        sid = sess_cum - user_base
+        tbl = pa.table(
+            {
+                user_col: g.column(user_col),
+                "sid": pa.array(sid),
+                "__ts": g.column(ts_col),
+            }
+        )
+        out = pa.TableGroupBy(tbl, [user_col, "sid"]).aggregate(
+            [("__ts", "count"), ("__ts", "min")]
+        )
+        return out.rename_columns([user_col, "sid", "n_events", "session_start"])
+
+    return tagged.groupby("__bucket").map_groups(bucket_sessions, batch_format="pyarrow")
+
+
+def asof_join_broadcast(
+    left: ray.data.Dataset,
+    right_tbl: pa.Table,
+    left_on: str,
+    right_on: str,
+    right_cols: list[str] | None = None,
+) -> ray.data.Dataset:
+    """For each left row, attach the right row with the greatest
+    ``right_on`` <= ``left_on`` (classic as-of). The right side is sorted
+    once, ray.put once, and every batch resolves with one vectorized
+    searchsorted — no shuffle. Left rows before the first right key drop
+    (inner as-of)."""
+    right_tbl = right_tbl.sort_by(right_on)
+    keys = right_tbl.column(right_on).cast(pa.int64()).to_numpy(zero_copy_only=False)
+    take_cols = right_cols or [c for c in right_tbl.column_names]
+    rt_ref = ray.put((keys, right_tbl.select(take_cols)))
+
+    def join(batch: pa.Table) -> pa.Table:
+        rkeys, rtbl = ray.get(rt_ref)
+        lv = batch.column(left_on).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(rkeys, lv, side="right") - 1
+        keep = idx >= 0
+        batch = batch.filter(pa.array(keep))
+        picked = rtbl.take(pa.array(idx[keep], pa.int64()))
+        out = batch
+        for c in picked.column_names:
+            if c not in out.column_names:
+                out = out.append_column(c, picked.column(c))
+        return out
+
+    return left.map_batches(join, batch_format="pyarrow")

@@ -1,0 +1,76 @@
+"""Event-time operators: sessionization, sliding windows, as-of join."""
+
+import datetime
+
+import numpy as np
+import pyarrow as pa
+
+from datafusion_orc_ray.pipelines import relational as rel, windows as w
+
+US = 1_000_000
+
+
+def _ts(mins):
+    return datetime.datetime(2026, 1, 1) + datetime.timedelta(minutes=mins)
+
+
+def test_sessionize_gap_boundaries(ray_session):
+    import ray.data
+
+    t = pa.table(
+        {
+            "user_id": pa.array([1, 1, 1, 1, 2, 2], pa.int64()),
+            # user 1: 0, 10, 50 (gap 40 > 30 -> new session), 55
+            # user 2: 0, 31 (gap 31 > 30 -> new session)
+            "ts": pa.array([_ts(0), _ts(10), _ts(50), _ts(55), _ts(0), _ts(31)], pa.timestamp("us")),
+        }
+    )
+    out = rel.collect(w.sessionize(ray.data.from_arrow(t))).sort_by(
+        [("user_id", "ascending"), ("sid", "ascending")]
+    )
+    rows = out.to_pylist()
+    assert [(r["user_id"], r["sid"], r["n_events"]) for r in rows] == [
+        (1, 1, 2), (1, 2, 2), (2, 1, 1), (2, 2, 1),
+    ]
+    assert rows[1]["session_start"] == _ts(50)
+
+
+def test_asof_join_broadcast(ray_session):
+    import ray.data
+
+    left = pa.table(
+        {"id": pa.array([1, 2, 3], pa.int64()),
+         "ts": pa.array([_ts(5), _ts(0), _ts(61)], pa.timestamp("us"))}
+    )
+    right = pa.table(
+        {"mts": pa.array([_ts(1), _ts(60)], pa.timestamp("us")),
+         "mark": pa.array(["a", "b"])}
+    )
+    out = rel.collect(
+        w.asof_join_broadcast(ray.data.from_arrow(left), right, "ts", "mts")
+    ).sort_by("id")
+    # id=2 (ts before first mark) drops; 1 -> a, 3 -> b
+    assert out.column("id").to_pylist() == [1, 3]
+    assert out.column("mark").to_pylist() == ["a", "b"]
+
+
+def test_sliding_window_membership(ray_session):
+    import ray.data
+
+    t = pa.table(
+        {
+            "ts": pa.array([_ts(0), _ts(90)], pa.timestamp("us")),  # hours 0 and 1
+            "k": pa.array(["x", "x"]),
+            "v": pa.array([1.0, 2.0]),
+        }
+    )
+    out = w.sliding_window_agg(
+        ray.data.from_arrow(t), "ts", "k", "v",
+        window_us=2 * 3600 * US, slide_us=3600 * US,
+    ).sort_by("w")
+    d = {r["w"]: (r["total"], r["n"]) for r in out.to_pylist()}
+    base = int(_ts(0).timestamp() * US) // (3600 * US)
+    # window starting base-1 holds row0; base holds both; base+1 holds row1
+    assert d[base - 1] == (1.0, 1)
+    assert d[base] == (3.0, 2)
+    assert d[base + 1] == (2.0, 1)
