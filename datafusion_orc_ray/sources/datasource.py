@@ -1,0 +1,95 @@
+"""StripeDatasource — the stripe format as a first-class
+``ray.data.Datasource`` (the user-extension surface SURVEY §2.4 maps to
+the reference's FileFormat/FileSource trait impls, src/file_format.rs).
+
+Compared to the from_items+map_batches scan, the datasource hands Ray
+per-task row/byte metadata from the manifests, so the streaming executor
+can size blocks, report progress, and schedule with real size estimates;
+stats-based stripe pruning and projection/residual-filter pushdown work
+exactly as in ``read_stripes``.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING
+
+from ray.data.block import BlockMetadata
+from ray.data.datasource import Datasource, ReadTask
+
+from ..state import manifest
+
+if TYPE_CHECKING:  # pragma: no cover
+    import pyarrow as pa
+
+
+class StripeDatasource(Datasource):
+    def __init__(
+        self,
+        out_dir: str,
+        columns: list[str] | None = None,
+        predicate: tuple[str, str, object] | None = None,
+        rows_per_block: int = 32768,
+    ) -> None:
+        from .stripes import _stats_may_match, stripes_schema
+
+        self._out_dir = out_dir
+        self._columns = columns
+        self._predicate = predicate
+        self._rows_per_block = rows_per_block
+        entries = manifest.load_manifest(out_dir)
+        if not entries:
+            raise FileNotFoundError(f"no manifest entries under {out_dir}")
+        if predicate is not None:
+            entries = [e for e in entries if _stats_may_match(e, predicate)]
+        self._entries = sorted(entries, key=lambda e: e["path"])
+        self._schema = stripes_schema(out_dir)
+
+    def estimate_inmemory_data_size(self) -> int | None:
+        return sum(e.get("raw_bytes", 0) for e in self._entries) or None
+
+    def get_name(self) -> str:
+        return "Stripes"
+
+    def get_read_tasks(self, parallelism: int) -> list[ReadTask]:
+        import pyarrow as pa
+
+        from ..stages.decode import make_stripe_decoder
+
+        decoder = make_stripe_decoder(
+            self._columns,
+            predicate=self._predicate,
+            unified_schema=self._schema,
+            rows_per_block=self._rows_per_block,
+        )
+        out_schema = (
+            pa.schema([self._schema.field(c) for c in self._columns])
+            if self._columns is not None
+            else self._schema
+        )
+        tasks = []
+        for e in self._entries:
+            path = e["path"]
+
+            def read_fn(path=path):
+                return decoder(pa.table({"path": [path]}))
+
+            # with a residual predicate the true output rows are unknown
+            # until decode; report size as an estimate only
+            meta = BlockMetadata(
+                num_rows=None if self._predicate is not None else e.get("n_rows"),
+                size_bytes=e.get("raw_bytes"),
+                exec_stats=None,
+                input_files=[path],
+            )
+            tasks.append(ReadTask(read_fn, meta, schema=out_schema))
+        if not tasks:
+            # empty (fully pruned) scan: one no-op task keeps the schema
+            empty = pa.Table.from_pylist([], schema=out_schema)
+            tasks.append(
+                ReadTask(
+                    lambda empty=empty: [empty],
+                    BlockMetadata(num_rows=0, size_bytes=0, exec_stats=None, input_files=[]),
+                    schema=out_schema,
+                )
+            )
+        return tasks

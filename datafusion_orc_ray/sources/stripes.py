@@ -112,32 +112,19 @@ def read_stripes(
     concurrency: int | None = None,
     predicate: tuple[str, str, object] | None = None,
 ) -> ray.data.Dataset:
-    """Stripe scan. ``predicate`` = (column, op, value) with op in
+    """Stripe scan via ``StripeDatasource`` (a first-class
+    ray.data.Datasource: one read task per stripe carrying row/byte
+    metadata from the manifests, so the executor schedules with real
+    size estimates). ``predicate`` = (column, op, value) with op in
     <, <=, >, >=, == enables stats-driven scan pruning (E13/S4: the
     per-stripe min/max recorded in the manifests — which the reference
     stubs entirely — skip whole stripes before any IO) plus a vectorized
     residual filter inside the decode stage, mirroring ORC's row-index
     skipping at stripe granularity."""
-    entries = manifest.load_manifest(out_dir)
-    if not entries:
-        raise FileNotFoundError(f"no manifest entries under {out_dir}")
-    if predicate is not None:
-        entries = [e for e in entries if _stats_may_match(e, predicate)]
-    items = [{"path": e["path"]} for e in sorted(entries, key=lambda e: e["path"])]
-    if not items:
-        import pyarrow as pa
+    from .datasource import StripeDatasource
 
-        empty = pa.Table.from_pylist([], schema=stripes_schema(out_dir))
-        if columns is not None:
-            empty = empty.select(columns)
-        return ray.data.from_arrow(empty)
-    ds = ray.data.from_items(items)
-    return ds.map_batches(
-        make_stripe_decoder(columns, predicate=predicate, unified_schema=stripes_schema(out_dir)),
-        batch_format="pyarrow",
-        batch_size=1,  # one decode task per stripe; stripes are already coarse
-        concurrency=concurrency,
-    )
+    src = StripeDatasource(out_dir, columns=columns, predicate=predicate)
+    return ray.data.read_datasource(src, concurrency=concurrency)
 
 
 _OPS = {

@@ -17,9 +17,14 @@ def cluster_cpus(default: int = 8) -> int:
     return int(ray.cluster_resources().get("CPU", default))
 
 
-def default_concurrency(reserve: int = 2, cap: int | None = None) -> int:
-    """Actor-pool size for a stage that sits downstream of read tasks:
-    all CPUs minus ``reserve`` headroom for the producer stage(s)
-    (ray_guide: a pool that takes every CPU starves its producers)."""
+def default_concurrency(reserve: int = 2, cap: int | None = None) -> tuple[int, int]:
+    """Actor-pool bounds for a stage downstream of read tasks: autoscale
+    between 2 actors and all CPUs minus ``reserve`` headroom for the
+    producer stage(s) (ray_guide: a pool that takes every CPU starves
+    its producers). Autoscaling (vs a fixed pool) starts work before the
+    whole pool is up, which removes ~1 s of spin-up stall on short
+    stages while still reaching cluster width on long ones."""
     n = max(1, cluster_cpus() - reserve)
-    return min(n, cap) if cap is not None else n
+    if cap is not None:
+        n = min(n, cap)
+    return (min(2, n), n)
