@@ -135,10 +135,21 @@ def run_bench() -> dict:
     extras["compression_ratio"] = round(raw / enc, 3)
     extras["n_stripes"] = len(entries)
 
-    # decode path (skipped in scaling children — headline is encode)
+    # decode path (skipped in scaling children — headline is encode).
+    # NOTE: .count() alone is answered from datasource METADATA without
+    # decoding (count pushdown); force a real full decode by reducing
+    # over decoded batches.
     if not os.environ.get("BENCH_HEADLINE_ONLY"):
+        import pyarrow as _pa
+
         t0 = time.time()
-        n = ep.decode_stripes(out_dir).count()
+        n = int(
+            ep.decode_stripes(out_dir)
+            .map_batches(
+                lambda b: _pa.table({"n": [b.num_rows]}), batch_format="pyarrow"
+            )
+            .sum("n")
+        )
         queries["decode_webtext"] = round(time.time() - t0, 3)
         extras["decoded_rows"] = n
     shutil.rmtree(out_dir, ignore_errors=True)
