@@ -332,6 +332,12 @@ def _token_counts(sf_dir: str):
     return tx.token_counts(_ds(sf_dir, "documents", ["doc_id", "text"]))
 
 
+def _bpe_token_counts(sf_dir: str):
+    from datafusion_orc_ray.pipelines import text as tx
+
+    return tx.bpe_token_counts(_ds(sf_dir, "documents", ["doc_id", "text"]))
+
+
 def _quality(sf_dir: str):
     from datafusion_orc_ray.pipelines import text as tx
 
@@ -447,6 +453,25 @@ def _near_dup_embeddings(sf_dir: str):
     return sim.embedding_near_dup_pairs(_ds(sf_dir, "embeddings"), threshold=0.95)
 
 
+def _frame_samples(sf_dir: str):
+    """One-to-many media fan-out: each payload -> n_frames rows (frame
+    extraction stubbed deterministically; Ray plumbing real)."""
+    from datafusion_orc_ray.pipelines import multimodal as mm
+
+    def to_binary(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "payload": pc.cast(batch.column("text"), pa.binary()),
+            }
+        )
+
+    ds = _ds(sf_dir, "documents", ["doc_id", "text"]).map_batches(to_binary, batch_format="pyarrow")
+    return mm.sample_frames(ds, "payload", "doc_id", n_frames=4)
+
+
 def _media_features(sf_dir: str):
     from datafusion_orc_ray.pipelines import multimodal as mm
 
@@ -499,6 +524,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact_documents": _dedup_exact,
         "minhash_dedup_corpus": _minhash_dedup_corpus,
         "token_count_documents": _token_counts,
+        "bpe_token_count_documents": _bpe_token_counts,
         "quality_documents": _quality,
         "bytes_meta_documents": _bytes_meta,
         "knn_embeddings": _knn,
@@ -510,6 +536,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_embeddings": _ann_ivf,
         "near_dup_embeddings": _near_dup_embeddings,
         "media_features_documents": _media_features,
+        "frame_samples_documents": _frame_samples,
     }
 
 
@@ -595,6 +622,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         "token_count_documents": (
             "SELECT doc_id, len(regexp_extract_all(text, '\\S+')) AS n_tokens FROM documents"
+        ),
+        "bpe_token_count_documents": (
+            "SELECT doc_id, len(regexp_extract_all(text, "
+            "$$'(?:[sdmt]|ll|ve|re)| ?[[:alpha:]]+| ?[[:digit:]]+"
+            "| ?[^\\s[:alpha:][:digit:]]+|\\s+$$)) AS n_bpe_tokens FROM documents"
         ),
         "quality_documents": (
             "SELECT doc_id, length(text) AS n_chars_m, "

@@ -102,3 +102,53 @@ def extract_media_features(
         batch_size=batch_size,  # small: payloads are large binaries
         concurrency=concurrency or _default_mm_concurrency(),
     )
+
+
+def sample_frames(
+    ds: ray.data.Dataset,
+    payload_col: str,
+    id_col: str,
+    n_frames: int = 4,
+    frame_extractor: Callable[[bytes, int, int], bytes] | None = None,
+    batch_size: int = 64,
+    concurrency: int | None = None,
+) -> ray.data.Dataset:
+    """One-to-many media stage: each (video) payload fans out to
+    ``n_frames`` rows (id, frame_idx, frame_payload). The actual frame
+    extraction is an injected seam like the feature decoder (ffmpeg is
+    not in this container); the default deterministic stub slices the
+    payload evenly so the fan-out shape, batch sizing and output layout
+    are real and testable."""
+
+    def default_extractor(payload: bytes, idx: int, n: int) -> bytes:
+        step = max(1, len(payload) // n)
+        return payload[idx * step : idx * step + step]
+
+    extract = frame_extractor or default_extractor
+
+    class FrameSampler:
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids, idxs, frames = [], [], []
+            for i, payload in zip(
+                batch.column(id_col).to_pylist(), batch.column(payload_col).to_pylist()
+            ):
+                if payload is None:
+                    continue
+                for f in range(n_frames):
+                    ids.append(i)
+                    idxs.append(f)
+                    frames.append(extract(payload, f, n_frames))
+            return pa.table(
+                {
+                    id_col: pa.array(ids, pa.int64()),
+                    "frame_idx": pa.array(idxs, pa.int32()),
+                    "frame_payload": pa.array(frames, pa.binary()),
+                }
+            )
+
+    return ds.map_batches(
+        FrameSampler,
+        batch_format="pyarrow",
+        batch_size=batch_size,  # small: payloads are large binaries
+        concurrency=concurrency or _default_mm_concurrency(),
+    )

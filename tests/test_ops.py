@@ -316,3 +316,25 @@ def test_ivf_index_persists_and_never_rebuilds(vectors, tmp_path):
     r3 = idx2.query(q, k=5)
     assert sim.CENTROID_BUILDS == before + 1
     assert 3 in r3.column("vec_id").to_pylist()
+
+
+def test_bpe_token_counts(docs):
+    out = rel.collect(tx.bpe_token_counts(docs))
+    assert out.num_rows == 83
+    assert all(n > 0 for n in out.column("n_bpe_tokens").to_pylist())
+
+
+def test_sample_frames_fanout(docs):
+    def to_bin(batch):
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {"doc_id": batch.column("doc_id"), "payload": pc.cast(batch.column("text"), pa.binary())}
+        )
+
+    ds = docs.map_batches(to_bin, batch_format="pyarrow")
+    out = rel.collect(multimodal.sample_frames(ds, "payload", "doc_id", n_frames=3))
+    assert out.num_rows == 83 * 3
+    one = out.filter(pa.compute.equal(out.column("doc_id"), 0)).sort_by("frame_idx")
+    assert one.column("frame_idx").to_pylist() == [0, 1, 2]
+    assert all(len(p) > 0 for p in one.column("frame_payload").to_pylist())

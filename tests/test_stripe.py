@@ -147,3 +147,21 @@ def test_encoder_state_reuse():
     b2 = stripe.encode_table(t2, state=state)
     assert stripe.decode_table(b1).equals(t1)
     assert stripe.decode_table(b2).equals(t2)
+
+
+def test_truncated_blob_fails_loudly(tmp_path):
+    """A half-written/truncated stripe file must raise, never return
+    partial data (the manifest protocol means truncated blobs only exist
+    without a manifest row, but decode must still refuse them)."""
+    t = pa.table({"x": pa.array(range(1000), pa.int64())})
+    blob = stripe.encode_table(t)
+    p = str(tmp_path / "t.rstp")
+    with open(p, "wb") as f:
+        f.write(blob[: len(blob) // 2])
+    with pytest.raises((ValueError, Exception)):
+        stripe.decode_file(p)
+    # corrupted tail magic
+    with open(p, "wb") as f:
+        f.write(blob[:-1] + b"X")
+    with pytest.raises(ValueError):
+        stripe.decode_file(p)
