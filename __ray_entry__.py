@@ -228,6 +228,59 @@ def _skew_join_events(sf_dir: str):
     return rel.collect(joined)
 
 
+def _semi_join_customers(sf_dir: str):
+    """Left semi join: customers WITH at least one order."""
+    from datafusion_orc_ray.pipelines import relational as rel
+
+    return rel.collect(
+        rel.hash_join(
+            _ds(sf_dir, "customer", ["c_custkey", "c_mktsegment"]),
+            _ds(sf_dir, "orders", ["o_custkey"]),
+            "c_custkey", "o_custkey", join_type="left semi",
+        )
+    )
+
+
+def _anti_join_customers(sf_dir: str):
+    """Left anti join: customers with NO orders (NOT EXISTS semantics)."""
+    from datafusion_orc_ray.pipelines import relational as rel
+
+    return rel.collect(
+        rel.hash_join(
+            _ds(sf_dir, "customer", ["c_custkey", "c_mktsegment"]),
+            _ds(sf_dir, "orders", ["o_custkey"]),
+            "c_custkey", "o_custkey", join_type="left anti",
+        )
+    )
+
+
+def _grouped_topk_documents(sf_dir: str):
+    """Top-3 documents per lang by n_chars (per-group top-k via
+    per-batch combiner + tree reduce)."""
+    from datafusion_orc_ray.pipelines import relational as rel
+
+    return rel.grouped_topk(
+        _ds(sf_dir, "documents", ["lang", "doc_id", "n_chars"]),
+        keys=["lang"], order_col="n_chars", k=3,
+        columns=["lang", "doc_id", "n_chars"], tiebreak="doc_id",
+    )
+
+
+def _grouped_median_events(sf_dir: str):
+    """Exact per-group median (key-hash co-location + vectorized
+    per-bucket offset picks)."""
+    import pyarrow.compute as pc
+
+    from datafusion_orc_ray.pipelines import relational as rel
+
+    out = rel.collect(
+        rel.grouped_median(_ds(sf_dir, "events", ["event_type", "value"]), ["event_type"], "value")
+    )
+    return pa.table(
+        {"event_type": out.column("event_type"), "med": pc.round(out.column("med"), 4)}
+    )
+
+
 def _window_agg_events(sf_dir: str):
     """Tumbling 1-hour window aggregate over the events stream
     (ray_guide "Streaming-shaped workloads": event-time windows as
@@ -516,6 +569,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_by_custkey_orders": _group_by_custkey_orders,
         "skew_join_events": _skew_join_events,
         "sessionize_events": _sessionize_events,
+        "semi_join_customers": _semi_join_customers,
+        "anti_join_customers": _anti_join_customers,
+        "grouped_topk_documents": _grouped_topk_documents,
+        "grouped_median_events": _grouped_median_events,
         "sliding_window_events": _sliding_window_events,
         "asof_join_events": _asof_join_events,
         "filter_pushdown_orders": _filter_pushdown_orders,
@@ -582,6 +639,23 @@ def oracle_sql() -> dict[str, str]:
             "SELECT e.event_id, e.event_type, t.type_count FROM events e "
             "JOIN (SELECT event_type, count(*) AS type_count FROM events "
             "GROUP BY event_type) t ON e.event_type = t.event_type"
+        ),
+        "semi_join_customers": (
+            "SELECT c_custkey, c_mktsegment FROM customer c WHERE EXISTS "
+            "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)"
+        ),
+        "anti_join_customers": (
+            "SELECT c_custkey, c_mktsegment FROM customer c WHERE NOT EXISTS "
+            "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)"
+        ),
+        "grouped_topk_documents": (
+            "SELECT lang, doc_id, n_chars FROM (SELECT lang, doc_id, n_chars, "
+            "row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rn "
+            "FROM documents) WHERE rn <= 3"
+        ),
+        "grouped_median_events": (
+            "SELECT event_type, round(median(value), 4) AS med FROM events "
+            "GROUP BY event_type"
         ),
         "sessionize_events": (
             "WITH l AS (SELECT user_id, ts, lag(ts) OVER "

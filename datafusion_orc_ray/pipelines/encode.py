@@ -423,3 +423,122 @@ def _manifest_schema():
 
 def _manifest_names():
     return _manifest_schema().names
+
+
+# ----------------------------------------------------------------- compaction
+
+def plan_compaction(
+    out_dir: str, target_bytes: int = 64 << 20, min_members: int = 2
+) -> list[dict]:
+    """Greedy plan: consecutive (path-sorted) stripes smaller than
+    ``target_bytes`` raw are grouped until the group reaches the target.
+    Returns group specs [{members: [manifest entries...]}]."""
+    entries = sorted(man.load_manifest(out_dir), key=lambda e: e["path"])
+    groups, cur, cur_bytes = [], [], 0
+    for e in entries:
+        raw = e.get("raw_bytes", 0)
+        if raw >= target_bytes:
+            continue  # already big enough
+        cur.append(e)
+        cur_bytes += raw
+        if cur_bytes >= target_bytes:
+            if len(cur) >= min_members:
+                groups.append({"members": cur})
+            cur, cur_bytes = [], 0
+    if len(cur) >= min_members:
+        groups.append({"members": cur})
+    return groups
+
+
+class _CompactWorker:
+    """One task per compaction group: decode members, concat, encode ONE
+    merged stripe whose manifest lists ``replaces`` (the commit point —
+    once durable, members are invisible to readers/resume even before
+    their files are cleaned), then best-effort delete member files."""
+
+    def __init__(self, out_dir: str, schema_b64: str) -> None:
+        import base64
+
+        from ..stages.encode import StripeEncoder
+
+        self.out_dir = out_dir
+        self.enc = StripeEncoder(out_dir)
+        self.schema = pa.schema([]) if not schema_b64 else __import__(
+            "pyarrow"
+        ).ipc.read_schema(pa.py_buffer(base64.b64decode(schema_b64)))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import hashlib
+        import json as _json
+
+        from .. import io as dio
+        from .. import stripe as stripe_mod
+        from ..state.manifest import COMPACT_PREFIX
+
+        rows = []
+        for spec in batch.to_pylist():
+            members = _json.loads(spec["members_json"])
+            member_ids = [m["stripe_id"] for m in members]
+            # inherit transitively so resume never re-encodes an ancestor
+            replaces = sorted(
+                set(member_ids)
+                | {rid for m in members for rid in m.get("replaces", [])}
+            )
+            new_id = COMPACT_PREFIX + hashlib.sha1(
+                ",".join(sorted(member_ids)).encode()
+            ).hexdigest()[:20]
+            tables = [
+                stripe_mod.decode_file(m["path"], unified_schema=self.schema)
+                for m in members
+            ]
+            merged = pa.concat_tables(tables).combine_chunks()
+            blob = stripe_mod.encode_table(merged, state=self.enc.state)
+            entry = man.write_stripe(
+                self.out_dir,
+                new_id,
+                blob,
+                {
+                    "n_rows": merged.num_rows,
+                    "raw_bytes": merged.nbytes,
+                    "lineage": f"compact:{len(members)}",
+                    "columns_json": "[]",
+                    "replaces": replaces,
+                },
+            )
+            # cleanup (idempotent, best-effort — the replaces list is the
+            # source of truth; leftover files are ignored by readers)
+            for m in members:
+                for p in man.stripe_paths(self.out_dir, m["stripe_id"]):
+                    try:
+                        fs, fp = dio.resolve(p)
+                        fs.delete_file(fp)
+                    except Exception:
+                        pass
+            rows.append({k: entry[k] for k in _manifest_names()})
+        return pa.Table.from_pylist(rows, schema=_manifest_schema())
+
+
+def compact_stripes(
+    out_dir: str, target_bytes: int = 64 << 20, min_members: int = 2
+) -> int:
+    """Merge small stripes into ~target_bytes ones (distributed, one Ray
+    task per group; crash-safe via replaces-tombstones). Returns the
+    number of merged stripes written."""
+    import base64
+    import json as _json
+
+    groups = plan_compaction(out_dir, target_bytes, min_members)
+    if not groups:
+        return 0
+    from ..sources.stripes import stripes_schema
+
+    schema_b64 = base64.b64encode(stripes_schema(out_dir).serialize().to_pybytes()).decode()
+    specs = [{"members_json": _json.dumps(g["members"])} for g in groups]
+    mf = ray.data.from_items(specs).map_batches(
+        _CompactWorker,
+        fn_constructor_kwargs={"out_dir": out_dir, "schema_b64": schema_b64},
+        batch_format="pyarrow",
+        batch_size=1,
+        concurrency=_default_pool(),
+    )
+    return mf.count()

@@ -216,9 +216,15 @@ def hash_join(
     hot_key_share: float = 0.05,
     sample_rows: int = 50_000,
     broadcast_rows: int = 500_000,
+    join_type: str = "inner",
 ) -> ray.data.Dataset:
     """Skew-aware partitioned hash join for two LARGE sides (ray_guide
-    "Joins and lookups"), SQL inner-join semantics (NULL keys never join).
+    "Joins and lookups"). ``join_type``: "inner" (SQL semantics: NULL
+    keys never join), "left semi" (left rows WITH a match, left columns
+    only), "left anti" (left rows WITHOUT a match — NULL-key left rows
+    are kept, matching SQL NOT EXISTS). The hot/cold split stays correct
+    for semi/anti because it partitions BOTH sides by the same key sets,
+    and matches only ever occur within a key's own partition.
 
     Fast path first: when the right side is small (≤ ``broadcast_rows``),
     it is collected once, ray.put, and every left batch joins against it
@@ -243,17 +249,21 @@ def hash_join(
     overlap = (set(l_cols) & set(r_cols)) - {left_key, right_key}
     if overlap:
         raise ValueError(f"ambiguous join columns: {sorted(overlap)}")
+    if join_type not in ("inner", "left semi", "left anti"):
+        raise ValueError(f"unsupported join_type {join_type!r}")
     same_key = left_key == right_key
-    out_cols = l_cols + [c for c in r_cols if c not in l_cols]
+    semi_anti = join_type in ("left semi", "left anti")
+    out_cols = l_cols if semi_anti else l_cols + [c for c in r_cols if c not in l_cols]
     if n_buckets is None:
         n_buckets = max(16, 2 * _cluster_cpus())
 
     def arrow_join(lt: pa.Table, rt: pa.Table) -> pa.Table:
-        lt = lt.filter(pc.is_valid(lt.column(left_key)))
+        if join_type != "left anti":  # anti KEEPS null-key left rows (NOT EXISTS)
+            lt = lt.filter(pc.is_valid(lt.column(left_key)))
         rt = rt.filter(pc.is_valid(rt.column(right_key)))
         j = lt.join(
             rt, keys=[left_key], right_keys=[right_key],
-            join_type="inner", coalesce_keys=same_key,
+            join_type=join_type, coalesce_keys=same_key or semi_anti,
         )
         return j.select(out_cols)
 
@@ -318,6 +328,10 @@ def hash_join(
         def fn(batch: pa.Table) -> pa.Table:
             key_arr = batch.column(key_col)
             keep = pc.is_valid(key_arr)
+            if side == 0 and join_type == "left anti":
+                # NOT EXISTS keeps null-key left rows; they hash to a
+                # bucket and match nothing there
+                keep = pa.array(np.ones(batch.num_rows, bool))
             if hot_set:
                 hot_arr_t = pa.array(list(hot_set), type=batch.schema.field(key_col).type)
                 keep = pc.and_(keep, pc.invert(pc.is_in(key_arr, value_set=hot_arr_t)))
@@ -389,3 +403,96 @@ def broadcast_join_agg(
         [(f"{agg_val}_sum", "sum"), (f"{agg_val}_count", "sum")]
     )
     return res.rename_columns([right_val, "total", "n_rows"])
+
+
+def _rank_within_groups(sorted_tbl: pa.Table, keys: list[str]) -> np.ndarray:
+    """0-based rank of each row within its key group; input must already
+    be sorted with group keys as the outer sort. Vectorized."""
+    n = sorted_tbl.num_rows
+    if n == 0:
+        return np.zeros(0, np.int64)
+    new_grp = np.zeros(n, dtype=bool)
+    new_grp[0] = True
+    for kcol in keys:
+        vals = sorted_tbl.column(kcol).to_numpy(zero_copy_only=False)
+        new_grp[1:] |= vals[1:] != vals[:-1]
+    idx = np.arange(n, dtype=np.int64)
+    start = np.zeros(n, dtype=np.int64)
+    start[new_grp] = idx[new_grp]
+    start = np.maximum.accumulate(start)
+    return idx - start
+
+
+def grouped_topk(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    order_col: str,
+    k: int,
+    columns: list[str],
+    tiebreak: str | None = None,
+    fanin: int = 8,
+) -> pa.Table:
+    """Top-k rows PER GROUP (deterministic under ties via ``tiebreak``):
+    per-batch per-key top-k (combiner) -> task-side tree reduce -> final
+    top-k over at most fanin pre-reduced copies. Same driver-memory
+    bound as grouped_agg: fanin x |groups| x k."""
+    sort_keys = (
+        [(c, "ascending") for c in keys]
+        + [(order_col, "descending")]
+        + ([(tiebreak, "ascending")] if tiebreak else [])
+    )
+
+    def batch_topk(batch: pa.Table) -> pa.Table:
+        s = batch.sort_by(sort_keys)
+        rank = _rank_within_groups(s, keys)
+        return s.filter(pa.array(rank < k)).select(columns)
+
+    partials = ds.map_batches(batch_topk, batch_format="pyarrow")
+    lvl1 = partials.repartition(fanin).map_batches(batch_topk, batch_format="pyarrow")
+    return batch_topk(collect(lvl1))
+
+
+def grouped_median(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    val_col: str,
+    n_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """EXACT per-group median (interpolated for even counts, SQL
+    median()): one key-hash bucket shuffle co-locates each group, then a
+    vectorized per-bucket pass (sort, group boundaries, offset picks).
+    Exact medians need full co-location by key — the inherent cost;
+    nulls are ignored as in SQL."""
+    from ..util import cluster_cpus
+
+    if n_buckets is None:
+        n_buckets = max(16, 2 * cluster_cpus())
+
+    def tag(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch.column(val_col)))
+        h = np.zeros(batch.num_rows, dtype=np.uint64)
+        for kcol in keys:
+            with np.errstate(over="ignore"):
+                h = h * np.uint64(1099511628211) + _stable_hash64(batch.column(kcol))
+        b = (h % n_buckets).astype(np.int32)
+        return batch.select(keys + [val_col]).append_column("__bucket", pa.array(b))
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow")
+
+    def bucket_median(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table(
+                {**{kc: pa.array([]) for kc in keys}, "med": pa.array([], pa.float64())}
+            )
+        s = group.sort_by([(kc, "ascending") for kc in keys] + [(val_col, "ascending")])
+        rank = _rank_within_groups(s, keys)
+        starts = np.flatnonzero(rank == 0)
+        counts = np.diff(np.append(starts, s.num_rows))
+        v = s.column(val_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        lo = starts + (counts - 1) // 2
+        hi = starts + counts // 2
+        med = (v[lo] + v[hi]) / 2.0
+        first = s.select(keys).take(pa.array(starts, pa.int64()))
+        return first.append_column("med", pa.array(med, pa.float64()))
+
+    return tagged.groupby("__bucket").map_groups(bucket_median, batch_format="pyarrow")

@@ -60,18 +60,45 @@ def write_stripe(out_dir: str, stripe_id: str, blob: bytes, entry: dict) -> dict
     return entry
 
 
+COMPACT_PREFIX = "cmp-"
+
+
+def _replaced_ids(out_dir: str, names: list[str]) -> set[str]:
+    """Stripe ids superseded by compacted stripes: each ``cmp-*``
+    manifest lists the member ids it replaces. Reading only those
+    manifests keeps the common path names-only."""
+    mdir = dio.join(out_dir, MANIFEST_DIR)
+    replaced: set[str] = set()
+    for f in names:
+        if f.startswith(COMPACT_PREFIX) and f.endswith(".json"):
+            entry = json.loads(dio.read_bytes(dio.join(mdir, f)))
+            replaced.update(entry.get("replaces", []))
+    return replaced
+
+
 def completed_ids(out_dir: str) -> set[str]:
-    return {
-        f[: -len(".json")]
-        for f in dio.list_dir(dio.join(out_dir, MANIFEST_DIR))
-        if f.endswith(".json")
-    }
+    """Ids that need no re-encode: present manifests PLUS ids replaced by
+    compaction (their files may be gone, but the data lives on in the
+    merged stripes — resume must not redo those fragments)."""
+    names = [
+        f for f in dio.list_dir(dio.join(out_dir, MANIFEST_DIR)) if f.endswith(".json")
+    ]
+    ids = {f[: -len(".json")] for f in names}
+    return ids | _replaced_ids(out_dir, names)
 
 
 def load_manifest(out_dir: str) -> list[dict]:
+    """Current manifest entries. Entries whose id is listed in a
+    compacted stripe's ``replaces`` are EXCLUDED even if their files
+    still exist — the compaction commit point is the merged manifest
+    write, so a crash between that write and member cleanup never
+    surfaces duplicate rows."""
     mdir = dio.join(out_dir, MANIFEST_DIR)
+    names = [f for f in dio.list_dir(mdir) if f.endswith(".json")]
+    replaced = _replaced_ids(out_dir, names)
     entries = []
-    for f in dio.list_dir(mdir):
-        if f.endswith(".json"):
-            entries.append(json.loads(dio.read_bytes(dio.join(mdir, f))))
+    for f in names:
+        if f[: -len(".json")] in replaced:
+            continue
+        entries.append(json.loads(dio.read_bytes(dio.join(mdir, f))))
     return entries

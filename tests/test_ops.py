@@ -338,3 +338,45 @@ def test_sample_frames_fanout(docs):
     one = out.filter(pa.compute.equal(out.column("doc_id"), 0)).sort_by("frame_idx")
     assert one.column("frame_idx").to_pylist() == [0, 1, 2]
     assert all(len(p) > 0 for p in one.column("frame_payload").to_pylist())
+
+
+def test_semi_anti_join_null_semantics(ray_session):
+    """Semi drops null-key left rows; anti KEEPS them (NOT EXISTS)."""
+    import ray.data
+
+    left = pa.table(
+        {"k": pa.array([1, 2, 3, None], pa.int64()), "v": pa.array(["a", "b", "c", "d"])}
+    )
+    right = pa.table({"rk": pa.array([2, 2, 9], pa.int64())})
+    for bc in (0, 10**6):  # shuffle path and broadcast path
+        semi = rel.collect(
+            rel.hash_join(ray.data.from_arrow(left), ray.data.from_arrow(right),
+                          "k", "rk", join_type="left semi", broadcast_rows=bc)
+        )
+        assert semi.column("v").to_pylist() == ["b"]
+        anti = rel.collect(
+            rel.hash_join(ray.data.from_arrow(left), ray.data.from_arrow(right),
+                          "k", "rk", join_type="left anti", broadcast_rows=bc)
+        ).sort_by("v")
+        assert anti.column("v").to_pylist() == ["a", "c", "d"]  # null-key row kept
+        assert semi.column_names == ["k", "v"] and anti.column_names == ["k", "v"]
+
+
+def test_grouped_topk_and_median(ray_session):
+    import ray.data
+
+    t = pa.table(
+        {
+            "g": pa.array(["a"] * 5 + ["b"] * 4),
+            "o": pa.array([5, 3, 9, 1, 7, 2, 8, 4, 6], pa.int64()),
+            "v": pa.array([5.0, 3.0, 9.0, 1.0, 7.0, 2.0, 8.0, 4.0, 6.0]),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    top = rel.grouped_topk(ds, ["g"], "o", 2, ["g", "o"], tiebreak="o")
+    d = {}
+    for r in top.to_pylist():
+        d.setdefault(r["g"], []).append(r["o"])
+    assert sorted(d["a"]) == [7, 9] and sorted(d["b"]) == [6, 8]
+    med = rel.collect(rel.grouped_median(ds, ["g"], "v")).sort_by("g")
+    assert med.column("med").to_pylist() == [5.0, 5.0]  # a: median(1,3,5,7,9)=5; b: (4+6)/2=5

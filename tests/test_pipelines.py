@@ -214,3 +214,30 @@ def test_fragment_encoder_splits_giant_row_groups(ray_session, tmp_path):
     from datafusion_orc_ray.pipelines.encode import fragment_stripe_id
 
     assert fragment_stripe_id({"path": f"{tmp_path}/big.parquet", "row_group": 0}) in man.completed_ids(out)
+
+
+def test_compaction_merges_and_preserves_resume(ray_session, tmp_path):
+    """Compaction merges small stripes into big ones; readers see exactly
+    the same rows; fragment resume still skips everything (replaced ids
+    stay 'completed'); recompaction is a no-op."""
+    import pyarrow as pa
+
+    base = str(tmp_path)
+    t = pa.table({"x": pa.array(range(4000), pa.int64()),
+                  "s": pa.array([f"v{i%5}" for i in range(4000)])})
+    pq.write_table(t, f"{base}/in.parquet", row_group_size=250)  # 16 tiny fragments
+    out = f"{base}/enc"
+    ep.encode_parquet(f"{base}/in.parquet", out, concurrency=2).take_all()
+    assert len(man.load_manifest(out)) == 16
+    n_merged = ep.compact_stripes(out, target_bytes=64 * 1024)
+    assert n_merged >= 1
+    entries = man.load_manifest(out)
+    assert len(entries) < 16
+    got = collect(ep.decode_stripes(out)).sort_by("x")
+    assert got.equals(t)
+    # resume: all original fragment ids still count as completed
+    assert ep.encode_parquet(f"{base}/in.parquet", out, concurrency=2).count() == 0
+    # idempotence: nothing left to merge at this target
+    again = ep.compact_stripes(out, target_bytes=64 * 1024)
+    got2 = collect(ep.decode_stripes(out)).sort_by("x")
+    assert got2.equals(t)
