@@ -422,6 +422,28 @@ def _query_vec(sf_dir: str) -> np.ndarray:
     return np.array(t.column("embedding")[idx].as_py(), dtype=np.float64)
 
 
+def _unnest_embeddings(sf_dir: str):
+    """Vectorized list explode (flat_map): one row per (vec_id, element).
+    pc.list_parent_indices + list_flatten — no Python row loop."""
+    import pyarrow.compute as pc
+
+    def fn(batch: pa.Table) -> pa.Table:
+        emb = batch.column("embedding")
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        parents = pc.list_parent_indices(emb)
+        return pa.table(
+            {
+                "vec_id": batch.column("vec_id").take(parents),
+                "v": pc.round(pc.cast(pc.list_flatten(emb), pa.float64()), 5),
+            }
+        )
+
+    return _ds(sf_dir, "embeddings", ["vec_id", "embedding"]).map_batches(
+        fn, batch_format="pyarrow"
+    )
+
+
 def _knn(sf_dir: str):
     import pyarrow.compute as pc
 
@@ -585,6 +607,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_documents": _quality,
         "bytes_meta_documents": _bytes_meta,
         "knn_embeddings": _knn,
+        "unnest_embeddings": _unnest_embeddings,
         # non-SQL-expressible (rows-only checks)
         "minhash_dedup_documents": _minhash_dedup,
         "simhash_documents": _simhash,
@@ -707,6 +730,9 @@ def oracle_sql() -> dict[str, str]:
             "length(text) - length(replace(text, ' ', '')) AS n_spaces FROM documents"
         ),
         "bytes_meta_documents": "SELECT doc_id, strlen(text) AS payload_bytes FROM documents",
+        "unnest_embeddings": (
+            "SELECT vec_id, round(unnest(embedding)::DOUBLE, 5) AS v FROM embeddings"
+        ),
         "knn_embeddings": (
             "SELECT vec_id, round(list_cosine_similarity(embedding, "
             "(SELECT embedding FROM embeddings WHERE vec_id = 0)), 4) AS cos_sim "
