@@ -182,7 +182,9 @@ def _window_keys(data: np.ndarray) -> np.ndarray:
     padded = np.concatenate([data, np.zeros(MAX_SYMBOL_LEN - 1, dtype=np.uint8)])
     windows = np.lib.stride_tricks.sliding_window_view(padded, MAX_SYMBOL_LEN)[:n]
     k = np.ascontiguousarray(windows).view(np.uint64).ravel()
-    k.byteswap(inplace=True)  # owned by the ascontiguousarray copy
+    if not k.flags.writeable:  # tiny inputs: no copy was made above
+        k = k.copy()
+    k.byteswap(inplace=True)  # owned by the copy
     return k
 
 

@@ -308,7 +308,7 @@ def verify_pairs_jaccard(
 
 # --------------------------------------------- end-to-end corpus dedup
 
-def minhash_dedup_corpus(ds: ray.data.Dataset) -> pa.Table:
+def minhash_dedup_corpus(ds: ray.data.Dataset) -> ray.data.Dataset:
     """Full dedup pipeline with a hard (DuckDB-expressible) oracle:
     LSH candidates -> exact-content verification (distributed joins of
     pair ids against vectorized 128-bit text hashes) -> connected
@@ -318,7 +318,9 @@ def minhash_dedup_corpus(ds: ray.data.Dataset) -> pa.Table:
     provably equals ``SELECT min(doc_id) FROM documents GROUP BY text``.
 
     The only driver-side state is the verified DUPLICATE pair list
-    (bounded by the corpus' duplicate volume, not its size)."""
+    (bounded by the corpus' duplicate volume, not its size); the
+    survivors come back as a streaming DATASET — at corpus scale they
+    are corpus-sized and belong in storage, not on the driver."""
 
     def hash_rows(out_id: str):
         def fn(batch: pa.Table) -> pa.Table:
@@ -367,7 +369,7 @@ def minhash_dedup_corpus(ds: ray.data.Dataset) -> pa.Table:
         keep = pc.invert(pc.is_in(batch.column("doc_id"), value_set=drop_arr))
         return pa.table({"doc_id": batch.column("doc_id").filter(keep)})
 
-    return collect(ds.map_batches(survivors, batch_format="pyarrow")).sort_by("doc_id")
+    return ds.map_batches(survivors, batch_format="pyarrow")
 
 
 # --------------------------------------------------------------- simhash

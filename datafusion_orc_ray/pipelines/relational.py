@@ -43,16 +43,21 @@ def topk(
     k: int,
     columns: list[str],
     tiebreak: str | None = None,
+    fanin: int = 8,
 ) -> pa.Table:
-    """Global top-k: per-batch top-k inside map_batches (combiner), then a
-    tiny driver-side merge — no global sort shuffle. ``tiebreak`` (asc)
-    makes the result deterministic under duplicate key values."""
+    """Global top-k: per-batch top-k inside map_batches (combiner) ->
+    task-side tree level -> final merge over at most fanin x k rows — no
+    global sort shuffle, and the driver never holds more than fanin x k
+    candidates regardless of batch count. ``tiebreak`` (asc) makes the
+    result deterministic under duplicate key values."""
     sort_keys = [(key, "descending")] + ([(tiebreak, "ascending")] if tiebreak else [])
 
     def batch_topk(batch: pa.Table) -> pa.Table:
         return batch.take(pc.select_k_unstable(batch, k, sort_keys)).select(columns)
 
-    parts = collect(ds.map_batches(batch_topk, batch_format="pyarrow"))
+    partials = ds.map_batches(batch_topk, batch_format="pyarrow")
+    lvl1 = partials.repartition(fanin).map_batches(batch_topk, batch_format="pyarrow")
+    parts = collect(lvl1)
     return parts.take(pc.select_k_unstable(parts, k, sort_keys))
 
 

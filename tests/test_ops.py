@@ -281,7 +281,7 @@ def test_bucket_pairs_caps_and_exact_dup_safety():
 
 def test_minhash_dedup_corpus(docs):
     """End-to-end dedup: survivors == min(doc_id) per exact-text group."""
-    out = dedup.minhash_dedup_corpus(docs)
+    out = rel.collect(dedup.minhash_dedup_corpus(docs)).sort_by("doc_id")
     ids = out.column("doc_id").to_pylist()
     assert 82 not in ids          # exact copy of doc 2 dropped
     assert 2 in ids
