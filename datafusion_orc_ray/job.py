@@ -1,0 +1,107 @@
+"""``ray job submit`` entry point (north rule: the encode job runs via
+ray job submit on a fixed-size multi-node cluster).
+
+    ray job submit --working-dir . -- \
+        python -m datafusion_orc_ray.job encode \
+            --input s3://bucket/cc-parquet --out s3://bucket/stripes
+
+Subcommands:
+    encode   Parquet -> stripes (resumable fragment mode; reruns skip
+             completed fragments via the manifest checkpoint)
+    encode-clustered  key-clustered stripes (local zero-shuffle mode)
+    decode   stripes -> Parquet (streaming sink, partitioned output)
+    compact  merge small stripes (crash-safe replaces-tombstones)
+    stats    print manifest totals (rows/bytes/ratio) without data IO
+
+Inside a submitted job the cluster is already running; this script only
+calls ray.init() when nothing else has (the library itself never does —
+driver contract)."""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def _ensure_ray(local: bool) -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local" if local else "auto")
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="datafusion_orc_ray.job")
+    common = argparse.ArgumentParser(add_help=False)
+    common.add_argument(
+        "--local", action="store_true",
+        help="start a local Ray instead of joining the cluster (dev only)",
+    )
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    enc = sub.add_parser("encode", parents=[common])
+    enc.add_argument("--input", required=True)
+    enc.add_argument("--out", required=True)
+    enc.add_argument("--columns", default=None, help="comma-separated projection")
+    enc.add_argument("--no-resume", action="store_true")
+
+    encc = sub.add_parser("encode-clustered", parents=[common])
+    encc.add_argument("--input", required=True)
+    encc.add_argument("--out", required=True)
+    encc.add_argument("--key", default="lang")
+    encc.add_argument("--salt-col", default="url")
+
+    dec = sub.add_parser("decode", parents=[common])
+    dec.add_argument("--stripes", required=True)
+    dec.add_argument("--out", required=True)
+    dec.add_argument("--columns", default=None)
+
+    cmp_ = sub.add_parser("compact", parents=[common])
+    cmp_.add_argument("--stripes", required=True)
+    cmp_.add_argument("--target-mb", type=int, default=64)
+
+    st = sub.add_parser("stats", parents=[common])
+    st.add_argument("--stripes", required=True)
+
+    args = p.parse_args(argv)
+    from .pipelines import encode as ep
+    from .state import manifest as man
+
+    if args.cmd == "stats":  # metadata only — no Ray needed
+        entries = man.load_manifest(args.stripes)
+        raw = sum(e.get("raw_bytes", 0) for e in entries)
+        enc_b = sum(e.get("encoded_bytes", 0) for e in entries)
+        print(json.dumps({
+            "n_stripes": len(entries),
+            "rows": sum(e.get("n_rows", 0) for e in entries),
+            "raw_bytes": raw,
+            "encoded_bytes": enc_b,
+            "ratio": round(raw / enc_b, 3) if enc_b else None,
+        }))
+        return 0
+
+    _ensure_ray(getattr(args, "local", False))
+    if args.cmd == "encode":
+        cols = args.columns.split(",") if args.columns else None
+        n = ep.encode_parquet(
+            args.input, args.out, columns=cols, resume=not args.no_resume
+        ).count()
+        print(json.dumps({"stripes_written": n}))
+    elif args.cmd == "encode-clustered":
+        import ray.data
+
+        ds = ray.data.read_parquet(args.input)
+        n = ep.encode_clustered(ds, args.out, key=args.key, salt_col=args.salt_col).count()
+        print(json.dumps({"stripes_written": n}))
+    elif args.cmd == "decode":
+        cols = args.columns.split(",") if args.columns else None
+        ep.decode_to_parquet(args.stripes, args.out, columns=cols)
+        print(json.dumps({"ok": True}))
+    elif args.cmd == "compact":
+        n = ep.compact_stripes(args.stripes, target_bytes=args.target_mb << 20)
+        print(json.dumps({"merged_stripes": n}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -308,7 +308,7 @@ def verify_pairs_jaccard(
 
 # --------------------------------------------- end-to-end corpus dedup
 
-def minhash_dedup_corpus(ds: ray.data.Dataset) -> ray.data.Dataset:
+def minhash_dedup_corpus(ds: ray.data.Dataset, cc: str = "driver") -> ray.data.Dataset:
     """Full dedup pipeline with a hard (DuckDB-expressible) oracle:
     LSH candidates -> exact-content verification (distributed joins of
     pair ids against vectorized 128-bit text hashes) -> connected
@@ -317,10 +317,13 @@ def minhash_dedup_corpus(ds: ray.data.Dataset) -> ray.data.Dataset:
     LSH recall on EXACT duplicates is 1.0 by construction, so the result
     provably equals ``SELECT min(doc_id) FROM documents GROUP BY text``.
 
-    The only driver-side state is the verified DUPLICATE pair list
-    (bounded by the corpus' duplicate volume, not its size); the
-    survivors come back as a streaming DATASET — at corpus scale they
-    are corpus-sized and belong in storage, not on the driver."""
+    ``cc="driver"`` (default): union-find over the verified duplicate
+    pair list on the driver — bounded by dup volume, not corpus size.
+    ``cc="distributed"``: min-label propagation over the pair Dataset
+    (connected_components_ds); only the to-drop node list (same dup-
+    volume bound) ever reaches the driver. Survivors come back as a
+    streaming DATASET either way — at corpus scale they belong in
+    storage, not on the driver."""
 
     def hash_rows(out_id: str):
         def fn(batch: pa.Table) -> pa.Table:
@@ -346,24 +349,32 @@ def minhash_dedup_corpus(ds: ray.data.Dataset) -> ray.data.Dataset:
         )
         return batch.filter(same).select(["doc_id_a", "doc_id_b"])
 
-    dup_pairs = collect(j2.map_batches(equal_only, batch_format="pyarrow"))
+    verified = j2.map_batches(equal_only, batch_format="pyarrow")
 
-    # union-find over verified duplicate pairs (tiny vs corpus)
-    parent: dict[int, int] = {}
+    if cc == "distributed":
+        labels = connected_components_ds(verified.materialize())
+        non_roots = labels.map_batches(
+            lambda b: b.filter(pc.not_equal(b.column("src"), b.column("label"))).select(["src"]),
+            batch_format="pyarrow",
+        )
+        drop_arr = collect(non_roots).column("src").combine_chunks()
+    else:
+        dup_pairs = collect(verified)
+        # union-find over verified duplicate pairs (tiny vs corpus)
+        parent: dict[int, int] = {}
 
-    def find(x: int) -> int:
-        while parent.get(x, x) != x:
-            parent[x] = parent.get(parent[x], parent[x])
-            x = parent[x]
-        return x
+        def find(x: int) -> int:
+            while parent.get(x, x) != x:
+                parent[x] = parent.get(parent[x], parent[x])
+                x = parent[x]
+            return x
 
-    for a, b in zip(dup_pairs.column("doc_id_a").to_pylist(), dup_pairs.column("doc_id_b").to_pylist()):
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            lo, hi = (ra, rb) if ra < rb else (rb, ra)
-            parent[hi] = lo
-    drop = [x for x in parent if find(x) != x]
-    drop_arr = pa.array(drop, pa.int64())
+        for a, b in zip(dup_pairs.column("doc_id_a").to_pylist(), dup_pairs.column("doc_id_b").to_pylist()):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        drop_arr = pa.array([x for x in parent if find(x) != x], pa.int64())
 
     def survivors(batch: pa.Table) -> pa.Table:
         keep = pc.invert(pc.is_in(batch.column("doc_id"), value_set=drop_arr))
@@ -424,3 +435,61 @@ def simhashes(ds: ray.data.Dataset, concurrency: int | None = None) -> ray.data.
     return ds.map_batches(
         SimHasher, batch_format="pyarrow", concurrency=concurrency or default_concurrency()
     )
+
+
+# ----------------------------------------- distributed connected components
+
+def connected_components_ds(
+    pairs: ray.data.Dataset, max_iters: int = 6
+) -> ray.data.Dataset:
+    """(node, label) with label = min doc_id of the node's component,
+    computed DISTRIBUTED by iterative min-label propagation (one
+    hash_join + groupby-min per round). Our LSH pair generation emits
+    star/chain shapes of diameter <= 2 per bucket, so propagation
+    converges in 2-3 rounds; convergence is detected by the (monotone
+    nonincreasing) label sum going flat. The scale path for dup volumes
+    too large for the driver union-find."""
+    from ray.data.aggregate import Min
+
+    def both_dirs(b: pa.Table) -> pa.Table:
+        a = b.column("doc_id_a").combine_chunks() if isinstance(b.column("doc_id_a"), pa.ChunkedArray) else b.column("doc_id_a")
+        c = b.column("doc_id_b").combine_chunks() if isinstance(b.column("doc_id_b"), pa.ChunkedArray) else b.column("doc_id_b")
+        return pa.table(
+            {
+                "src": pa.concat_arrays([a, c]),
+                "dst": pa.concat_arrays([c, a]),
+            }
+        )
+
+    edges = pairs.map_batches(both_dirs, batch_format="pyarrow").materialize()
+
+    def with_self(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": b.column("src"),
+                "label": pc.min_element_wise(b.column("src"), b.column("dst")),
+            }
+        )
+
+    lab = (
+        edges.map_batches(with_self, batch_format="pyarrow")
+        .groupby("src").aggregate(Min("label", alias_name="label"))
+        .materialize()
+    )
+    prev_sum = None
+    for _ in range(max_iters):
+        lab_dst = lab.map_batches(
+            lambda b: b.rename_columns(["dst", "label"]), batch_format="pyarrow"
+        )
+        nb = hash_join(edges, lab_dst, "dst", "dst")
+
+        def neighbor_label(b: pa.Table) -> pa.Table:
+            return pa.table({"src": b.column("src"), "label": b.column("label")})
+
+        cand = nb.map_batches(neighbor_label, batch_format="pyarrow").union(lab)
+        lab = cand.groupby("src").aggregate(Min("label", alias_name="label")).materialize()
+        s = lab.sum("label")
+        if s == prev_sum:
+            break
+        prev_sum = s
+    return lab

@@ -380,3 +380,26 @@ def test_grouped_topk_and_median(ray_session):
     assert sorted(d["a"]) == [7, 9] and sorted(d["b"]) == [6, 8]
     med = rel.collect(rel.grouped_median(ds, ["g"], "v")).sort_by("g")
     assert med.column("med").to_pylist() == [5.0, 5.0]  # a: median(1,3,5,7,9)=5; b: (4+6)/2=5
+
+
+def test_connected_components_distributed(ray_session):
+    import ray.data
+
+    pairs = pa.table(
+        {
+            "doc_id_a": pa.array([1, 1, 10, 6, 7, 8], pa.int64()),
+            "doc_id_b": pa.array([2, 3, 11, 5, 6, 7], pa.int64()),
+        }
+    )
+    lab = rel.collect(dedup.connected_components_ds(ray.data.from_arrow(pairs))).sort_by("src")
+    got = {r["src"]: r["label"] for r in lab.to_pylist()}
+    assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 7: 5, 8: 5, 10: 10, 11: 10}
+
+
+def test_minhash_dedup_corpus_distributed_cc(docs):
+    """Distributed connected-components path returns the same survivors
+    as the driver union-find."""
+    a = rel.collect(dedup.minhash_dedup_corpus(docs, cc="driver")).sort_by("doc_id")
+    b = rel.collect(dedup.minhash_dedup_corpus(docs, cc="distributed")).sort_by("doc_id")
+    assert a.equals(b)
+    assert 82 not in b.column("doc_id").to_pylist()

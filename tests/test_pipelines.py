@@ -241,3 +241,24 @@ def test_compaction_merges_and_preserves_resume(ray_session, tmp_path):
     again = ep.compact_stripes(out, target_bytes=64 * 1024)
     got2 = collect(ep.decode_stripes(out)).sort_by("x")
     assert got2.equals(t)
+
+
+def test_job_cli_end_to_end(ray_session, tmp_path):
+    """ray-job-submit entry point: encode -> stats -> compact -> decode
+    round-trips through the CLI surface."""
+    import pyarrow as pa
+
+    from datafusion_orc_ray import job
+
+    t = pa.table({"a": pa.array(range(1000), pa.int64())})
+    pq.write_table(t, f"{tmp_path}/in.parquet", row_group_size=100)
+    out = f"{tmp_path}/out"
+    assert job.main(["encode", "--input", f"{tmp_path}/in.parquet", "--out", out]) == 0
+    assert len(man.load_manifest(out)) == 10
+    assert job.main(["compact", "--stripes", out, "--target-mb", "1"]) == 0
+    assert len(man.load_manifest(out)) == 1
+    dec = f"{tmp_path}/dec"
+    assert job.main(["decode", "--stripes", out, "--out", dec]) == 0
+    got = pq.read_table(dec).sort_by("a")
+    assert got.equals(t)
+    assert job.main(["stats", "--stripes", out]) == 0
