@@ -54,3 +54,35 @@ def test_stripe_roundtrip_property(texts, ints):
     )
     out = stripe.decode_table(stripe.encode_table(t))
     assert out.equals(t)
+
+
+@given(
+    st.lists(
+        st.one_of(st.none(), st.text(alphabet=st.characters(blacklist_categories=("Cs",)), max_size=40)),
+        min_size=0, max_size=20,
+    )
+)
+@settings(max_examples=100, deadline=None)
+def test_tokhash_matches_python_reference(texts):
+    """Vectorized tokenization+shingling == a plain-Python reference."""
+    import numpy as np
+    import pyarrow as pa
+
+    from datafusion_orc_ray.pipelines import tokhash as tk
+
+    th, offs = tk.token_hashes(pa.array(texts, pa.string()))
+    counts = np.diff(offs).tolist()
+    expected = [len((t or "").split()) for t in texts]
+    assert counts == expected
+    # shingles: count per doc matches the window rule
+    s = 3
+    sh, soffs = tk.rolling_shingles(th, offs, s)
+    got = np.diff(soffs).tolist()
+    exp = [0 if c == 0 else max(c - s + 1, 1) for c in counts]
+    assert got == exp
+    # determinism & per-doc independence: same text alone hashes the same
+    for i, t in enumerate(texts):
+        if t and counts[i] > 0:
+            th1, o1 = tk.token_hashes(pa.array([t], pa.string()))
+            assert (th1 == th[offs[i]:offs[i+1]]).all()
+            break
