@@ -66,6 +66,26 @@ def main() -> None:
         agg = rel.grouped_agg(cat.table("web", columns=["lang"]), ["lang"], {"n": ("count", "lang")})
         print("docs per lang:", sorted(agg.to_pylist(), key=lambda r: -r["n"])[:5])
 
+        # SQL over registered stripe tables (streams decode into DuckDB)
+        sql = cat.sql("SELECT lang, count(*) AS n FROM web GROUP BY lang ORDER BY n DESC LIMIT 3")
+        print("SQL top langs:", sql.to_pylist())
+
+        # external-ORC ingest (any ORC writer -> stripes)
+        try:
+            import pyarrow.orc as pa_orc
+
+            from datafusion_orc_ray.sources.orc import ingest_orc
+
+            pa_orc.write_table(fixtures.nested_table(), f"{work}/legacy.orc")
+            ingest_orc(f"{work}/legacy.orc", f"{work}/enc_from_orc").materialize()
+            print("ORC ingest rows:", ep.decode_stripes(f"{work}/enc_from_orc").count())
+        except ImportError:
+            print("pyarrow.orc not available; skipping ORC ingest demo")
+
+        # compaction: merge small stripes (crash-safe tombstones)
+        merged = ep.compact_stripes(f"{work}/enc", target_bytes=8 << 20)
+        print("compaction merged-stripe count:", merged)
+
         # decode to Parquet (streaming sink)
         ep.decode_to_parquet(f"{work}/enc", f"{work}/decoded")
         print("decoded parquet files:", len(os.listdir(f"{work}/decoded")))
