@@ -281,6 +281,39 @@ def _grouped_median_events(sf_dir: str):
     )
 
 
+def _rank_in_lang_documents(sf_dir: str):
+    """Grouped window function: row_number() per lang ordered by n_chars
+    DESC (key-hash co-location + vectorized per-bucket rank)."""
+    from datafusion_orc_ray.pipelines import relational as rel
+
+    return rel.grouped_rank(
+        _ds(sf_dir, "documents", ["lang", "doc_id", "n_chars"]),
+        keys=["lang"], order_col="n_chars", tiebreak="doc_id",
+    )
+
+
+def _zscore_events(sf_dir: str):
+    """Group-mean centering: value - avg(value) per event_type via the
+    aggregate-then-broadcast-join-back pattern (no row shuffle)."""
+    import pyarrow.compute as pc
+
+    from datafusion_orc_ray.pipelines import relational as rel
+
+    out = rel.collect(
+        rel.group_mean_center(
+            _ds(sf_dir, "events", ["event_id", "event_type", "value"]),
+            ["event_type"], "value",
+        )
+    )
+    return pa.table(
+        {
+            "event_id": out.column("event_id"),
+            "event_type": out.column("event_type"),
+            "centered": pc.round(out.column("centered"), 4),
+        }
+    )
+
+
 def _window_agg_events(sf_dir: str):
     """Tumbling 1-hour window aggregate over the events stream
     (ray_guide "Streaming-shaped workloads": event-time windows as
@@ -595,6 +628,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anti_join_customers": _anti_join_customers,
         "grouped_topk_documents": _grouped_topk_documents,
         "grouped_median_events": _grouped_median_events,
+        "rank_in_lang_documents": _rank_in_lang_documents,
+        "zscore_events": _zscore_events,
         "sliding_window_events": _sliding_window_events,
         "asof_join_events": _asof_join_events,
         "filter_pushdown_orders": _filter_pushdown_orders,
@@ -679,6 +714,14 @@ def oracle_sql() -> dict[str, str]:
         "grouped_median_events": (
             "SELECT event_type, round(median(value), 4) AS med FROM events "
             "GROUP BY event_type"
+        ),
+        "rank_in_lang_documents": (
+            "SELECT lang, doc_id, n_chars, row_number() OVER "
+            "(PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rn FROM documents"
+        ),
+        "zscore_events": (
+            "SELECT event_id, event_type, round(value - avg(value) OVER "
+            "(PARTITION BY event_type), 4) AS centered FROM events"
         ),
         "sessionize_events": (
             "WITH l AS (SELECT user_id, ts, lag(ts) OVER "

@@ -501,3 +501,79 @@ def grouped_median(
         return first.append_column("med", pa.array(med, pa.float64()))
 
     return tagged.groupby("__bucket").map_groups(bucket_median, batch_format="pyarrow")
+
+
+def grouped_rank(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    order_col: str,
+    tiebreak: str | None = None,
+    descending: bool = True,
+    n_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """row_number() OVER (PARTITION BY keys ORDER BY order_col [DESC],
+    tiebreak): one key-hash bucket shuffle co-locates each group, then a
+    vectorized per-bucket sort + group-rank. Returns the input columns
+    plus ``rn`` (1-based)."""
+    from ..util import cluster_cpus
+
+    if n_buckets is None:
+        n_buckets = max(16, 2 * cluster_cpus())
+
+    def tag(batch: pa.Table) -> pa.Table:
+        h = np.zeros(batch.num_rows, dtype=np.uint64)
+        for kcol in keys:
+            with np.errstate(over="ignore"):
+                h = h * np.uint64(1099511628211) + _stable_hash64(batch.column(kcol))
+        return batch.append_column("__bucket", pa.array((h % n_buckets).astype(np.int32)))
+
+    sort_keys = (
+        [(c, "ascending") for c in keys]
+        + [(order_col, "descending" if descending else "ascending")]
+        + ([(tiebreak, "ascending")] if tiebreak else [])
+    )
+
+    def bucket_rank(group: pa.Table) -> pa.Table:
+        g = group.drop_columns(["__bucket"]).sort_by(sort_keys)
+        rn = _rank_within_groups(g, keys) + 1
+        return g.append_column("rn", pa.array(rn, pa.int64()))
+
+    return ds.map_batches(tag, batch_format="pyarrow").groupby("__bucket").map_groups(
+        bucket_rank, batch_format="pyarrow"
+    )
+
+
+def group_mean_center(
+    ds: ray.data.Dataset, keys: list[str], val_col: str, out_col: str = "centered"
+) -> ray.data.Dataset:
+    """value - avg(value) OVER (PARTITION BY keys): the per-key means are
+    a tiny grouped aggregate (partial + tree reduce), broadcast once, and
+    every batch centers vectorized via pc.index_in — no row shuffle, the
+    classic 'aggregate then join back' pattern."""
+    means = grouped_agg(
+        ds, keys, {"__sum": ("sum", val_col), "__n": ("count", val_col)}
+    )
+    mean_vals = pc.divide(means.column("__sum"), pc.cast(means.column("__n"), pa.float64()))
+    if len(keys) == 1:
+        key_arr = means.column(keys[0]).combine_chunks()
+    else:  # composite key -> join on a concatenated string key
+        key_arr = pc.binary_join_element_wise(
+            *[pc.cast(means.column(k), pa.string()) for k in keys], "\x1f"
+        ).combine_chunks()
+    ref = ray.put((key_arr, mean_vals.combine_chunks() if isinstance(mean_vals, pa.ChunkedArray) else mean_vals))
+
+    def center(batch: pa.Table) -> pa.Table:
+        karr, mvals = ray.get(ref)
+        if len(keys) == 1:
+            probe = batch.column(keys[0])
+        else:
+            probe = pc.binary_join_element_wise(
+                *[pc.cast(batch.column(k), pa.string()) for k in keys], "\x1f"
+            )
+        idx = pc.index_in(probe, value_set=karr)
+        m = mvals.take(idx)
+        return batch.append_column(
+            out_col, pc.subtract(pc.cast(batch.column(val_col), pa.float64()), m)
+        )
+
+    return ds.map_batches(center, batch_format="pyarrow")
