@@ -262,3 +262,23 @@ def test_job_cli_end_to_end(ray_session, tmp_path):
     got = pq.read_table(dec).sort_by("a")
     assert got.equals(t)
     assert job.main(["stats", "--stripes", out]) == 0
+
+
+def test_compaction_across_schema_evolution(ray_session, tmp_path):
+    """Members with different column sets merge through the unified
+    schema (null-filled), and the merged stripe decodes consistently."""
+    import pyarrow as pa
+
+    from datafusion_orc_ray.stages.encode import StripeEncoder
+
+    out = str(tmp_path / "enc")
+    enc = StripeEncoder(out)
+    enc.encode_one(pa.table({"a": pa.array([1, 2], pa.int64())}), stripe_id="s1")
+    enc.encode_one(
+        pa.table({"a": pa.array([3], pa.int64()), "b": pa.array(["x"])}), stripe_id="s2"
+    )
+    n = ep.compact_stripes(out, target_bytes=1 << 20)
+    assert n == 1 and len(man.load_manifest(out)) == 1
+    got = collect(ep.decode_stripes(out)).sort_by("a")
+    assert got.column("a").to_pylist() == [1, 2, 3]
+    assert got.column("b").to_pylist() == [None, None, "x"]

@@ -165,3 +165,10 @@ def test_truncated_blob_fails_loudly(tmp_path):
         f.write(blob[:-1] + b"X")
     with pytest.raises(ValueError):
         stripe.decode_file(p)
+
+
+def test_empty_and_single_row_tables_roundtrip():
+    t0 = pa.table({"a": pa.array([], pa.int64()), "s": pa.array([], pa.string())})
+    assert stripe.decode_table(stripe.encode_table(t0)).equals(t0)
+    t1 = pa.table({"a": pa.array([7], pa.int64()), "s": pa.array(["x"])})
+    assert stripe.decode_table(stripe.encode_table(t1)).equals(t1)
