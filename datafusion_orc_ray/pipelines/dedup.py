@@ -462,6 +462,13 @@ def connected_components_ds(
         )
 
     edges = pairs.map_batches(both_dirs, batch_format="pyarrow").materialize()
+    if edges.count() == 0:
+        return edges.map_batches(
+            lambda b: pa.table(
+                {"src": pa.array([], pa.int64()), "label": pa.array([], pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
 
     def with_self(b: pa.Table) -> pa.Table:
         return pa.table(

@@ -492,18 +492,13 @@ class _CompactWorker:
                 for m in members
             ]
             merged = pa.concat_tables(tables).combine_chunks()
-            blob = stripe_mod.encode_table(merged, state=self.enc.state)
-            entry = man.write_stripe(
-                self.out_dir,
-                new_id,
-                blob,
-                {
-                    "n_rows": merged.num_rows,
-                    "raw_bytes": merged.nbytes,
-                    "lineage": f"compact:{len(members)}",
-                    "columns_json": "[]",
-                    "replaces": replaces,
-                },
+            # through encode_one: compacted stripes keep per-column stats/
+            # codec metrics, so scan pruning still works after compaction
+            entry = self.enc.encode_one(
+                merged,
+                stripe_id=new_id,
+                lineage=f"compact:{len(members)}",
+                extra_entry={"replaces": replaces},
             )
             # cleanup (idempotent, best-effort — the replaces list is the
             # source of truth; leftover files are ignored by readers)

@@ -554,23 +554,23 @@ def group_mean_center(
         ds, keys, {"__sum": ("sum", val_col), "__n": ("count", val_col)}
     )
     mean_vals = pc.divide(means.column("__sum"), pc.cast(means.column("__n"), pa.float64()))
-    if len(keys) == 1:
-        key_arr = means.column(keys[0]).combine_chunks()
-    else:  # composite key -> join on a concatenated string key
-        key_arr = pc.binary_join_element_wise(
-            *[pc.cast(means.column(k), pa.string()) for k in keys], "\x1f"
-        ).combine_chunks()
+
+    def probe_key(tbl: pa.Table):
+        # null keys form their own partition in SQL window semantics, but
+        # pc.index_in treats a null probe as no-match — stringify +
+        # sentinel-fill so the NULL group keys match too
+        parts = [pc.fill_null(pc.cast(tbl.column(k), pa.string()), "\x00null") for k in keys]
+        if len(parts) == 1:
+            return parts[0].combine_chunks() if isinstance(parts[0], pa.ChunkedArray) else parts[0]
+        j = pc.binary_join_element_wise(*parts, "\x1f")
+        return j.combine_chunks() if isinstance(j, pa.ChunkedArray) else j
+
+    key_arr = probe_key(means)
     ref = ray.put((key_arr, mean_vals.combine_chunks() if isinstance(mean_vals, pa.ChunkedArray) else mean_vals))
 
     def center(batch: pa.Table) -> pa.Table:
         karr, mvals = ray.get(ref)
-        if len(keys) == 1:
-            probe = batch.column(keys[0])
-        else:
-            probe = pc.binary_join_element_wise(
-                *[pc.cast(batch.column(k), pa.string()) for k in keys], "\x1f"
-            )
-        idx = pc.index_in(probe, value_set=karr)
+        idx = pc.index_in(probe_key(batch), value_set=karr)
         m = mvals.take(idx)
         return batch.append_column(
             out_col, pc.subtract(pc.cast(batch.column(val_col), pa.float64()), m)

@@ -58,7 +58,13 @@ class StripeEncoder:
         self.state = stripe.EncoderState()  # per-actor, init once (E16)
         manifest.ensure_dirs(out_dir)
 
-    def encode_one(self, batch: pa.Table, stripe_id: str | None = None, lineage: str = "") -> dict:
+    def encode_one(
+        self,
+        batch: pa.Table,
+        stripe_id: str | None = None,
+        lineage: str = "",
+        extra_entry: dict | None = None,
+    ) -> dict:
         blob = stripe.encode_table(batch, state=self.state, outer_codec=self.outer_codec)
         if stripe_id is None:
             stripe_id = _content_id(blob)  # content-addressed -> idempotent rewrite
@@ -84,6 +90,7 @@ class StripeEncoder:
                 "raw_bytes": batch.nbytes,
                 "lineage": lineage or self.lineage,
                 "columns_json": json.dumps(col_metrics, separators=(",", ":")),
+                **(extra_entry or {}),
             },
         )
 

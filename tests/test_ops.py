@@ -403,3 +403,27 @@ def test_minhash_dedup_corpus_distributed_cc(docs):
     b = rel.collect(dedup.minhash_dedup_corpus(docs, cc="distributed")).sort_by("doc_id")
     assert a.equals(b)
     assert 82 not in b.column("doc_id").to_pylist()
+
+
+def test_group_mean_center_null_keys(ray_session):
+    """NULL keys form their own partition (SQL window semantics)."""
+    import ray.data
+
+    t = pa.table(
+        {
+            "g": pa.array(["a", "a", None, None], pa.string()),
+            "v": pa.array([1.0, 3.0, 10.0, 20.0]),
+        }
+    )
+    out = rel.collect(
+        rel.group_mean_center(ray.data.from_arrow(t), ["g"], "v")
+    ).sort_by("v")
+    assert out.column("centered").to_pylist() == [-1.0, 1.0, -5.0, 5.0]
+
+
+def test_connected_components_empty(ray_session):
+    import ray.data
+
+    empty = pa.table({"doc_id_a": pa.array([], pa.int64()), "doc_id_b": pa.array([], pa.int64())})
+    lab = rel.collect(dedup.connected_components_ds(ray.data.from_arrow(empty)))
+    assert lab.num_rows == 0
