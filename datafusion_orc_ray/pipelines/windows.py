@@ -145,6 +145,10 @@ def asof_join_broadcast(
     once, ray.put once, and every batch resolves with one vectorized
     searchsorted — no shuffle. Left rows before the first right key drop
     (inner as-of)."""
+    rt = right_tbl.schema.field(right_on).type
+    if not (pa.types.is_temporal(rt) or pa.types.is_integer(rt)):
+        # casting float keys through int64 would silently truncate
+        raise TypeError(f"asof key must be temporal or integer, got {rt}")
     right_tbl = right_tbl.sort_by(right_on)
     keys = right_tbl.column(right_on).cast(pa.int64()).to_numpy(zero_copy_only=False)
     take_cols = right_cols or [c for c in right_tbl.column_names]
