@@ -281,6 +281,44 @@ def _grouped_median_events(sf_dir: str):
     )
 
 
+def _running_total_events(sf_dir: str):
+    """Cumulative window: sum(value) per user ordered by (ts, event_id)
+    — co-locate by user hash, vectorized segmented cumsum per bucket."""
+    import pyarrow.compute as pc
+
+    from datafusion_orc_ray.pipelines import relational as rel, windows as w
+
+    out = rel.collect(
+        w.running_total(
+            _ds(sf_dir, "events", ["event_id", "user_id", "ts", "value"]),
+            "user_id", "ts", "value", tiebreak="event_id",
+        )
+    )
+    return pa.table(
+        {
+            "event_id": out.column("event_id"),
+            "running": pc.round(out.column("running"), 4),
+        }
+    )
+
+
+def _regex_replace_documents(sf_dir: str):
+    """Vectorized regexp_replace (RE2 both sides)."""
+    import pyarrow.compute as pc
+
+    def fn(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "redacted": pc.replace_substring_regex(
+                    batch.column("text"), pattern="[aeiou]+", replacement="_"
+                ),
+            }
+        )
+
+    return _ds(sf_dir, "documents", ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")
+
+
 def _rank_in_lang_documents(sf_dir: str):
     """Grouped window function: row_number() per lang ordered by n_chars
     DESC (key-hash co-location + vectorized per-bucket rank)."""
@@ -630,6 +668,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_median_events": _grouped_median_events,
         "rank_in_lang_documents": _rank_in_lang_documents,
         "zscore_events": _zscore_events,
+        "running_total_events": _running_total_events,
+        "regex_replace_documents": _regex_replace_documents,
         "sliding_window_events": _sliding_window_events,
         "asof_join_events": _asof_join_events,
         "filter_pushdown_orders": _filter_pushdown_orders,
@@ -722,6 +762,15 @@ def oracle_sql() -> dict[str, str]:
         "zscore_events": (
             "SELECT event_id, event_type, round(value - avg(value) OVER "
             "(PARTITION BY event_type), 4) AS centered FROM events"
+        ),
+        "running_total_events": (
+            "SELECT event_id, round(sum(value) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING), 4) AS running "
+            "FROM events"
+        ),
+        "regex_replace_documents": (
+            "SELECT doc_id, regexp_replace(text, '[aeiou]+', '_', 'g') AS redacted "
+            "FROM documents"
         ),
         "sessionize_events": (
             "WITH l AS (SELECT user_id, ts, lag(ts) OVER "

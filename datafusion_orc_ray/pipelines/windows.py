@@ -168,3 +168,48 @@ def asof_join_broadcast(
         return out
 
     return left.map_batches(join, batch_format="pyarrow")
+
+
+def running_total(
+    ds: ray.data.Dataset,
+    key_col: str,
+    ts_col: str,
+    val_col: str,
+    tiebreak: str | None = None,
+    out_col: str = "running",
+    n_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """sum(val) OVER (PARTITION BY key ORDER BY ts [, tiebreak] ROWS
+    UNBOUNDED PRECEDING): key-hash co-location (one shuffle), then a
+    vectorized per-bucket segmented cumsum."""
+    from ..util import cluster_cpus
+
+    if n_buckets is None:
+        n_buckets = max(16, 2 * cluster_cpus())
+
+    def tag(batch: pa.Table) -> pa.Table:
+        b = (_stable_hash64(batch.column(key_col)) % n_buckets).astype(np.int32)
+        return batch.append_column("__bucket", pa.array(b))
+
+    sort_keys = [(key_col, "ascending"), (ts_col, "ascending")] + (
+        [(tiebreak, "ascending")] if tiebreak else []
+    )
+
+    def bucket_cumsum(group: pa.Table) -> pa.Table:
+        g = group.drop_columns(["__bucket"]).sort_by(sort_keys)
+        if g.num_rows == 0:
+            return g.append_column(out_col, pa.array([], pa.float64()))
+        keys = g.column(key_col).to_numpy(zero_copy_only=False)
+        v = g.column(val_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        cs = np.cumsum(v)
+        new_key = np.concatenate([[True], keys[1:] != keys[:-1]])
+        # subtract the cumsum just before each segment start
+        base = np.zeros(len(v))
+        starts = np.flatnonzero(new_key)
+        base[starts] = cs[starts] - v[starts]
+        base = np.maximum.accumulate(base)  # forward-fill per segment
+        return g.append_column(out_col, pa.array(cs - base, pa.float64()))
+
+    return ds.map_batches(tag, batch_format="pyarrow").groupby("__bucket").map_groups(
+        bucket_cumsum, batch_format="pyarrow"
+    )

@@ -74,3 +74,22 @@ def test_sliding_window_membership(ray_session):
     assert d[base - 1] == (1.0, 1)
     assert d[base] == (3.0, 2)
     assert d[base + 1] == (2.0, 1)
+
+
+def test_running_total_segments(ray_session):
+    import ray.data
+
+    from datafusion_orc_ray.pipelines import windows as w
+
+    t = pa.table(
+        {
+            "u": pa.array([1, 1, 1, 2, 2], pa.int64()),
+            "ts": pa.array([_ts(0), _ts(1), _ts(2), _ts(0), _ts(1)], pa.timestamp("us")),
+            "v": pa.array([1.0, 2.0, 3.0, 10.0, 20.0]),
+            "id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        }
+    )
+    out = rel.collect(
+        w.running_total(ray.data.from_arrow(t), "u", "ts", "v", tiebreak="id")
+    ).sort_by("id")
+    assert out.column("running").to_pylist() == [1.0, 3.0, 6.0, 10.0, 30.0]
