@@ -57,9 +57,21 @@ def read_bytes(path: str) -> bytes:
 
 def write_bytes_atomic(path: str, data: bytes) -> None:
     """Durable write: temp name + move so a crashed writer never leaves a
-    half-written file under the final name."""
+    half-written file under the final name. Local paths additionally
+    flush+fsync the temp file BEFORE the rename — without it, a power loss
+    after rename can surface an empty file under the final name (rename is
+    atomic in the namespace, not for data blocks)."""
     import uuid
 
+    if is_local(path):
+        p = path[len("file://") :] if path.startswith("file://") else path
+        tmp = f"{p}.tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "wb") as f:
+            f.write(data)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, p)
+        return
     fs, p = resolve(path)
     tmp = f"{p}.tmp-{uuid.uuid4().hex[:8]}"
     with fs.open_output_stream(tmp) as f:

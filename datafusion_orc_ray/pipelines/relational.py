@@ -550,8 +550,18 @@ def group_mean_center(
     a tiny grouped aggregate (partial + tree reduce), broadcast once, and
     every batch centers vectorized via pc.index_in — no row shuffle, the
     classic 'aggregate then join back' pattern."""
+    # SQL avg divides by the NON-NULL count; grouped_agg's "count" is
+    # count(*), so sum an explicit validity column instead (Arrow "sum"
+    # already skips NULLs on the numerator side, matching SQL)
+    def add_valid(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__valid", pc.cast(pc.is_valid(batch.column(val_col)), pa.int64())
+        )
+
     means = grouped_agg(
-        ds, keys, {"__sum": ("sum", val_col), "__n": ("count", val_col)}
+        ds.map_batches(add_valid, batch_format="pyarrow"),
+        keys,
+        {"__sum": ("sum", val_col), "__n": ("sum", "__valid")},
     )
     mean_vals = pc.divide(means.column("__sum"), pc.cast(means.column("__n"), pa.float64()))
 

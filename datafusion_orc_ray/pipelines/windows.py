@@ -41,7 +41,13 @@ def sliding_window_agg(
     """Aggregate over sliding event-time windows (window length
     ``window_us``, advancing every ``slide_us``; window id = start/slide
     index). A row at time t belongs to windows
-    floor(t/slide)-window/slide+1 .. floor(t/slide)."""
+    floor(t/slide)-window/slide+1 .. floor(t/slide). Requires slide to
+    divide window (hopping windows); otherwise membership counts vary per
+    row and the fan-out below would silently drop windows."""
+    if window_us <= 0 or slide_us <= 0 or window_us % slide_us != 0:
+        raise ValueError(
+            f"slide_us must divide window_us (got window={window_us}, slide={slide_us})"
+        )
     n_per = window_us // slide_us
 
     def fan_out(batch: pa.Table) -> pa.Table:
@@ -149,6 +155,15 @@ def asof_join_broadcast(
     if not (pa.types.is_temporal(rt) or pa.types.is_integer(rt)):
         # casting float keys through int64 would silently truncate
         raise TypeError(f"asof key must be temporal or integer, got {rt}")
+    lschema = left.schema()
+    lt = getattr(lschema, "base_schema", lschema).field(left_on).type
+    if pa.types.is_temporal(rt):
+        # timestamp[us] vs timestamp[ms] would compare raw values in
+        # different units — require identical temporal types
+        if lt != rt:
+            raise TypeError(f"asof key type mismatch: left {lt} vs right {rt}")
+    elif not pa.types.is_integer(lt):
+        raise TypeError(f"asof left key must be integer like right, got {lt}")
     right_tbl = right_tbl.sort_by(right_on)
     keys = right_tbl.column(right_on).cast(pa.int64()).to_numpy(zero_copy_only=False)
     take_cols = right_cols or [c for c in right_tbl.column_names]
@@ -203,11 +218,12 @@ def running_total(
         v = g.column(val_col).to_numpy(zero_copy_only=False).astype(np.float64)
         cs = np.cumsum(v)
         new_key = np.concatenate([[True], keys[1:] != keys[:-1]])
-        # subtract the cumsum just before each segment start
-        base = np.zeros(len(v))
+        # subtract the cumsum just before each segment start; propagate the
+        # base by segment index (a max-accumulate forward-fill is wrong once
+        # values go negative and a later base undershoots an earlier one)
         starts = np.flatnonzero(new_key)
-        base[starts] = cs[starts] - v[starts]
-        base = np.maximum.accumulate(base)  # forward-fill per segment
+        seg = np.cumsum(new_key) - 1
+        base = (cs[starts] - v[starts])[seg]
         return g.append_column(out_col, pa.array(cs - base, pa.float64()))
 
     return ds.map_batches(tag, batch_format="pyarrow").groupby("__bucket").map_groups(

@@ -156,3 +156,120 @@ def test_stripe_io_via_file_uri(ray_session, tmp_path):
     # projected + predicate path over the URI too
     pred = collect(read_stripes(out_uri, columns=["a", "s"], predicate=("a", "<", 10)))
     assert pred.num_rows == 10
+
+
+# ---- round-2 ADVICE regressions ----
+
+
+def test_running_total_negative_values(ray_session):
+    """Negative values: a later segment's base can be LOWER than an
+    earlier one; max-accumulate forward fill corrupted it (ADVICE r2
+    high)."""
+    import ray.data
+
+    from datafusion_orc_ray.pipelines import windows as w
+
+    _t = datetime.datetime(2026, 1, 1)
+    t = pa.table(
+        {
+            "u": pa.array([1, 2], pa.int64()),
+            "ts": pa.array([_t, _t], pa.timestamp("us")),
+            "v": pa.array([-5.0, 3.0]),
+            "id": pa.array([1, 2], pa.int64()),
+        }
+    )
+    out = collect(
+        w.running_total(ray.data.from_arrow(t), "u", "ts", "v", tiebreak="id", n_buckets=1)
+    ).sort_by("id")
+    assert out.column("running").to_pylist() == [-5.0, 3.0]
+    # longer mixed-sign sequence, one key after a lower-base key
+    t2 = pa.table(
+        {
+            "u": pa.array([1, 1, 2, 2, 3], pa.int64()),
+            "ts": pa.array([_t] * 5, pa.timestamp("us")),
+            "v": pa.array([-10.0, 4.0, 1.0, -2.0, 7.0]),
+            "id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        }
+    )
+    out2 = collect(
+        w.running_total(ray.data.from_arrow(t2), "u", "ts", "v", tiebreak="id", n_buckets=1)
+    ).sort_by("id")
+    assert out2.column("running").to_pylist() == [-10.0, -6.0, 1.0, -1.0, 7.0]
+
+
+def test_group_mean_center_null_values(ray_session):
+    """NULL values must not inflate the avg divisor (ADVICE r2 medium):
+    avg([1, 3, NULL]) is 2, not 4/3."""
+    import ray.data
+
+    from datafusion_orc_ray.pipelines import relational as rel
+
+    t = pa.table(
+        {
+            "g": pa.array(["a", "a", "a", "b"]),
+            "v": pa.array([1.0, 3.0, None, 5.0]),
+        }
+    )
+    out = collect(rel.group_mean_center(ray.data.from_arrow(t), ["g"], "v")).sort_by(
+        [("g", "ascending"), ("v", "ascending")]
+    )
+    cent = out.column("centered").to_pylist()
+    assert cent[0] == -1.0 and cent[1] == 1.0  # 1-2, 3-2
+    assert cent[2] is None  # NULL value stays NULL
+    assert cent[3] == 0.0  # 5 - 5
+
+
+def test_sliding_window_invalid_slide_raises(ray_session):
+    import ray.data
+
+    from datafusion_orc_ray.pipelines import windows as w
+
+    t = pa.table(
+        {
+            "ts": pa.array([datetime.datetime(2026, 1, 1)], pa.timestamp("us")),
+            "k": pa.array(["x"]),
+            "v": pa.array([1.0]),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    with pytest.raises(ValueError, match="divide"):
+        w.sliding_window_agg(ds, "ts", "k", "v", window_us=10, slide_us=3)
+    with pytest.raises(ValueError, match="divide"):
+        w.sliding_window_agg(ds, "ts", "k", "v", window_us=10, slide_us=20)
+
+
+def test_asof_join_unit_mismatch_raises(ray_session):
+    import ray.data
+
+    from datafusion_orc_ray.pipelines import windows as w
+
+    _t = datetime.datetime(2026, 1, 1)
+    left = pa.table({"ts": pa.array([_t], pa.timestamp("us"))})
+    right_ms = pa.table(
+        {"mts": pa.array([_t], pa.timestamp("ms")), "mark": pa.array(["a"])}
+    )
+    with pytest.raises(TypeError, match="mismatch"):
+        w.asof_join_broadcast(ray.data.from_arrow(left), right_ms, "ts", "mts")
+    # float left key against int right must also be rejected
+    leftf = pa.table({"k": pa.array([1.5])})
+    righti = pa.table({"k2": pa.array([1], pa.int64()), "m": pa.array(["a"])})
+    with pytest.raises(TypeError, match="integer"):
+        w.asof_join_broadcast(ray.data.from_arrow(leftf), righti, "k", "k2")
+
+
+def test_write_bytes_atomic_local_fsync(tmp_path):
+    """Local writes go through the os-level temp+fsync+rename path; no
+    temp droppings remain and overwrites are atomic replacements."""
+    import os
+
+    from datafusion_orc_ray import io as dio
+
+    p = str(tmp_path / "m.json")
+    dio.write_bytes_atomic(p, b"one")
+    assert open(p, "rb").read() == b"one"
+    dio.write_bytes_atomic(p, b"two")
+    assert open(p, "rb").read() == b"two"
+    assert [f for f in os.listdir(tmp_path) if ".tmp-" in f] == []
+    # file:// URI flavor hits the same local path
+    dio.write_bytes_atomic(f"file://{tmp_path}/m2.json", b"three")
+    assert open(str(tmp_path / "m2.json"), "rb").read() == b"three"
