@@ -427,3 +427,38 @@ def test_connected_components_empty(ray_session):
     empty = pa.table({"doc_id_a": pa.array([], pa.int64()), "doc_id_b": pa.array([], pa.int64())})
     lab = rel.collect(dedup.connected_components_ds(ray.data.from_arrow(empty)))
     assert lab.num_rows == 0
+
+
+def test_quality_scorer_matches_scalar_reference(ray_session):
+    """The flat-numpy scorer is bit-exact vs a straightforward per-row
+    reference (re.findall words + isalpha density) on unicode, emoji,
+    astral, empty, null, >2000-char, and adjacent-stopword inputs."""
+    import re
+
+    word = re.compile(r"[A-Za-z]+")
+    stop = {"the", "and", "of", "a", "to", "in", "is", "it", "for", "on"}
+
+    def ref(txt):
+        if not txt:
+            return None, None
+        words = word.findall(txt.lower())
+        sr = sum(w in stop for w in words) / max(len(words), 1)
+        ar = sum(c.isalpha() for c in txt[:2000]) / max(len(txt[:2000]), 1)
+        return sr, ar
+
+    texts = [
+        "", None, "a a a the of to", "café résumé naïve", "的一是 hello",
+        "😀😀 abc", "x" * 5000 + " the end", "of", "A TO in IS",
+        "word2the and3for", "ñ", "the" * 700, "мир труд май", "  ", "a",
+    ]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    out = tx.QualityScorer()(t)
+    srs = out.column("stop_ratio").to_pylist()
+    ars = out.column("alpha_ratio").to_pylist()
+    for i, txt in enumerate(texts):
+        esr, ear = ref(txt)
+        assert (esr is None) == (srs[i] is None), (i, txt)
+        if esr is not None:
+            assert abs(srs[i] - esr) < 1e-12, (i, txt, srs[i], esr)
+            assert abs(ars[i] - ear) < 1e-12, (i, txt, ars[i], ear)
