@@ -49,7 +49,18 @@ def exact_dedup_ids(ds: ray.data.Dataset, id_col: str = "doc_id", text_col: str 
         tbl = pa.table({"__h1": c1, "__h2": c2, id_col: batch.column(id_col)})
         return pa.TableGroupBy(tbl, ["__h1", "__h2"]).aggregate([(id_col, "min")])
 
-    partials = ds.map_batches(hash_and_partial, batch_format="pyarrow")
+    from .relational import _SMALL_PARTIALS
+
+    partials = ds.map_batches(hash_and_partial, batch_format="pyarrow").materialize()
+    if partials.count() <= _SMALL_PARTIALS:
+        # tiny partial set: a distributed groupby's fixed all-to-all cost
+        # is pure overhead — one driver-side Arrow groupby instead
+        t = collect(partials)
+        final = pa.TableGroupBy(t, ["__h1", "__h2"]).aggregate(
+            [(f"{id_col}_min", "min")]
+        )
+        out = pa.table({id_col: final.column(f"{id_col}_min_min")})
+        return ray.data.from_arrow(out)
     from ray.data.aggregate import Min
 
     final = partials.groupby(["__h1", "__h2"]).aggregate(Min(f"{id_col}_min", alias_name=id_col))

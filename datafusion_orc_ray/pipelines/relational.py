@@ -37,6 +37,30 @@ def count_rows(ds: ray.data.Dataset) -> pa.Table:
     return pa.table({"n": pa.array([ds.count()], pa.int64())})
 
 
+# Below this many partial rows, a repartition's ~1.5 s fixed all-to-all
+# overhead dwarfs the work (BENCH r2: q1_lineitem regressed 3.5x paying a
+# shuffle for ~200 partial rows) — combine on the driver instead.
+_SMALL_PARTIALS = 65536
+
+
+def _tree_or_driver(
+    partials: ray.data.Dataset, combine, fanin: int
+) -> pa.Table:
+    """Size-gated final reduce over partial (pre-combined) rows.
+
+    Materializes the partials (they are per-batch aggregates — tiny
+    relative to the input), reads the row count from block metadata, and
+    either combines directly on the driver (small case: the data is a few
+    thousand rows; any shuffle is pure overhead) or tree-reduces in Ray
+    tasks so the driver never merges more than fanin pre-combined blocks
+    (large case: high key cardinality x many batches)."""
+    partials = partials.materialize()
+    if partials.count() <= _SMALL_PARTIALS:
+        return combine(collect(partials))
+    lvl1 = partials.repartition(fanin).map_batches(combine, batch_format="pyarrow")
+    return combine(collect(lvl1))
+
+
 def topk(
     ds: ray.data.Dataset,
     key: str,
@@ -56,8 +80,7 @@ def topk(
         return batch.take(pc.select_k_unstable(batch, k, sort_keys)).select(columns)
 
     partials = ds.map_batches(batch_topk, batch_format="pyarrow")
-    lvl1 = partials.repartition(fanin).map_batches(batch_topk, batch_format="pyarrow")
-    parts = collect(lvl1)
+    parts = _tree_or_driver(partials, batch_topk, fanin)
     return parts.take(pc.select_k_unstable(parts, k, sort_keys))
 
 
@@ -151,8 +174,7 @@ def grouped_agg(
 
     combine = _final_gb(keys, exprs)
     partials = ds.map_batches(partial, batch_format="pyarrow")
-    lvl1 = partials.repartition(fanin).map_batches(combine, batch_format="pyarrow")
-    return combine(collect(lvl1))
+    return _tree_or_driver(partials, combine, fanin)
 
 
 def distinct_count(ds: ray.data.Dataset, col: str, fanin: int = 8) -> pa.Table:
@@ -167,8 +189,8 @@ def distinct_count(ds: ray.data.Dataset, col: str, fanin: int = 8) -> pa.Table:
         return pa.table({col: batch.column(col).unique()})
 
     partials = ds.map_batches(partial_distinct, batch_format="pyarrow")
-    lvl1 = partials.repartition(fanin).map_batches(partial_distinct, batch_format="pyarrow")
-    n = len(collect(lvl1).column(col).unique())
+    deduped = _tree_or_driver(partials, partial_distinct, fanin)
+    n = len(deduped.column(col).unique())
     return pa.table({"n": pa.array([n], pa.int64())})
 
 
@@ -453,8 +475,7 @@ def grouped_topk(
         return s.filter(pa.array(rank < k)).select(columns)
 
     partials = ds.map_batches(batch_topk, batch_format="pyarrow")
-    lvl1 = partials.repartition(fanin).map_batches(batch_topk, batch_format="pyarrow")
-    return batch_topk(collect(lvl1))
+    return _tree_or_driver(partials, batch_topk, fanin)
 
 
 def grouped_median(

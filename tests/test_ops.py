@@ -462,3 +462,22 @@ def test_quality_scorer_matches_scalar_reference(ray_session):
         if esr is not None:
             assert abs(srs[i] - esr) < 1e-12, (i, txt, srs[i], esr)
             assert abs(ars[i] - ear) < 1e-12, (i, txt, ars[i], ear)
+
+
+def test_tree_reduce_gate_large_path(ray_session, monkeypatch):
+    """Force the large-partials branch: results identical to the driver
+    path (high-cardinality guard for the size gate)."""
+    import ray.data
+
+    n = 5000
+    t = pa.table({"k": pa.array([i % 997 for i in range(n)], pa.int64()),
+                  "v": pa.array(np.arange(n, dtype=np.float64))})
+    ds = ray.data.from_arrow(t).repartition(8)
+    expected = rel.grouped_agg(ds, ["k"], {"total": ("sum", "v"), "n": ("count", "v")})
+    monkeypatch.setattr(rel, "_SMALL_PARTIALS", 10)
+    forced = rel.grouped_agg(ds, ["k"], {"total": ("sum", "v"), "n": ("count", "v")})
+    assert expected.sort_by("k").equals(forced.sort_by("k"))
+    dc = rel.distinct_count(ds, "k")
+    assert dc.column("n").to_pylist() == [997]
+    top = rel.topk(ds, key="v", k=3, columns=["k", "v"])
+    assert top.column("v").to_pylist() == [4999.0, 4998.0, 4997.0]
