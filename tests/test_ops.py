@@ -481,3 +481,40 @@ def test_tree_reduce_gate_large_path(ray_session, monkeypatch):
     assert dc.column("n").to_pylist() == [997]
     top = rel.topk(ds, key="v", k=3, columns=["k", "v"])
     assert top.column("v").to_pylist() == [4999.0, 4998.0, 4997.0]
+
+
+def test_lsh_shuffle_rows_carry_no_vectors(ray_session, vectors):
+    """The LSH bucket shuffle moves (table_id, sig, id) only: bytes per
+    emitted row are constant in both n_tables and the embedding dim
+    (VERDICT r2 #4 — the old stage amplified vector bytes x n_tables)."""
+    import ray.data
+
+    ds, dim = vectors
+    probe = ds.take_batch(1, batch_format="pyarrow")
+    d = len(probe.column("embedding")[0])
+    sigged = ds.map_batches(
+        sim._HyperplaneLSH,
+        fn_constructor_kwargs={"dim": d, "n_bits": 8, "n_tables": 16, "id_col": "vec_id"},
+        batch_format="pyarrow",
+        concurrency=1,
+    ).materialize()
+    schema = sigged.schema()
+    base = getattr(schema, "base_schema", schema)
+    assert "embedding" not in base.names
+    n = sigged.count()
+    per_row = sigged.size_bytes() / n
+    # id+sig+table_id ~ 20B; the vectors would be d*4 >= 128B
+    assert per_row < 64, per_row
+
+
+def test_minhash_gate_paths_agree(docs):
+    """Driver-gated candidate pairing equals the distributed bucket
+    groupby path exactly."""
+    fast = rel.collect(dedup.minhash_candidate_pairs_ds(docs)).sort_by(
+        [("doc_id_a", "ascending"), ("doc_id_b", "ascending")]
+    )
+    slow = rel.collect(dedup.minhash_candidate_pairs_ds(docs, gate_rows=0)).sort_by(
+        [("doc_id_a", "ascending"), ("doc_id_b", "ascending")]
+    )
+    assert fast.equals(slow)
+    assert fast.num_rows > 0
