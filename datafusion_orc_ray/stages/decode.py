@@ -40,10 +40,18 @@ def make_stripe_decoder(
         import pyarrow.compute as pc
 
         ops = {"<": pc.less, "<=": pc.less_equal, ">": pc.greater, ">=": pc.greater_equal, "==": pc.equal}
-        for path in batch.column("path").to_pylist():
-            if read_cols is not None:
-                # projected: ranged reads of just the selected streams
-                t = stripe.decode_file(path, columns=read_cols, unified_schema=unified_schema)
+        has_range = "chunk_lo" in batch.column_names
+        los = batch.column("chunk_lo").to_pylist() if has_range else [None] * batch.num_rows
+        his = batch.column("chunk_hi").to_pylist() if has_range else [None] * batch.num_rows
+        for path, lo, hi in zip(batch.column("path").to_pylist(), los, his):
+            chunk_range = (lo, hi) if lo is not None else None
+            if read_cols is not None or chunk_range is not None:
+                # projected / split: ranged reads of just the selected
+                # streams (and only the selected row chunks)
+                t = stripe.decode_file(
+                    path, columns=read_cols, unified_schema=unified_schema,
+                    chunk_range=chunk_range,
+                )
             else:
                 from .. import io as dio
 

@@ -456,43 +456,114 @@ def encode_column(
     raise NotImplementedError(f"unsupported type {t} at {path}")
 
 
+# Stripes whose raw Arrow size exceeds this encode as independently
+# decodable ROW CHUNKS inside one blob (our equivalent of the reference's
+# byte-range file splitting, src/physical_exec.rs:79-82): the footer lists
+# per-chunk stream ranges, so one oversized stripe can decode in parallel
+# tasks with bounded peak memory instead of becoming a straggler block.
+CHUNK_BYTES = 64 << 20
+
+
+def _merge_chunk_cmetas(per_chunk: list[list[dict]]) -> list[dict]:
+    """Stripe-level column metadata merged across row chunks — for stats
+    pruning and codec/size metrics ONLY (stream offsets live per chunk;
+    these merged entries carry aggregated sizes and min/max envelopes)."""
+    out = []
+    for i in range(len(per_chunk[0])):
+        metas = [chunk[i] for chunk in per_chunk]
+        streams: dict = {}
+        for m in metas:
+            for k, s in m["streams"].items():
+                agg = streams.setdefault(
+                    k,
+                    {"codec": s.get("codec"), "outer": s.get("outer"), "size": 0, "pre_outer_size": 0},
+                )
+                agg["size"] += s.get("size", 0)
+                agg["pre_outer_size"] += s.get("pre_outer_size", 0)
+        stats: dict = {}
+        st_list = [m.get("stats", {}) for m in metas]
+        mins = [s.get("min") for s in st_list]
+        maxs = [s.get("max") for s in st_list]
+        stats["min"] = None if any(v is None for v in mins) else min(mins)
+        stats["max"] = None if any(v is None for v in maxs) else max(maxs)
+        stats["n"] = sum(s.get("n", 0) for s in st_list)
+        stats["null_count"] = sum(s.get("null_count", 0) for s in st_list)
+        out.append(
+            {
+                "path": metas[0]["path"],
+                "enc": metas[0]["enc"],
+                "n": sum(m["n"] for m in metas),
+                "null_count": sum(m["null_count"] for m in metas),
+                "streams": streams,
+                "stats": stats,
+                "merged": True,  # decode must use the per-chunk metas
+            }
+        )
+    return out
+
+
 def encode_table(
-    table: pa.Table, state: EncoderState | None = None, outer_codec: int = outer.ZSTD
+    table: pa.Table,
+    state: EncoderState | None = None,
+    outer_codec: int = outer.ZSTD,
+    chunk_bytes: int | None = CHUNK_BYTES,
 ) -> bytes:
-    """Encode a pyarrow Table into one self-describing stripe blob."""
+    """Encode a pyarrow Table into one self-describing stripe blob.
+    Tables above ``chunk_bytes`` raw are laid out as independently
+    decodable row chunks (footer key ``chunks``); pass ``chunk_bytes=None``
+    to force a single chunk."""
     table = table.combine_chunks()
-    parts: list[bytes] = [MAGIC]
-    pos = len(MAGIC)
-    columns_meta = []
+    n_rows = table.num_rows
+    n_chunks = 1
+    if chunk_bytes and table.nbytes > chunk_bytes and n_rows > 1:
+        n_chunks = min(-(-table.nbytes // chunk_bytes), n_rows)
+    rows_per = -(-n_rows // n_chunks) if n_chunks > 1 else n_rows
+
+    # densify dictionary input once (dict encoding is re-chosen per stripe
+    # by the E9 trial); footer schema records the value type
+    cols: dict[str, pa.Array] = {}
     fields = []
     for name in table.column_names:
         col = table.column(name)
         if isinstance(col, pa.ChunkedArray):
             col = pa.concat_arrays(col.chunks) if col.num_chunks else pa.array([], type=col.type)
         if pa.types.is_dictionary(col.type):
-            # dictionary-typed INPUT is densified at ingest (dict encoding
-            # is re-chosen per stripe by the E9 trial); footer schema
-            # records the value type so decode round-trips consistently
             col = col.cast(col.type.value_type)
         fields.append(pa.field(name, col.type))
-        cmeta, blobs = encode_column(col, name, state)
-        for smeta, payload in blobs:
-            framed_parts = outer.compress_auto(payload, outer_codec)
-            framed_len = sum(len(p) for p in framed_parts)
-            smeta["offset"] = pos
-            smeta["size"] = framed_len
-            smeta["pre_outer_size"] = len(memoryview(payload).cast("B"))
-            smeta["outer"] = outer.outer_name(framed_parts[0][0])
-            parts.extend(framed_parts)
-            pos += framed_len
-        columns_meta.append(cmeta)
+        cols[name] = col
+
+    parts: list[bytes] = [MAGIC]
+    pos = len(MAGIC)
+    chunks_meta = []
+    for ci in range(n_chunks):
+        row_start = ci * rows_per
+        n_c = min(rows_per, n_rows - row_start) if n_chunks > 1 else n_rows
+        columns_meta = []
+        for name in table.column_names:
+            col = cols[name] if n_chunks == 1 else cols[name].slice(row_start, n_c)
+            cmeta, blobs = encode_column(col, name, state)
+            for smeta, payload in blobs:
+                framed_parts = outer.compress_auto(payload, outer_codec)
+                framed_len = sum(len(p) for p in framed_parts)
+                smeta["offset"] = pos
+                smeta["size"] = framed_len
+                smeta["pre_outer_size"] = len(memoryview(payload).cast("B"))
+                smeta["outer"] = outer.outer_name(framed_parts[0][0])
+                parts.extend(framed_parts)
+                pos += framed_len
+            columns_meta.append(cmeta)
+        chunks_meta.append({"row_start": row_start, "n_rows": n_c, "columns": columns_meta})
     schema = pa.schema(fields, metadata=table.schema.metadata)
     footer = {
         "format": FORMAT,
-        "n_rows": table.num_rows,
+        "n_rows": n_rows,
         "schema_b64": base64.b64encode(schema.serialize().to_pybytes()).decode(),
-        "columns": columns_meta,
+        "columns": chunks_meta[0]["columns"] if n_chunks == 1 else _merge_chunk_cmetas(
+            [c["columns"] for c in chunks_meta]
+        ),
     }
+    if n_chunks > 1:
+        footer["chunks"] = chunks_meta
     fbytes = json.dumps(footer, separators=(",", ":")).encode()
     parts.append(fbytes)
     parts.append(struct.pack("<I", len(fbytes)))
@@ -689,18 +760,48 @@ def _list_value_type(dtype: pa.DataType) -> pa.DataType:
     return dtype.value_type
 
 
+def n_chunks_of(footer: dict) -> int:
+    return len(footer["chunks"]) if "chunks" in footer else 1
+
+
 def _decode_from(
     footer: dict,
     blob,
     columns: list[str] | None,
     unified_schema: pa.Schema | None = None,
+    chunk_range: tuple[int, int] | None = None,
 ) -> pa.Table:
     """``unified_schema`` (the directory-wide merged schema from
     stripes_schema) makes schema-evolved directories decode consistently:
     requested columns absent from THIS stripe's footer are null-filled to
     the unified type instead of silently dropped, and a column unknown to
     both the footer and the unified schema raises (misspelling guard —
-    ADVICE r1, low)."""
+    ADVICE r1, low). ``chunk_range=(lo, hi)`` decodes only row chunks
+    [lo, hi) of a chunked stripe — the parallel-split decode path."""
+    if "chunks" in footer:
+        chunks = footer["chunks"]
+        lo, hi = chunk_range if chunk_range is not None else (0, len(chunks))
+        tabs = [
+            _decode_from(
+                {
+                    "schema_b64": footer["schema_b64"],
+                    "n_rows": ch["n_rows"],
+                    "columns": ch["columns"],
+                },
+                blob,
+                columns,
+                unified_schema,
+            )
+            for ch in chunks[lo:hi]
+        ]
+        return pa.concat_tables(tabs) if tabs else _decode_from(
+            {"schema_b64": footer["schema_b64"], "n_rows": 0, "columns": []},
+            blob,
+            columns,
+            unified_schema,
+        )
+    if chunk_range is not None and chunk_range != (0, 1):
+        raise IndexError(f"chunk_range {chunk_range} on a single-chunk stripe")
     schema = pa.ipc.read_schema(pa.py_buffer(base64.b64decode(footer["schema_b64"])))
     by_name = {c["path"]: c for c in footer["columns"]}
     if columns is not None:
@@ -739,25 +840,29 @@ def decode_table(
     blob: bytes,
     columns: list[str] | None = None,
     unified_schema: pa.Schema | None = None,
+    chunk_range: tuple[int, int] | None = None,
 ) -> pa.Table:
     """Decode a stripe blob; ``columns`` prunes decoding to the requested
     top-level columns (projection pushdown, S5)."""
-    return _decode_from(read_footer(blob), blob, columns, unified_schema)
+    return _decode_from(read_footer(blob), blob, columns, unified_schema, chunk_range)
 
 
 def decode_file(
     path: str,
     columns: list[str] | None = None,
     unified_schema: pa.Schema | None = None,
+    chunk_range: tuple[int, int] | None = None,
 ) -> pa.Table:
     """Decode straight from a stripe file: footer via tail read, then
-    ranged reads of only the projected columns' streams (S5 + S8).
+    ranged reads of only the projected columns' streams (S5 + S8) — and,
+    with ``chunk_range``, only the selected row chunks' streams, so a
+    split task reads a bounded byte range of an oversized stripe.
     ``path`` may be local or any pyarrow.fs URI."""
     from . import io as dio
 
     footer = read_footer_from_file(path)
     src = dio.RangedReader(path)
     try:
-        return _decode_from(footer, src, columns, unified_schema)
+        return _decode_from(footer, src, columns, unified_schema, chunk_range)
     finally:
         src.close()
