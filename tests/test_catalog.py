@@ -70,3 +70,39 @@ def test_catalog_sql(ray_session, tmp_path):
     # projection-only query works too
     n = cat.sql("SELECT count(*) AS n FROM mytbl").column("n")[0].as_py()
     assert n == 6
+
+
+def test_catalog_sql_projection_pushdown(encoded_dir, monkeypatch):
+    """A single-column SQL query decodes only that column (S5 through the
+    SQL surface, VERDICT r2 missing #2): the scan is created with
+    columns=[...], and the result matches the full-width answer."""
+    out, wt = encoded_dir
+    cat = Catalog()
+    cat.register_stripes("webtext", out)
+    seen: dict[str, list | None] = {}
+    orig = Catalog.table
+
+    def spy(self, name, columns=None):
+        seen[name] = columns
+        return orig(self, name, columns=columns)
+
+    monkeypatch.setattr(Catalog, "table", spy)
+    langs = set(wt.column("lang").to_pylist())
+    res = cat.sql("SELECT count(DISTINCT lang) AS n FROM webtext")
+    assert seen["webtext"] == ["lang"]
+    assert res.column("n")[0].as_py() == len(langs - {None})  # SQL skips NULL
+    # two columns referenced -> exactly those two
+    seen.clear()
+    res2 = cat.sql("SELECT lang, max(url) AS mx FROM webtext GROUP BY lang ORDER BY lang")
+    assert sorted(seen["webtext"]) == ["lang", "url"]
+    assert res2.num_rows == len(langs)  # GROUP BY keeps the NULL group
+    # count(*) needs only one stream, never full width
+    seen.clear()
+    n = cat.sql("SELECT count(*) AS n FROM webtext").column("n")[0].as_py()
+    assert n == wt.num_rows
+    assert seen["webtext"] is not None and len(seen["webtext"]) == 1
+    # star expansion falls back to full width and stays correct
+    seen.clear()
+    full = cat.sql("SELECT * FROM webtext ORDER BY url LIMIT 3")
+    assert seen["webtext"] is None
+    assert full.column_names == list(wt.schema.names)
