@@ -302,11 +302,21 @@ def encode_clustered(
             ["rstp_shard" if c == "__shard" else c for c in b.column_names]
         )
 
-    sharded.map_batches(_rename_shard, batch_format="pyarrow").write_parquet(
-        spill, partition_cols=["rstp_shard"]
-    )
+    # coalesce writers BEFORE the hive write: each write task emits one
+    # file per shard value it sees, so files ~= write_tasks x shards —
+    # with per-block writers the read-back pays ~2 ms/file of metadata on
+    # thousands of shard-fragments (measured 8.5 s of a 11 s encode pass
+    # at sf0.1); 8 writers cut the file count 4x at no write-bandwidth
+    # cost (the pass is bus-bound, not CPU-bound)
+    n_writers = max(8, _cluster_cpus() // 4)
+    sharded.repartition(n_writers).map_batches(
+        _rename_shard, batch_format="pyarrow"
+    ).write_parquet(spill, partition_cols=["rstp_shard"])
     batch_rows = _rows_for_target_bytes(spill, rows_per_stripe, target_stripe_bytes)
-    spilled = ray.data.read_parquet(spill)
+    # shard-fragment files are small; force fine read splits so the
+    # second pass decodes parquet at full width (measured 4.1 s -> 2.4 s
+    # at sf0.1 x 32 CPUs with 4x-cpu blocks)
+    spilled = ray.data.read_parquet(spill, override_num_blocks=4 * _cluster_cpus())
     return spilled.map_batches(
         _ClusteredBatchEncoder,
         fn_constructor_kwargs={"out_dir": out_dir, "key": "rstp_shard", "salt_col": salt_col},
