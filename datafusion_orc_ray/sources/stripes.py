@@ -173,46 +173,18 @@ def read_stripes(
     return ray.data.read_datasource(src, concurrency=concurrency)
 
 
-_OPS = {
-    "<": lambda mn, mx, v: mn is None or mn < v,
-    "<=": lambda mn, mx, v: mn is None or mn <= v,
-    ">": lambda mn, mx, v: mx is None or mx > v,
-    ">=": lambda mn, mx, v: mx is None or mx >= v,
-    "==": lambda mn, mx, v: (mn is None or mn <= v) and (mx is None or mx >= v),
-}
-
-
-def _epoch_int(val, unit: str) -> int:
-    """Predicate value -> the epoch-integer representation the footer
-    stats use for temporal columns (stripe._stats stores epoch ints, not
-    str(), so datetime predicates compare without TypeError)."""
-    import pyarrow as pa
-
-    if unit == "date32":
-        return pa.scalar(val, pa.date32()).cast(pa.int32()).as_py()
-    if unit == "date64":
-        return pa.scalar(val, pa.date64()).cast(pa.int64()).as_py()
-    return pa.scalar(val, pa.timestamp(unit)).cast(pa.int64()).as_py()
-
-
 def _stats_may_match(entry: dict, predicate: tuple[str, str, object]) -> bool:
     """False only when the stripe PROVABLY has no matching row. min/max are
     exact; min_bound/max_bound are safe outer bounds for truncated string
     stats (a truncated max is never a plain prefix — see stripe._inc_prefix).
-    Any conversion/comparison failure means 'cannot prune'."""
+    Any conversion/comparison failure means 'cannot prune'. The same core
+    (stripe.stats_may_match) also prunes per-ROW-CHUNK inside the decoder."""
     import json
+
+    from .. import stripe as stripe_mod
 
     col, op, val = predicate
     for c in json.loads(entry.get("columns_json", "[]")):
         if c["path"] == col:
-            st = c.get("stats", {})
-            mn = st.get("min", st.get("min_bound"))
-            mx = st.get("max", st.get("max_bound"))
-            unit = st.get("temporal_unit")
-            try:
-                if unit is not None and not isinstance(val, int):
-                    val = _epoch_int(val, unit)
-                return _OPS[op](mn, mx, val)
-            except (TypeError, ValueError, OverflowError):
-                return True  # incomparable stat/value -> cannot prune
+            return stripe_mod.stats_may_match(c.get("stats", {}), op, val)
     return True  # unknown column/stats -> cannot prune

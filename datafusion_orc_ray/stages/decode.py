@@ -45,12 +45,13 @@ def make_stripe_decoder(
         his = batch.column("chunk_hi").to_pylist() if has_range else [None] * batch.num_rows
         for path, lo, hi in zip(batch.column("path").to_pylist(), los, his):
             chunk_range = (lo, hi) if lo is not None else None
-            if read_cols is not None or chunk_range is not None:
-                # projected / split: ranged reads of just the selected
-                # streams (and only the selected row chunks)
+            if read_cols is not None or chunk_range is not None or predicate is not None:
+                # projected / split / filtered: ranged reads of just the
+                # selected streams, only the selected row chunks, and only
+                # chunks whose stats may match (row-group skipping)
                 t = stripe.decode_file(
                     path, columns=read_cols, unified_schema=unified_schema,
-                    chunk_range=chunk_range,
+                    chunk_range=chunk_range, predicate=predicate,
                 )
             else:
                 from .. import io as dio

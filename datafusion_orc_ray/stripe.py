@@ -480,14 +480,24 @@ def _merge_chunk_cmetas(per_chunk: list[list[dict]]) -> list[dict]:
                 )
                 agg["size"] += s.get("size", 0)
                 agg["pre_outer_size"] += s.get("pre_outer_size", 0)
-        stats: dict = {}
         st_list = [m.get("stats", {}) for m in metas]
-        mins = [s.get("min") for s in st_list]
-        maxs = [s.get("max") for s in st_list]
-        stats["min"] = None if any(v is None for v in mins) else min(mins)
-        stats["max"] = None if any(v is None for v in maxs) else max(maxs)
-        stats["n"] = sum(s.get("n", 0) for s in st_list)
-        stats["null_count"] = sum(s.get("null_count", 0) for s in st_list)
+        stats: dict = {
+            "n": sum(s.get("n", 0) for s in st_list),
+            "null_count": sum(s.get("null_count", 0) for s in st_list),
+        }
+        # merge bounds: an exact min/max merged with a safe bound stays a
+        # safe bound; any missing side disables that side's pruning
+        mins = [s.get("min", s.get("min_bound")) for s in st_list]
+        maxs = [s.get("max", s.get("max_bound")) for s in st_list]
+        if not any(v is None for v in mins):
+            key = "min" if all("min" in s and s["min"] is not None for s in st_list) else "min_bound"
+            stats[key] = min(mins)
+        if not any(v is None for v in maxs):
+            key = "max" if all("max" in s and s["max"] is not None for s in st_list) else "max_bound"
+            stats[key] = max(maxs)
+        units = {s.get("temporal_unit") for s in st_list} - {None}
+        if len(units) == 1:
+            stats["temporal_unit"] = units.pop()
         out.append(
             {
                 "path": metas[0]["path"],
@@ -764,12 +774,43 @@ def n_chunks_of(footer: dict) -> int:
     return len(footer["chunks"]) if "chunks" in footer else 1
 
 
+_STAT_OPS = {
+    "<": lambda mn, mx, v: mn is None or mn < v,
+    "<=": lambda mn, mx, v: mn is None or mn <= v,
+    ">": lambda mn, mx, v: mx is None or mx > v,
+    ">=": lambda mn, mx, v: mx is None or mx >= v,
+    "==": lambda mn, mx, v: (mn is None or mn <= v) and (mx is None or mx >= v),
+}
+
+
+def stats_may_match(st: dict, op: str, val) -> bool:
+    """False only when stats PROVE no row matches (min/max exact;
+    min_bound/max_bound safe outer bounds for truncated strings; temporal
+    stats stored as epoch ints — datetime predicate values convert).
+    Any conversion/comparison failure means 'cannot prune'."""
+    mn = st.get("min", st.get("min_bound"))
+    mx = st.get("max", st.get("max_bound"))
+    unit = st.get("temporal_unit")
+    try:
+        if unit is not None and not isinstance(val, int):
+            if unit == "date32":
+                val = pa.scalar(val, pa.date32()).cast(pa.int32()).as_py()
+            elif unit == "date64":
+                val = pa.scalar(val, pa.date64()).cast(pa.int64()).as_py()
+            else:
+                val = pa.scalar(val, pa.timestamp(unit)).cast(pa.int64()).as_py()
+        return _STAT_OPS[op](mn, mx, val)
+    except (TypeError, ValueError, OverflowError, KeyError):
+        return True
+
+
 def _decode_from(
     footer: dict,
     blob,
     columns: list[str] | None,
     unified_schema: pa.Schema | None = None,
     chunk_range: tuple[int, int] | None = None,
+    predicate: tuple[str, str, object] | None = None,
 ) -> pa.Table:
     """``unified_schema`` (the directory-wide merged schema from
     stripes_schema) makes schema-evolved directories decode consistently:
@@ -777,10 +818,24 @@ def _decode_from(
     the unified type instead of silently dropped, and a column unknown to
     both the footer and the unified schema raises (misspelling guard —
     ADVICE r1, low). ``chunk_range=(lo, hi)`` decodes only row chunks
-    [lo, hi) of a chunked stripe — the parallel-split decode path."""
+    [lo, hi) of a chunked stripe — the parallel-split decode path.
+    ``predicate`` prunes chunks whose per-chunk column stats prove no
+    match (ORC row-group-index skipping at chunk granularity; the caller
+    still applies the residual row filter)."""
     if "chunks" in footer:
         chunks = footer["chunks"]
         lo, hi = chunk_range if chunk_range is not None else (0, len(chunks))
+        picked = chunks[lo:hi]
+        if predicate is not None:
+            col, op, val = predicate
+
+            def chunk_may_match(ch: dict) -> bool:
+                for c in ch["columns"]:
+                    if c["path"] == col:
+                        return stats_may_match(c.get("stats", {}), op, val)
+                return True  # unknown column -> cannot prune
+
+            picked = [ch for ch in picked if chunk_may_match(ch)]
         tabs = [
             _decode_from(
                 {
@@ -792,14 +847,18 @@ def _decode_from(
                 columns,
                 unified_schema,
             )
-            for ch in chunks[lo:hi]
+            for ch in picked
         ]
-        return pa.concat_tables(tabs) if tabs else _decode_from(
-            {"schema_b64": footer["schema_b64"], "n_rows": 0, "columns": []},
-            blob,
-            columns,
-            unified_schema,
-        )
+        if tabs:
+            return pa.concat_tables(tabs)
+        # every chunk pruned: empty table with the right projected schema
+        schema = pa.ipc.read_schema(pa.py_buffer(base64.b64decode(footer["schema_b64"])))
+        base = unified_schema if unified_schema is not None else schema
+        wanted = columns if columns is not None else list(base.names)
+        fields = [
+            base.field(n) if n in base.names else schema.field(n) for n in wanted
+        ]
+        return pa.schema(fields).empty_table()
     if chunk_range is not None and chunk_range != (0, 1):
         raise IndexError(f"chunk_range {chunk_range} on a single-chunk stripe")
     schema = pa.ipc.read_schema(pa.py_buffer(base64.b64decode(footer["schema_b64"])))
@@ -841,10 +900,15 @@ def decode_table(
     columns: list[str] | None = None,
     unified_schema: pa.Schema | None = None,
     chunk_range: tuple[int, int] | None = None,
+    predicate: tuple[str, str, object] | None = None,
 ) -> pa.Table:
     """Decode a stripe blob; ``columns`` prunes decoding to the requested
-    top-level columns (projection pushdown, S5)."""
-    return _decode_from(read_footer(blob), blob, columns, unified_schema, chunk_range)
+    top-level columns (projection pushdown, S5); ``predicate`` skips row
+    chunks whose stats prove no match (row-group skipping — the caller
+    still applies the residual row filter)."""
+    return _decode_from(
+        read_footer(blob), blob, columns, unified_schema, chunk_range, predicate
+    )
 
 
 def decode_file(
@@ -852,6 +916,7 @@ def decode_file(
     columns: list[str] | None = None,
     unified_schema: pa.Schema | None = None,
     chunk_range: tuple[int, int] | None = None,
+    predicate: tuple[str, str, object] | None = None,
 ) -> pa.Table:
     """Decode straight from a stripe file: footer via tail read, then
     ranged reads of only the projected columns' streams (S5 + S8) — and,
@@ -863,6 +928,8 @@ def decode_file(
     footer = read_footer_from_file(path)
     src = dio.RangedReader(path)
     try:
-        return _decode_from(footer, src, columns, unified_schema, chunk_range)
+        return _decode_from(
+            footer, src, columns, unified_schema, chunk_range, predicate
+        )
     finally:
         src.close()

@@ -232,3 +232,42 @@ def test_chunked_stripe_file_ranged_decode(tmp_path):
     ch0 = footer["chunks"][0]
     ch0_bytes = sum(s["size"] for c in ch0["columns"] for s in c["streams"].values())
     assert ch0_bytes < len(blob) / 2
+
+
+def test_chunk_level_predicate_pruning(tmp_path):
+    """Row-group-style skipping (reference rowIndexStride parity): a
+    predicate decodes only the chunks whose stats may match, with
+    bounded IO, and the merged stripe-level stats stay prunable."""
+    from datafusion_orc_ray import io as dio
+
+    n = 12000
+    t = pa.table({"a": pa.array(range(n), pa.int64()),
+                  "s": pa.array([f"pad-{i%7}" * 20 for i in range(n)])})
+    blob = stripe.encode_table(t, chunk_bytes=t.nbytes // 6)
+    footer = stripe.read_footer(blob)
+    k = stripe.n_chunks_of(footer)
+    assert k >= 6
+    # merged stats survive bound-merging
+    by = {c["path"]: c for c in footer["columns"]}
+    assert by["a"]["stats"]["min"] == 0 and by["a"]["stats"]["max"] == n - 1
+    # predicate hitting only the last chunk
+    cut = n - n // k // 2
+    got = stripe.decode_table(blob, predicate=("a", ">=", cut))
+    # chunk pruning is conservative: superset of matching rows, residual
+    # filter is the caller's job — but never MORE than one chunk's worth
+    assert got.num_rows <= -(-n // k)
+    assert min(got.column("a").to_pylist()) <= cut
+    assert max(got.column("a").to_pylist()) == n - 1
+    # ranged-file variant reads only the surviving chunks' bytes
+    p = str(tmp_path / "c.rstp")
+    open(p, "wb").write(blob)
+    src = dio.RangedReader(p)
+    out = stripe._decode_from(stripe.read_footer_from_file(p), src, None,
+                              predicate=("a", ">=", cut))
+    bytes_read = src.bytes_read
+    src.close()
+    assert out.num_rows == got.num_rows
+    assert bytes_read < len(blob) / 3
+    # fully-pruned predicate yields an empty, schema-correct table
+    none = stripe.decode_table(blob, columns=["s"], predicate=("a", ">", n * 2))
+    assert none.num_rows == 0 and none.column_names == ["s"]
