@@ -57,8 +57,13 @@ class Catalog:
     def schema(self, name: str):
         return stripes_schema(self._tables[name])
 
-    def table(self, name: str, columns: list[str] | None = None) -> ray.data.Dataset:
-        return read_stripes(self._tables[name], columns=columns)
+    def table(
+        self,
+        name: str,
+        columns: list[str] | None = None,
+        predicate: tuple[str, str, object] | None = None,
+    ) -> ray.data.Dataset:
+        return read_stripes(self._tables[name], columns=columns, predicate=predicate)
 
     def names(self) -> list[str]:
         return sorted(self._tables)
@@ -105,6 +110,79 @@ class Catalog:
             return {name: None for name in referenced}
         return cols
 
+    _PUSHABLE_CONJUNCT = (
+        r"^\s*(?:(\w+)\.)?(\w+)\s*(<=|>=|==|=|<|>)\s*"
+        r"('(?:[^']*)'|-?\d+(?:\.\d+)?)\s*$"
+    )
+
+    def _resolve_filter_pushdown(self, query: str, referenced, schemas):
+        """One (col, op, literal) predicate per table extracted from the
+        query's WHERE clause for stats-driven stripe/chunk pruning.
+
+        Pushing a conjunct below the scan is only sound when that
+        conjunct provably applies to EVERY use of the table, so this is
+        deliberately conservative — all of the following must hold, else
+        nothing is pushed for anything:
+        * exactly one WHERE in the whole query (no subquery/HAVING WHEREs)
+        * no OR / NOT / BETWEEN / UNION / EXCEPT / INTERSECT and no outer
+          joins (a pushed filter under a LEFT JOIN's null-supplied side
+          changes results)
+        * each table referenced exactly once
+        * a conjunct is pushed only when its column belongs to exactly
+          ONE referenced table, and the literal's kind matches the column
+          type (numbers -> numeric columns, strings -> string columns;
+          temporal columns are never pushed)
+        The pruning itself is conservative too (superset of matching
+        stripes/chunks + a residual row filter), and DuckDB re-applies
+        the full WHERE — so a pushed conjunct can only reduce IO, never
+        change the answer."""
+        import re
+
+        none = {name: None for name in referenced}
+        q = query
+        wheres = re.findall(r"(?i)\bwhere\b", q)
+        if len(wheres) != 1:
+            return none
+        if re.search(
+            r"(?i)\b(or|not|between|union|except|intersect|left|right|full|outer)\b", q
+        ):
+            return none
+        for name in referenced:
+            if len(re.findall(rf"\b{re.escape(name)}\b", q)) != 1:
+                return none
+        m = re.search(
+            r"(?is)\bwhere\b(.*?)(\bgroup\b|\border\b|\blimit\b|\bhaving\b|\bwindow\b|$)",
+            q,
+        )
+        if not m:
+            return none
+        out = dict(none)
+        for conj in re.split(r"(?i)\band\b", m.group(1)):
+            cm = re.match(self._PUSHABLE_CONJUNCT, conj)
+            if not cm:
+                continue
+            qual, col, op, lit = cm.groups()
+            owners = [n for n in referenced if col in schemas[n].names]
+            if len(owners) != 1:
+                continue
+            name = owners[0]
+            if qual is not None and qual != name:
+                continue  # alias-qualified: can't verify the alias binding
+            ctype = schemas[name].field(col).type
+            import pyarrow as pa
+
+            if lit.startswith("'"):
+                if not (pa.types.is_string(ctype) or pa.types.is_large_string(ctype)):
+                    continue
+                val: object = lit[1:-1]
+            else:
+                if not (pa.types.is_integer(ctype) or pa.types.is_floating(ctype)):
+                    continue
+                val = float(lit) if "." in lit else int(lit)
+            if out[name] is None:  # read_stripes takes one predicate
+                out[name] = (col, "==" if op in ("=", "==") else op, val)
+        return out
+
     def sql(self, query: str):
         """SQL over registered stripe tables (the reference's headline UX:
         ``register_orc`` -> DataFusion SQL, src/lib.rs:107-169). Tables
@@ -126,10 +204,14 @@ class Catalog:
             name for name in self._tables if re.search(rf"\b{re.escape(name)}\b", query)
         ]
         projections = self._resolve_projections(query, referenced)
+        schemas = {name: stripes_schema(self._tables[name]) for name in referenced}
+        predicates = self._resolve_filter_pushdown(query, referenced, schemas)
         con = duckdb.connect()
         readers = []  # keep referenced readers alive until fetch
         for name in referenced:
-            reader = _dataset_reader(self.table(name, columns=projections[name]))
+            reader = _dataset_reader(
+                self.table(name, columns=projections[name], predicate=predicates[name])
+            )
             readers.append(reader)
             con.register(name, reader)
         try:

@@ -82,9 +82,9 @@ def test_catalog_sql_projection_pushdown(encoded_dir, monkeypatch):
     seen: dict[str, list | None] = {}
     orig = Catalog.table
 
-    def spy(self, name, columns=None):
+    def spy(self, name, columns=None, predicate=None):
         seen[name] = columns
-        return orig(self, name, columns=columns)
+        return orig(self, name, columns=columns, predicate=predicate)
 
     monkeypatch.setattr(Catalog, "table", spy)
     langs = set(wt.column("lang").to_pylist())
@@ -106,3 +106,42 @@ def test_catalog_sql_projection_pushdown(encoded_dir, monkeypatch):
     full = cat.sql("SELECT * FROM webtext ORDER BY url LIMIT 3")
     assert seen["webtext"] is None
     assert full.column_names == list(wt.schema.names)
+
+
+def test_catalog_sql_filter_pushdown(ray_session, tmp_path, monkeypatch):
+    """A simple WHERE conjunct becomes a scan predicate (stats pruning +
+    residual filter); unsafe shapes (OR, double WHERE, outer joins,
+    repeated table) push nothing; results always match DuckDB's answer."""
+    t = pa.table(
+        {
+            "k": pa.array(["a", "b", "a", "c", "b", "a"]),
+            "v": pa.array([1.0, 2.0, 3.0, 4.0, 5.0, 6.0]),
+        }
+    )
+    pq.write_table(t, f"{tmp_path}/t.parquet", row_group_size=2)
+    ep.encode_parquet(f"{tmp_path}/t.parquet", f"{tmp_path}/enc", concurrency=1).take_all()
+    cat = Catalog()
+    cat.register_stripes("ft", f"{tmp_path}/enc")
+    seen = {}
+    orig = Catalog.table
+
+    def spy(self, name, columns=None, predicate=None):
+        seen[name] = predicate
+        return orig(self, name, columns=columns, predicate=predicate)
+
+    monkeypatch.setattr(Catalog, "table", spy)
+    out = cat.sql("SELECT k, v FROM ft WHERE v >= 4 ORDER BY v")
+    assert seen["ft"] == ("v", ">=", 4)
+    assert out.column("v").to_pylist() == [4.0, 5.0, 6.0]
+    # string equality pushes too
+    out2 = cat.sql("SELECT sum(v) AS s FROM ft WHERE k = 'a'")
+    assert seen["ft"] == ("k", "==", "a")
+    assert out2.column("s")[0].as_py() == 10.0
+    # conjunct with extra unpushable condition still pushes the safe one
+    out3 = cat.sql("SELECT count(*) AS n FROM ft WHERE v > 1 AND k || 'x' = 'ax'")
+    assert seen["ft"] == ("v", ">", 1)
+    assert out3.column("n")[0].as_py() == 2
+    # OR disables pushdown but the answer is still right
+    out4 = cat.sql("SELECT count(*) AS n FROM ft WHERE v > 5 OR k = 'c'")
+    assert seen["ft"] is None
+    assert out4.column("n")[0].as_py() == 2
