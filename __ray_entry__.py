@@ -587,6 +587,24 @@ def _fingerprints(sf_dir: str):
     return tx.fingerprints(_ds(sf_dir, "documents", ["doc_id", "text"]))
 
 
+def _pii_redact_documents(sf_dir: str):
+    """PII scrub: emails then phone-like runs -> typed placeholders (two
+    vectorized RE2 passes; DuckDB runs the same patterns)."""
+    from datafusion_orc_ray.pipelines import text as tx
+
+    return tx.pii_redact(_ds(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def _pack_sequences_documents(sf_dir: str):
+    """Per-lang greedy sequence packing into 2048-token bins (cumulative
+    fill in doc_id order — distributed via the running-total machinery)."""
+    from datafusion_orc_ray.pipelines import text as tx
+
+    return tx.pack_sequences(
+        _ds(sf_dir, "documents", ["doc_id", "lang", "text"]), capacity=2048
+    )
+
+
 def _ann_ivf(sf_dir: str):
     from datafusion_orc_ray.pipelines import similarity as sim
 
@@ -701,6 +719,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_documents": _simhash,
         "langid_documents": _langid,
         "fingerprint_documents": _fingerprints,
+        "pii_redact_documents": _pii_redact_documents,
+        "pack_sequences_documents": _pack_sequences_documents,
         "ann_ivf_embeddings": _ann_ivf,
         "near_dup_embeddings": _near_dup_embeddings,
         "media_features_documents": _media_features,
@@ -763,8 +783,29 @@ SELECT doc_id, NULL AS fingerprint FROM documents WHERE text IS NULL
 """
 
 
+def _pii_oracle_sql() -> str:
+    from datafusion_orc_ray.pipelines.text import EMAIL_RE, PHONE_RE
+
+    return (
+        "SELECT doc_id, regexp_replace(regexp_replace(text, "
+        f"'{EMAIL_RE}', '<EMAIL>', 'g'), '{PHONE_RE}', '<PHONE>', 'g') AS redacted "
+        "FROM documents"
+    )
+
+
+_PACK_ORACLE_SQL = (
+    "SELECT doc_id, lang, len(regexp_extract_all(text, '\\S+')) AS n_tok, "
+    "CAST(floor((sum(len(regexp_extract_all(text, '\\S+'))) "
+    "OVER (PARTITION BY lang ORDER BY doc_id) "
+    "- len(regexp_extract_all(text, '\\S+'))) / 2048.0) AS BIGINT) AS bin "
+    "FROM documents"
+)
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "pii_redact_documents": _pii_oracle_sql(),
+        "pack_sequences_documents": _PACK_ORACLE_SQL,
         "langid_documents": _langid_oracle_sql(),
         "fingerprint_documents": _FINGERPRINT_ORACLE_SQL,
         "near_dup_embeddings": (

@@ -358,3 +358,73 @@ def fingerprints(ds: ray.data.Dataset) -> ray.data.Dataset:
         )
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# RE2-safe patterns shared verbatim with the DuckDB oracle (both engines
+# run RE2, so replacement results match byte-for-byte)
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?[0-9][0-9()\-\s]{6,}[0-9]"
+
+
+def pii_redact(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """doc_id, redacted — emails then phone-like digit runs replaced with
+    typed placeholders, two vectorized RE2 passes per batch (the standard
+    pre-training PII scrub shape; swap patterns per policy)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        red = pc.replace_substring_regex(batch.column("text"), EMAIL_RE, "<EMAIL>")
+        red = pc.replace_substring_regex(red, PHONE_RE, "<PHONE>")
+        return pa.table({"doc_id": batch.column("doc_id"), "redacted": red})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def pack_sequences(
+    ds: ray.data.Dataset,
+    key_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    capacity: int = 2048,
+) -> ray.data.Dataset:
+    """Greedy contiguous sequence packing for training batches: within
+    each ``key_col`` shard, documents in ``id_col`` order fill bins of
+    ``capacity`` tokens; ``bin`` = floor(tokens-before-me / capacity).
+    Distributed exactly like running_total (one key-hash shuffle, then a
+    vectorized per-bucket cumsum) — packing is sequential by definition,
+    so the shard key IS the parallelism unit; documents may straddle a
+    capacity boundary (cumulative-fill packing, the SQL-checkable
+    variant)."""
+    from .windows import running_total
+
+    def tok(batch: pa.Table) -> pa.Table:
+        n = pc.cast(
+            pc.fill_null(pc.count_substring_regex(batch.column(text_col), TOKEN_RE), 0),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                key_col: batch.column(key_col),
+                "n_tok": n,
+                "__null_text": pc.is_null(batch.column(text_col)),
+            }
+        )
+
+    counted = ds.map_batches(tok, batch_format="pyarrow")
+    rt = running_total(counted, key_col, id_col, "n_tok", out_col="__run")
+
+    def binize(batch: pa.Table) -> pa.Table:
+        run = batch.column("__run").to_numpy(zero_copy_only=False)
+        n = batch.column("n_tok").to_numpy(zero_copy_only=False)
+        null_text = batch.column("__null_text").to_numpy(zero_copy_only=False)
+        bins = np.floor((run - n) / float(capacity)).astype(np.int64)
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                key_col: batch.column(key_col),
+                "n_tok": pa.array(np.where(null_text, 0, n), pa.int64(), mask=null_text),
+                "bin": pa.array(bins, pa.int64(), mask=null_text),
+            }
+        )
+
+    return rt.map_batches(binize, batch_format="pyarrow")

@@ -568,3 +568,39 @@ def test_probe_media_real_headers(ray_session):
     assert (rows[2]["channels"], rows[2]["sample_rate"]) == (2, 44100)
     assert (rows[3]["width"], rows[3]["height"]) == (800, 600)
     assert rows[4]["width"] is None and rows[5]["width"] is None
+
+
+def test_pii_redact_planted(ray_session):
+    import ray.data
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([
+            "reach me at jane.doe+spam@example.co.uk or call +1 (555) 123-4567 now",
+            "no pii here",
+            "a@b.io",
+        ]),
+    })
+    out = rel.collect(tx.pii_redact(ray.data.from_arrow(t))).sort_by("doc_id")
+    red = out.column("redacted").to_pylist()
+    assert red[0] == "reach me at <EMAIL> or call <PHONE> now"
+    assert red[1] == "no pii here"
+    assert red[2] == "<EMAIL>"
+
+
+def test_pack_sequences_bins(ray_session):
+    import ray.data
+
+    # lang 'en': token counts 3,3,3 with capacity 5 -> starts at tokens
+    # 0,3,6 -> bins 0,0,1; lang 'de': one 10-token doc -> bin 0
+    # (cumulative fill: documents may straddle a capacity boundary)
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "lang": pa.array(["en", "en", "en", "de"]),
+        "text": pa.array(["a b c", "d e f", "g h i", "1 2 3 4 5 6 7 8 9 10"]),
+    })
+    out = rel.collect(
+        tx.pack_sequences(ray.data.from_arrow(t), capacity=5)
+    ).sort_by("doc_id")
+    assert out.column("n_tok").to_pylist() == [3, 3, 3, 10]
+    assert out.column("bin").to_pylist() == [0, 0, 1, 0]
