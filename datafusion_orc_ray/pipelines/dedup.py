@@ -262,11 +262,11 @@ def minhash_candidate_pairs_ds(
     and run the identical bucketing vectorized on the driver instead.
     Past the gate, the distributed path shuffles constant-size rows and
     dedupes pairs without ever funnelling them through the driver."""
+    # instance (task-based): MinHasher's init is a seeded rng draw; a
+    # full actor pool costs more to start than the whole sf0.1 stage
+    kw = {"concurrency": concurrency} if concurrency else {}
     triples = ds.map_batches(
-        MinHasher,
-        fn_constructor_kwargs={"k": k, "bands": bands, "shingle": shingle},
-        batch_format="pyarrow",
-        concurrency=concurrency or default_concurrency(),
+        MinHasher(k=k, bands=bands, shingle=shingle), batch_format="pyarrow", **kw
     ).materialize()
     if triples.count() <= gate_rows:
         return ray.data.from_arrow(_pairs_from_triples(collect(triples)))
@@ -552,9 +552,11 @@ class SimHasher:
 
 
 def simhashes(ds: ray.data.Dataset, concurrency: int | None = None) -> ray.data.Dataset:
-    return ds.map_batches(
-        SimHasher, batch_format="pyarrow", concurrency=concurrency or default_concurrency()
-    )
+    # instance (task-based), not an actor pool: SimHasher's init is two
+    # tiny arrays, and a 30-actor pool costs ~0.7 s of spin-up that tasks
+    # (reused worker processes) never pay
+    kw = {"concurrency": concurrency} if concurrency else {}
+    return ds.map_batches(SimHasher(), batch_format="pyarrow", **kw)
 
 
 # ----------------------------------------- distributed connected components

@@ -345,11 +345,10 @@ def embedding_near_dup_pairs(
         }
     )
 
+    # instance (task-based): the hyperplanes are a small seeded draw
     sigged = ds.map_batches(
-        _HyperplaneLSH,
-        fn_constructor_kwargs={"dim": dim, "n_bits": n_bits, "n_tables": n_tables, "id_col": id_col},
+        _HyperplaneLSH(dim=dim, n_bits=n_bits, n_tables=n_tables, id_col=id_col),
         batch_format="pyarrow",
-        concurrency=default_concurrency(),
     ).materialize()
 
     if sigged.count() <= gate_rows:

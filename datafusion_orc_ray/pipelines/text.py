@@ -299,9 +299,9 @@ class LangId:
 def langid(ds: ray.data.Dataset, concurrency: int | None = None) -> ray.data.Dataset:
     from ..util import default_concurrency
 
-    return ds.map_batches(
-        LangId, batch_format="pyarrow", concurrency=concurrency or default_concurrency()
-    )
+    # instance (task-based): LangId's init just formats pattern strings
+    kw = {"concurrency": concurrency} if concurrency else {}
+    return ds.map_batches(LangId(), batch_format="pyarrow", **kw)
 
 
 _FP_BASE = np.uint64(1099511628211)  # FNV-ish multiplier for the rolling hash
