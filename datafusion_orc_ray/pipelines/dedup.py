@@ -355,15 +355,7 @@ def verify_pairs_jaccard(
     sh = ds.map_batches(
         _shingle_rows_fn(cand, shingle, out_id="doc_id"), batch_format="pyarrow"
     ).materialize()
-    sh_a = sh.map_batches(
-        lambda b: b.rename_columns(["doc_id_a", "sh_a"]), batch_format="pyarrow"
-    )
-    sh_b = sh.map_batches(
-        lambda b: b.rename_columns(["doc_id_b", "sh_b"]), batch_format="pyarrow"
-    )
-    pairs_ds = ray.data.from_arrow(pairs_tbl)
-    j1 = hash_join(pairs_ds, sh_a, "doc_id_a", "doc_id_a").materialize()
-    j2 = hash_join(j1, sh_b, "doc_id_b", "doc_id_b")
+    from .relational import _SMALL_PARTIALS
 
     def score(batch: pa.Table) -> pa.Table:
         # vectorized set-intersection across ALL pairs in the batch: decode
@@ -404,7 +396,26 @@ def verify_pairs_jaccard(
             }
         )
 
-    out = collect(j2.map_batches(score, batch_format="pyarrow"))
+    if sh.count() <= _SMALL_PARTIALS and pairs_tbl.num_rows <= _SMALL_PARTIALS:
+        # tiny candidate set: two Ray join pipelines cost ~1 s of fixed
+        # stage launches for milliseconds of work — join + score on the
+        # driver with the same Arrow kernels
+        sht = collect(sh)
+        j = pairs_tbl.join(
+            sht.rename_columns(["doc_id_a", "sh_a"]), "doc_id_a"
+        ).join(sht.rename_columns(["doc_id_b", "sh_b"]), "doc_id_b")
+        out = score(j.combine_chunks())
+    else:
+        sh_a = sh.map_batches(
+            lambda b: b.rename_columns(["doc_id_a", "sh_a"]), batch_format="pyarrow"
+        )
+        sh_b = sh.map_batches(
+            lambda b: b.rename_columns(["doc_id_b", "sh_b"]), batch_format="pyarrow"
+        )
+        pairs_ds = ray.data.from_arrow(pairs_tbl)
+        j1 = hash_join(pairs_ds, sh_a, "doc_id_a", "doc_id_a").materialize()
+        j2 = hash_join(j1, sh_b, "doc_id_b", "doc_id_b")
+        out = collect(j2.map_batches(score, batch_format="pyarrow"))
     if out.num_rows == 0:
         return empty
     return out.sort_by([("doc_id_a", "ascending"), ("doc_id_b", "ascending")])

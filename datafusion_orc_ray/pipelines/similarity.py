@@ -407,12 +407,6 @@ def embedding_near_dup_pairs(
 
         return fn
 
-    vecs_a = ds.map_batches(emb_as("a"), batch_format="pyarrow")
-    vecs_b = ds.map_batches(emb_as("b"), batch_format="pyarrow")
-    joined = hash_join(
-        hash_join(uniq, vecs_a, "id_a", "id_a"), vecs_b, "id_b", "id_b"
-    )
-
     def score(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return empty
@@ -428,7 +422,23 @@ def embedding_near_dup_pairs(
             }
         )
 
-    out = collect(joined.map_batches(score, batch_format="pyarrow"))
+    from .relational import _SMALL_PARTIALS
+
+    if sigged.count() <= gate_rows and uniq.count() <= _SMALL_PARTIALS:
+        # tiny candidate set (the signature gate already bounds the
+        # corpus here): two Ray join pipelines would cost ~1 s of fixed
+        # stage launches — join + score on the driver instead
+        vt = collect(ds.map_batches(emb_as("a"), batch_format="pyarrow"))
+        vtb = pa.table({"id_b": vt.column("id_a"), "emb_b": vt.column("emb_a")})
+        j = collect(uniq).join(vt, "id_a").join(vtb, "id_b")
+        out = score(j.combine_chunks())
+    else:
+        vecs_a = ds.map_batches(emb_as("a"), batch_format="pyarrow")
+        vecs_b = ds.map_batches(emb_as("b"), batch_format="pyarrow")
+        joined = hash_join(
+            hash_join(uniq, vecs_a, "id_a", "id_a"), vecs_b, "id_b", "id_b"
+        )
+        out = collect(joined.map_batches(score, batch_format="pyarrow"))
     if out.num_rows == 0 or "id_a" not in out.column_names:
         return empty
     return out.sort_by([("id_a", "ascending"), ("id_b", "ascending")])
