@@ -468,6 +468,38 @@ def encode_column(
     if pa.types.is_dictionary(t):
         return encode_column(arr.cast(t.value_type), path, state)
 
+    if pa.types.is_union(t):
+        # unions carry no top-level validity in Arrow; streams are the
+        # int8 type-code ids (+ int32 value offsets for dense), children
+        # encoded recursively. Dense children keep their full length
+        # (offsets index into them); sparse children are row-aligned.
+        dense = t.mode == "dense"
+        # read type codes / value offsets from the raw buffers with
+        # explicit offset slicing: the .type_codes/.offsets properties are
+        # NOT offset-adjusted on sliced arrays (they return the buffer
+        # head), which silently corrupts chunked encodes
+        tc = np.frombuffer(arr.buffers()[1], dtype=np.int8)[arr.offset : arr.offset + n]
+        tc_buf = encode_ints(tc.astype(np.int64))
+        _add(meta, blobs, DATA, {"codec": codec_name(tc_buf[0])}, tc_buf)
+        if dense:
+            offs_np = np.frombuffer(arr.buffers()[2], dtype=np.int32)[
+                arr.offset : arr.offset + n
+            ]
+            off_buf = encode_ints(offs_np.astype(np.int64))
+            _add(meta, blobs, EXTRA, {"codec": codec_name(off_buf[0])}, off_buf)
+        meta["enc"] = "union_dense" if dense else "union_sparse"
+        meta["children"] = []
+        for i, field in enumerate(t):
+            # field(i) IS offset-adjusted for sparse (row-aligned child)
+            # and returns the full child for dense (offsets index into it)
+            child = arr.field(i)
+            if not dense and len(child) != n:
+                child = child.slice(arr.offset, n)
+            child_meta, child_blobs = encode_column(child, path + "." + field.name, state)
+            meta["children"].append(child_meta)
+            blobs.extend(child_blobs)
+        return meta, blobs
+
     raise NotImplementedError(f"unsupported type {t} at {path}")
 
 
@@ -723,6 +755,27 @@ def decode_column(blob: bytes, cmeta: dict, dtype: pa.DataType) -> pa.Array:
             )
             return d128.cast(dtype)
         return pa.Array.from_buffers(dtype, n, [vbuf, pa.py_buffer(full.tobytes())])
+
+    if enc in ("union_dense", "union_sparse"):
+        codes = pa.array(
+            decode_ints(_get_stream(blob, cmeta, DATA), n).astype(np.int8), pa.int8()
+        )
+        children = [
+            decode_column(blob, cm, dtype.field(i).type)
+            for i, cm in enumerate(cmeta["children"])
+        ]
+        names = [f.name for f in dtype]
+        if enc == "union_dense":
+            offs = pa.array(
+                decode_ints(_get_stream(blob, cmeta, EXTRA), n).astype(np.int32),
+                pa.int32(),
+            )
+            return pa.UnionArray.from_dense(
+                codes, offs, children, field_names=names, type_codes=dtype.type_codes
+            )
+        return pa.UnionArray.from_sparse(
+            codes, children, field_names=names, type_codes=dtype.type_codes
+        )
 
     if enc in ("plain", "dict"):
         lengths = decode_ints(_get_stream(blob, cmeta, LENGTHS), n_valid)

@@ -56,3 +56,37 @@ def test_dictionary_input_densified():
     out = stripe.decode_table(stripe.encode_table(t))
     assert out.column("c").type.equals(pa.string())
     assert out.column("c").equals(t.column("c").cast(pa.string()))
+
+
+def test_union_roundtrip_dense_sparse_and_sliced():
+    """Arrow unions (the last loud-fail type gap): dense and sparse round
+    trip bit-identically, including through sliced row chunks where the
+    .type_codes/.offsets properties are not offset-adjusted."""
+    import pyarrow as pa
+
+    from datafusion_orc_ray import stripe
+
+    ints = pa.array([5, 7, 9], pa.int64())
+    strs = pa.array(["x", "y"], pa.string())
+    dense = pa.UnionArray.from_dense(
+        pa.array([0, 1, 0, 1, 0], pa.int8()),
+        pa.array([0, 0, 1, 1, 2], pa.int32()),
+        [ints, strs],
+        field_names=["i", "s"],
+    )
+    t1 = pa.table({"u": dense})
+    assert stripe.decode_table(stripe.encode_table(t1)).equals(t1)
+    sparse = pa.UnionArray.from_sparse(
+        pa.array([0, 1, 0, 1], pa.int8()),
+        [pa.array([1, 2, 3, 4], pa.int64()), pa.array(["a", "b", "c", "d"])],
+        field_names=["i", "s"],
+    )
+    t2 = pa.table({"u": sparse})
+    assert stripe.decode_table(stripe.encode_table(t2)).equals(t2)
+    # chunked (sliced) paths preserve logical values
+    t3 = pa.table({"u": dense, "pad": pa.array([b"x" * 200] * 5, pa.binary())})
+    out3 = stripe.decode_table(stripe.encode_table(t3, chunk_bytes=400))
+    assert out3.to_pydict() == t3.to_pydict()
+    t4 = pa.table({"u": sparse, "pad": pa.array([b"y" * 200] * 4, pa.binary())})
+    out4 = stripe.decode_table(stripe.encode_table(t4, chunk_bytes=300))
+    assert out4.to_pydict() == t4.to_pydict()
