@@ -569,6 +569,17 @@ def _minhash_dedup_corpus(sf_dir: str):
     return dedup.minhash_dedup_corpus(_ds(sf_dir, "documents", ["doc_id", "text"]))
 
 
+def _jaccard_pairs(sf_dir: str):
+    """Exact n-gram (3-word-shingle) Jaccard similarity join over the
+    documents table — the ground-truth counterpart to the minhash
+    pipeline, hard-oracled against an all-pairs DuckDB gram join."""
+    from datafusion_orc_ray.pipelines import dedup
+
+    return dedup.jaccard_similarity_join(
+        _ds(sf_dir, "documents", ["doc_id", "text"]), threshold=0.5
+    )
+
+
 def _simhash(sf_dir: str):
     from datafusion_orc_ray.pipelines import dedup
 
@@ -716,6 +727,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unnest_embeddings": _unnest_embeddings,
         # non-SQL-expressible (rows-only checks)
         "minhash_dedup_documents": _minhash_dedup,
+        "jaccard_pairs_documents": _jaccard_pairs,
         "simhash_documents": _simhash,
         "langid_documents": _langid,
         "fingerprint_documents": _fingerprints,
@@ -813,6 +825,26 @@ def oracle_sql() -> dict[str, str]:
             "round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cos_sim "
             "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
             "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95"
+        ),
+        "jaccard_pairs_documents": (
+            # exact 3-word-shingle Jaccard >= 0.5, all pairs. Tokenize =
+            # whitespace split (corpus is ASCII so RE2 \s == Arrow
+            # utf8_split_whitespace); docs with 1-2 tokens get ONE
+            # ''-padded shingle, matching tokhash.rolling_shingles.
+            "WITH docs AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), "
+            "x -> x <> '') AS toks FROM documents), "
+            "grams AS (SELECT DISTINCT doc_id, CASE WHEN len(toks) >= 3 THEN "
+            "array_to_string(toks[i:i+2], ' ') ELSE "
+            "array_to_string((toks || ['', ''])[1:3], ' ') END AS g "
+            "FROM docs, LATERAL unnest(generate_series(1, "
+            "CASE WHEN len(toks) >= 3 THEN len(toks) - 2 ELSE 1 END)) AS t(i) "
+            "WHERE len(toks) >= 1), "
+            "szs AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id), "
+            "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i "
+            "FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+            "SELECT id_a, id_b, CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard "
+            "FROM inter JOIN szs sa ON sa.doc_id = id_a JOIN szs sb ON sb.doc_id = id_b "
+            "WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5"
         ),
         "roundtrip_documents": "SELECT * FROM documents",
         "roundtrip_lineitem": "SELECT * FROM lineitem",

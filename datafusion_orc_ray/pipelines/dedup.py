@@ -421,6 +421,175 @@ def verify_pairs_jaccard(
     return out.sort_by([("doc_id_a", "ascending"), ("doc_id_b", "ascending")])
 
 
+# ------------------------------------- exact n-gram Jaccard similarity join
+
+def _posting_rows_fn(shingle: int, id_col: str = "doc_id", text_col: str = "text"):
+    """map_batches fn: one row per DISTINCT word-shingle per doc —
+    (h: int64 view of the uint64 shingle hash, id, sz: the doc's distinct-
+    shingle count). The per-doc unique pass is the same one-lexsort trick
+    as _shingle_rows_fn."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        th, offs = tk.token_hashes(batch.column(text_col))
+        sh, soffs = tk.rolling_shingles(th, offs, shingle)
+        n_docs = len(soffs) - 1
+        lens = np.diff(soffs)
+        row_of = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
+        order = np.lexsort((sh, row_of))
+        sv, sr = sh[order], row_of[order]
+        keep = np.ones(sv.size, dtype=bool)
+        keep[1:] = (sv[1:] != sv[:-1]) | (sr[1:] != sr[:-1])
+        uvals, urows = sv[keep], sr[keep]
+        sz = np.bincount(urows, minlength=n_docs)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "h": pa.array(uvals.view(np.int64), pa.int64()),
+                "id": pa.array(ids[urows], pa.int64()),
+                "sz": pa.array(sz[urows], pa.int64()),
+            }
+        )
+
+    return fn
+
+
+def _cooccur_pairs(h: np.ndarray, ids: np.ndarray, sz: np.ndarray):
+    """All co-occurring (id_a < id_b) pairs within each h-group of a
+    postings array, fully vectorized: each element pairs with every
+    EARLIER element of its group (ids within a group are distinct because
+    postings are per-doc unique). Returns (lo, hi, sz_lo, sz_hi)."""
+    order = np.lexsort((ids, h))
+    hs, is_, szs = h[order], ids[order], sz[order]
+    new = np.empty(hs.size, dtype=bool)
+    new[0] = True
+    new[1:] = hs[1:] != hs[:-1]
+    grp_start = np.flatnonzero(new)
+    grp_of = np.cumsum(new) - 1
+    tc = np.arange(hs.size, dtype=np.int64) - grp_start[grp_of]  # pairs per elem
+    total = int(tc.sum())
+    cum = np.concatenate([[0], np.cumsum(tc)[:-1]])
+    ramp = np.arange(total, dtype=np.int64) - np.repeat(cum, tc)
+    a_idx = np.repeat(grp_start[grp_of], tc) + ramp
+    b_idx = np.repeat(np.arange(hs.size, dtype=np.int64), tc)
+    a_id, b_id = is_[a_idx], is_[b_idx]
+    a_sz, b_sz = szs[a_idx], szs[b_idx]
+    swap = a_id > b_id
+    lo = np.where(swap, b_id, a_id)
+    hi = np.where(swap, a_id, b_id)
+    sz_lo = np.where(swap, b_sz, a_sz)
+    sz_hi = np.where(swap, a_sz, b_sz)
+    return lo, hi, sz_lo, sz_hi
+
+
+def _jaccard_from_pairs(lo, hi, sz_lo, sz_hi, threshold: float) -> pa.Table:
+    empty = pa.table(
+        {
+            "id_a": pa.array([], pa.int64()),
+            "id_b": pa.array([], pa.int64()),
+            "jaccard": pa.array([], pa.float64()),
+        }
+    )
+    if lo.size == 0:
+        return empty
+    o2 = np.lexsort((hi, lo))
+    lo2, hi2, sa2, sb2 = lo[o2], hi[o2], sz_lo[o2], sz_hi[o2]
+    new = np.empty(lo2.size, dtype=bool)
+    new[0] = True
+    new[1:] = (lo2[1:] != lo2[:-1]) | (hi2[1:] != hi2[:-1])
+    starts = np.flatnonzero(new)
+    inter = np.diff(np.append(starts, lo2.size))
+    sa, sb = sa2[starts], sb2[starts]
+    j = inter / (sa + sb - inter)
+    m = j >= threshold
+    if not m.any():
+        return empty
+    return pa.table(
+        {
+            "id_a": pa.array(lo2[starts][m], pa.int64()),
+            "id_b": pa.array(hi2[starts][m], pa.int64()),
+            "jaccard": pa.array(j[m], pa.float64()),
+        }
+    )
+
+
+def jaccard_similarity_join(
+    ds: ray.data.Dataset,
+    threshold: float = 0.5,
+    shingle: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    gate_rows: int = 2_000_000,
+) -> ray.data.Dataset:
+    """EXACT n-gram (word-shingle) Jaccard similarity join: every doc pair
+    whose distinct-shingle Jaccard >= threshold, with the exact score —
+    the ground-truth counterpart to the probabilistic minhash pipeline
+    (reference has no similarity ops; LLM-data addition, SURVEY.md §6).
+
+    Shape: one postings row per distinct shingle per doc; co-occurrence
+    counting inside each shingle group gives intersection sizes without
+    ever materializing shingle SETS through a shuffle. Under ``gate_rows``
+    postings the whole computation runs vectorized on the driver (the
+    distributed path would pay two all-to-alls for milliseconds of work);
+    above it, a groupby(h) -> pair expansion -> groupby(pair) count.
+
+    SCALE CAVEAT: exactness forbids capping hot shingle groups, so a
+    shingle appearing in g docs expands g*(g-1)/2 pairs — quadratic on
+    boilerplate n-grams. This operator is the exact oracle / final-verify
+    tool; at web scale run ``minhash_dedup_corpus`` (capped buckets,
+    linear) and reserve this for candidate subsets."""
+    posts = ds.map_batches(
+        _posting_rows_fn(shingle, id_col, text_col), batch_format="pyarrow"
+    ).materialize()
+    if posts.count() <= gate_rows:
+        t = collect(posts)
+        lo, hi, sz_lo, sz_hi = _cooccur_pairs(
+            t.column("h").to_numpy(zero_copy_only=False),
+            t.column("id").to_numpy(zero_copy_only=False),
+            t.column("sz").to_numpy(zero_copy_only=False),
+        )
+        return ray.data.from_arrow(_jaccard_from_pairs(lo, hi, sz_lo, sz_hi, threshold))
+
+    def group_pairs(group: pa.Table) -> pa.Table:
+        lo, hi, sz_lo, sz_hi = _cooccur_pairs(
+            group.column("h").to_numpy(zero_copy_only=False),
+            group.column("id").to_numpy(zero_copy_only=False),
+            group.column("sz").to_numpy(zero_copy_only=False),
+        )
+        return pa.table(
+            {
+                "id_a": pa.array(lo, pa.int64()),
+                "id_b": pa.array(hi, pa.int64()),
+                "sz_a": pa.array(sz_lo, pa.int64()),
+                "sz_b": pa.array(sz_hi, pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Count, Max
+
+    co = posts.groupby("h").map_groups(group_pairs, batch_format="pyarrow")
+    agg = co.groupby(["id_a", "id_b"]).aggregate(
+        Count(alias_name="__inter"),
+        Max("sz_a", alias_name="sz_a"),
+        Max("sz_b", alias_name="sz_b"),
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        inter = batch.column("__inter").to_numpy(zero_copy_only=False)
+        sa = batch.column("sz_a").to_numpy(zero_copy_only=False)
+        sb = batch.column("sz_b").to_numpy(zero_copy_only=False)
+        j = inter / (sa + sb - inter)
+        keep = pa.array(j >= threshold)
+        return pa.table(
+            {
+                "id_a": batch.column("id_a").filter(keep),
+                "id_b": batch.column("id_b").filter(keep),
+                "jaccard": pa.array(j[j >= threshold], pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
 # --------------------------------------------- end-to-end corpus dedup
 
 def minhash_dedup_corpus(

@@ -60,6 +60,53 @@ def test_minhash_lsh_finds_planted_near_dups(docs):
     assert all(j >= 0.5 for j in verified.column("jaccard").to_pylist())
 
 
+def test_jaccard_similarity_join_exact(docs):
+    """Exact n-gram Jaccard join: brute-force parity on the planted-dup
+    fixture, and the gated driver path equals the distributed
+    groupby(h) path bit-for-bit."""
+    import itertools
+
+    rows = rel.collect(docs.select_columns(["doc_id", "text"])).to_pylist()
+
+    def grams(text, n=3):
+        toks = text.split()
+        if not toks:
+            return set()
+        if len(toks) < n:
+            return {tuple(toks + [""] * (n - len(toks)))}
+        return {tuple(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    G = {r["doc_id"]: grams(r["text"]) for r in rows}
+    want = []
+    for a, b in itertools.combinations(sorted(G), 2):
+        inter = len(G[a] & G[b])
+        if inter == 0:
+            continue
+        j = inter / (len(G[a]) + len(G[b]) - inter)
+        if j >= 0.5:
+            want.append((a, b, j))
+    want.sort()
+
+    fast = rel.collect(dedup.jaccard_similarity_join(docs, threshold=0.5)).sort_by(
+        [("id_a", "ascending"), ("id_b", "ascending")]
+    )
+    got = list(
+        zip(
+            fast.column("id_a").to_pylist(),
+            fast.column("id_b").to_pylist(),
+            fast.column("jaccard").to_pylist(),
+        )
+    )
+    assert [(a, b) for a, b, _ in got] == [(a, b) for a, b, _ in want]
+    assert all(abs(gj - wj) < 1e-12 for (_, _, gj), (_, _, wj) in zip(got, want))
+    assert (2, 82, 1.0) in got  # exact dup pair scores exactly 1.0
+
+    slow = rel.collect(
+        dedup.jaccard_similarity_join(docs, threshold=0.5, gate_rows=0)
+    ).sort_by([("id_a", "ascending"), ("id_b", "ascending")])
+    assert slow.equals(fast)
+
+
 def test_simhash_near_dups_have_small_hamming(docs):
     out = rel.collect(dedup.simhashes(docs)).to_pydict()
     sig = dict(zip(out["doc_id"], out["simhash"]))
