@@ -1,0 +1,322 @@
+"""Distributed aggregate pushdown for ``Catalog.sql`` (S9).
+
+The streaming SQL surface funnels every (projected, filtered) row through
+the node running the query. For the single most common analytic shape —
+
+    SELECT <exprs over group cols + count/sum/min/max/avg calls>
+    FROM <one table> [WHERE row-local] [GROUP BY cols]
+    [ORDER BY select aliases] [LIMIT n]
+
+— the aggregation is decomposable, so this planner rewrites it into a
+PARTIAL query that runs inside ``map_batches`` on every decoded batch
+(per-worker DuckDB over the Arrow batch: full SQL expression semantics,
+no row ever leaves its worker unaggregated) and a FINAL merge query the
+driver runs over the partial stream only:
+
+    count(*)/count(e) ->  partial count,        final CAST(sum(p) AS BIGINT)
+    sum(e)            ->  partial sum,          final sum(p)
+    min(e)/max(e)     ->  partial min/max,      final min/max(p)
+    avg(e)            ->  partial sum+count,    final sum(ps)/sum(pc)
+
+Scalar wrappers around aggregate calls (round(sum(x), 2), arithmetic,
+CASE inside the argument) stay where SQL evaluates them anyway: row-local
+argument expressions run in the partial, post-aggregate wrappers in the
+final. Group-key volume is the only data that reaches the driver, so a
+low-cardinality GROUP BY over a trillion rows ships kilobytes. (A
+high-cardinality GROUP BY degrades to today's behavior — partials about
+as large as the input — never worse.)
+
+Soundness gates (any failure -> ``None`` -> the caller falls back to the
+streaming path, so pushdown can never change a result):
+* single registered table, plain ``FROM name``; no JOIN / subquery /
+  HAVING / DISTINCT / window / set ops (keyword + ``(select`` scan)
+* only whitelisted aggregate functions; aggregate select items must be
+  aliased (``AS x``) so output names match the unpushed execution
+* GROUP BY lists bare columns of the table; ORDER BY references only
+  select aliases, group columns, or positions
+* both rewritten queries must BIND in DuckDB (partial against the real
+  table schema, final against the partial schema) — catches qualified
+  names, unknown identifiers, and anything the scanner missed
+* float caveat: partial sums re-associate floating-point addition, so
+  sum/avg over non-integer-valued doubles can differ from single-node
+  execution in the last ulp (exact for integers and integer-valued
+  doubles under 2^53).
+
+The reference's SQL layer inherits DataFusion's own partial/final
+aggregate split (datafusion-orc delegates to DataFusion physical plans);
+this is the Ray-Data-native equivalent of that split.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+_FORBIDDEN = re.compile(
+    r"(?i)\b(join|having|distinct|over|union|except|intersect|with|exists|"
+    r"qualify|sample|using|natural|cross|values|unnest|lateral)\b"
+)
+_SUBQUERY = re.compile(r"(?i)\(\s*select\b")
+_AGG_CALL = re.compile(r"(?i)\b(count|sum|min|max|avg)\s*\(")
+_ORDER_KEYWORDS = {"asc", "desc", "nulls", "first", "last"}
+
+
+@dataclass
+class AggPlan:
+    table: str
+    partial_sql: str  # FROM __batch
+    final_sql: str  # FROM __partials
+
+
+def _find_clauses(q: str) -> list[tuple[str, int, int]] | None:
+    """Top-level (keyword, kw_start, text_start) spans, scanning outside
+    string literals and parentheses. Returns None on unbalanced input."""
+    spans: list[tuple[str, int, int]] = []
+    depth = 0
+    in_str = False
+    i, n = 0, len(q)
+    while i < n:
+        ch = q[i]
+        if in_str:
+            if ch == "'":
+                in_str = False
+            i += 1
+            continue
+        if ch == "'":
+            in_str = True
+            i += 1
+            continue
+        if ch == "(":
+            depth += 1
+            i += 1
+            continue
+        if ch == ")":
+            depth -= 1
+            if depth < 0:
+                return None
+            i += 1
+            continue
+        if depth == 0 and (ch.isalpha() or ch == "_"):
+            j = i
+            while j < n and (q[j].isalnum() or q[j] == "_"):
+                j += 1
+            word = q[i:j].lower()
+            if word in ("group", "order"):
+                m = re.match(r"(?i)\s+by\b", q[j:])
+                if m:
+                    spans.append((word + " by", i, j + m.end()))
+                    i = j + m.end()
+                    continue
+            elif word in ("from", "where", "limit"):
+                spans.append((word, i, j))
+            i = j
+            continue
+        i += 1
+    if depth != 0 or in_str:
+        return None
+    return spans
+
+
+def _split_top_commas(s: str) -> list[str]:
+    parts: list[str] = []
+    depth = 0
+    in_str = False
+    cur = 0
+    for i, ch in enumerate(s):
+        if in_str:
+            if ch == "'":
+                in_str = False
+        elif ch == "'":
+            in_str = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append(s[cur:i])
+            cur = i + 1
+    parts.append(s[cur:])
+    return parts
+
+
+def _balanced_close(s: str, open_idx: int) -> int | None:
+    """Index of the ')' matching the '(' at open_idx, string-aware."""
+    depth = 0
+    in_str = False
+    for i in range(open_idx, len(s)):
+        ch = s[i]
+        if in_str:
+            if ch == "'":
+                in_str = False
+        elif ch == "'":
+            in_str = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                return i
+    return None
+
+
+def _rewrite_item(item: str, state: dict) -> str | None:
+    """Replace every outermost aggregate call in ``item`` with its merge
+    expression, appending the matching partial expressions to
+    ``state['partials']``. Returns the rewritten item or None (unsupported
+    aggregate shape)."""
+    out: list[str] = []
+    i = 0
+    while True:
+        m = _AGG_CALL.search(item, i)
+        if not m:
+            out.append(item[i:])
+            break
+        open_idx = m.end() - 1
+        close = _balanced_close(item, open_idx)
+        if close is None:
+            return None
+        fn = m.group(1).lower()
+        # nested aggregates inside ``arg`` are invalid SQL; the partial
+        # query would carry them verbatim and fail the binder check
+        arg = item[open_idx + 1 : close]
+        k = state["n"]
+        state["n"] += 1
+        p = f"__p{k}"
+        if fn == "count":
+            state["partials"].append(f"count({arg}) AS {p}")
+            merge = f"CAST(sum({p}) AS BIGINT)"
+        elif fn in ("sum", "min", "max"):
+            state["partials"].append(f"{fn}({arg}) AS {p}")
+            merge = f"{fn}({p})"
+        else:  # avg
+            if arg.strip() == "*":
+                return None
+            state["partials"].append(f"sum({arg}) AS {p}_s")
+            state["partials"].append(f"count({arg}) AS {p}_c")
+            merge = f"(CAST(sum({p}_s) AS DOUBLE) / sum({p}_c))"
+        out.append(item[i : m.start()])
+        out.append(merge)
+        i = close + 1
+    return "".join(out)
+
+
+def plan_aggregate_pushdown(query: str, table: str, schema) -> AggPlan | None:
+    """Build the partial/final rewrite for ``query`` over ``table`` with
+    Arrow ``schema``, or None when the shape is unsupported. Includes the
+    DuckDB binder validation of both rewritten queries."""
+    q = query.strip().rstrip(";").strip()
+    if _FORBIDDEN.search(q) or _SUBQUERY.search(q):
+        return None
+    m = re.match(r"(?is)^select\s+(.*)$", q)
+    if not m:
+        return None
+    body_start = len(q) - len(m.group(1))
+    spans = _find_clauses(q)
+    if spans is None:
+        return None
+    spans = [s for s in spans if s[1] >= body_start]
+    order = [s[0] for s in spans]
+    expected = [k for k in ("from", "where", "group by", "order by", "limit") if k in order]
+    if order != expected or "from" not in order:
+        return None
+    ends = [s[1] for s in spans] + [len(q)]
+    texts: dict[str, str] = {}
+    for idx, (kw, kw_start, text_start) in enumerate(spans):
+        texts[kw] = q[text_start : ends[idx + 1]].strip()
+    select_text = q[body_start : spans[0][1]].strip()
+    fm = re.match(r"^(\w+)$", texts["from"])
+    if not fm or fm.group(1) != table:
+        return None
+    group_cols: list[str] = []
+    if "group by" in texts:
+        for g in _split_top_commas(texts["group by"]):
+            g = g.strip()
+            if not re.match(r"^\w+$", g) or g not in schema.names:
+                return None
+            group_cols.append(g)
+    state: dict = {"n": 0, "partials": []}
+    final_items: list[str] = []
+    aliases: list[str] = []
+    saw_agg = False
+    for item in _split_top_commas(select_text):
+        item = item.strip()
+        if not item or "*" in re.sub(r"(?i)count\s*\(\s*\*\s*\)", "count()", item):
+            return None
+        has_agg = bool(_AGG_CALL.search(item))
+        if has_agg:
+            saw_agg = True
+            am = re.search(r"(?is)\s+as\s+(\w+)\s*$", item)
+            if not am:
+                return None  # output name must survive the rewrite
+            aliases.append(am.group(1))
+            rewritten = _rewrite_item(item, state)
+            if rewritten is None:
+                return None
+            final_items.append(rewritten)
+        else:
+            am = re.search(r"(?is)\s+as\s+(\w+)\s*$", item)
+            aliases.append(am.group(1) if am else item)
+            final_items.append(item)
+    if not saw_agg:
+        return None  # plain projection: the streaming path is already right
+    partial_sql = (
+        "SELECT "
+        + ", ".join(group_cols + state["partials"])
+        + " FROM __batch"
+        + (f" WHERE {texts['where']}" if "where" in texts else "")
+        + (" GROUP BY " + ", ".join(group_cols) if group_cols else "")
+    )
+    final_sql = "SELECT " + ", ".join(final_items) + " FROM __partials"
+    if group_cols:
+        final_sql += " GROUP BY " + ", ".join(group_cols)
+    if "order by" in texts:
+        ident_ok = set(a.lower() for a in aliases) | set(c.lower() for c in group_cols)
+        for tok in re.findall(r"[A-Za-z_]\w*", texts["order by"]):
+            if tok.lower() not in ident_ok | _ORDER_KEYWORDS:
+                return None
+        final_sql += " ORDER BY " + texts["order by"]
+    if "limit" in texts:
+        if not re.match(r"^\d+$", texts["limit"]):
+            return None
+        final_sql += " LIMIT " + texts["limit"]
+    if not _binds(partial_sql, "__batch", schema, final_sql):
+        return None
+    return AggPlan(table=table, partial_sql=partial_sql, final_sql=final_sql)
+
+
+def _binds(partial_sql: str, batch_name: str, schema, final_sql: str) -> bool:
+    """Both rewritten queries must bind in DuckDB: the partial against an
+    empty table with the real schema, the final against the partial's
+    OUTPUT schema. Any error (qualified names, type mismatches, agg
+    shapes the scanner missed) vetoes the pushdown."""
+    import duckdb
+
+    try:
+        con = duckdb.connect()
+        try:
+            con.register(batch_name, schema.empty_table())
+            partial_schema = con.sql(partial_sql).fetch_arrow_table().schema
+            con.register("__partials", partial_schema.empty_table())
+            con.sql(final_sql).fetch_arrow_table()
+        finally:
+            con.close()
+    except Exception:
+        return False
+    return True
+
+
+def run_partial(partial_sql: str):
+    """map_batches fn: evaluate the partial aggregate over one Arrow batch
+    with per-worker DuckDB (task-based: connection setup is ~ms)."""
+
+    def fn(batch):
+        import duckdb
+
+        con = duckdb.connect()
+        try:
+            con.register("__batch", batch)
+            return con.sql(partial_sql).fetch_arrow_table()
+        finally:
+            con.close()
+
+    return fn

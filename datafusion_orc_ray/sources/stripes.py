@@ -49,6 +49,7 @@ class Catalog:
 
     def __init__(self) -> None:
         self._tables: dict[str, str] = {}
+        self.last_plan: str | None = None  # 'aggregate_pushdown' | 'stream'
 
     def register_stripes(self, name: str, out_dir: str) -> None:
         stripes_schema(out_dir)  # validates the directory eagerly
@@ -195,6 +196,14 @@ class Catalog:
         node running the query. Use the native operators for wide
         all-to-all work; this layer is for interactive SQL parity.
 
+        Single-table aggregate queries additionally get DISTRIBUTED
+        partial aggregation (sqlagg.plan_aggregate_pushdown): each batch
+        is pre-aggregated on its worker and only the partials stream to
+        the driver's merge query — the Ray-native analogue of the
+        partial/final split datafusion-orc inherits from DataFusion's
+        physical plans. ``self.last_plan`` records which path ran
+        ('aggregate_pushdown' or 'stream').
+
         Returns a pyarrow.Table."""
         import re
 
@@ -206,15 +215,35 @@ class Catalog:
         projections = self._resolve_projections(query, referenced)
         schemas = {name: stripes_schema(self._tables[name]) for name in referenced}
         predicates = self._resolve_filter_pushdown(query, referenced, schemas)
+        plan = None
+        if len(referenced) == 1:
+            from . import sqlagg
+
+            plan = sqlagg.plan_aggregate_pushdown(
+                query, referenced[0], schemas[referenced[0]]
+            )
         con = duckdb.connect()
         readers = []  # keep referenced readers alive until fetch
-        for name in referenced:
-            reader = _dataset_reader(
-                self.table(name, columns=projections[name], predicate=predicates[name])
-            )
-            readers.append(reader)
-            con.register(name, reader)
         try:
+            if plan is not None:
+                from . import sqlagg
+
+                name = referenced[0]
+                partials = self.table(
+                    name, columns=projections[name], predicate=predicates[name]
+                ).map_batches(sqlagg.run_partial(plan.partial_sql), batch_format="pyarrow")
+                reader = _dataset_reader(partials)
+                readers.append(reader)
+                con.register("__partials", reader)
+                self.last_plan = "aggregate_pushdown"
+                return con.sql(plan.final_sql).fetch_arrow_table()
+            for name in referenced:
+                reader = _dataset_reader(
+                    self.table(name, columns=projections[name], predicate=predicates[name])
+                )
+                readers.append(reader)
+                con.register(name, reader)
+            self.last_plan = "stream"
             return con.sql(query).fetch_arrow_table()
         finally:
             con.close()

@@ -145,3 +145,80 @@ def test_catalog_sql_filter_pushdown(ray_session, tmp_path, monkeypatch):
     out4 = cat.sql("SELECT count(*) AS n FROM ft WHERE v > 5 OR k = 'c'")
     assert seen["ft"] is None
     assert out4.column("n")[0].as_py() == 2
+
+
+def test_catalog_sql_aggregate_pushdown(ray_session, tmp_path):
+    """Single-table aggregates run DISTRIBUTED: per-batch partials via
+    per-worker DuckDB, driver merges partials only. Every pushed query
+    must equal DuckDB executed directly over the source table; unsafe
+    shapes fall back to the streaming path (and stay correct)."""
+    import duckdb
+
+    rows = 600
+    t = pa.table(
+        {
+            "k": pa.array([f"g{i % 7}" for i in range(rows)]),
+            "v": pa.array([float(i % 50) for i in range(rows)]),
+            "n": pa.array([i % 13 for i in range(rows)], pa.int64()),
+        }
+    )
+    pq.write_table(t, f"{tmp_path}/t.parquet", row_group_size=64)
+    ep.encode_parquet(f"{tmp_path}/t.parquet", f"{tmp_path}/enc", concurrency=2).take_all()
+    cat = Catalog()
+    cat.register_stripes("agt", f"{tmp_path}/enc")
+
+    pushed = [
+        "SELECT count(*) AS n FROM agt",
+        "SELECT k, sum(v) AS total, count(*) AS c FROM agt GROUP BY k ORDER BY k",
+        "SELECT k, min(v) AS lo, max(v) AS hi, avg(n) AS a FROM agt GROUP BY k ORDER BY k",
+        "SELECT sum(CASE WHEN n > 6 THEN v ELSE 0 END) AS s FROM agt WHERE v >= 1",
+        "SELECT k, round(sum(v) / count(v), 3) AS m FROM agt GROUP BY k ORDER BY m DESC, k LIMIT 3",
+    ]
+    fallback = [
+        "SELECT k, sum(v) AS s FROM agt GROUP BY k HAVING sum(v) > 100 ORDER BY k",
+        "SELECT count(DISTINCT k) AS n FROM agt",
+        "SELECT k, v FROM agt WHERE v > 48 ORDER BY v, k, n",
+    ]
+    con = duckdb.connect()
+    con.register("agt", t)
+    try:
+        for q in pushed + fallback:
+            got = cat.sql(q)
+            want = con.sql(q).fetch_arrow_table()
+            expect_plan = "aggregate_pushdown" if q in pushed else "stream"
+            assert cat.last_plan == expect_plan, (q, cat.last_plan)
+            assert got.equals(want), (q, got.to_pydict(), want.to_pydict())
+    finally:
+        con.close()
+
+
+def test_aggregate_planner_shapes():
+    """Planner accepts only decomposable single-table aggregates and
+    produces partial/final SQL with stable alias naming."""
+    from datafusion_orc_ray.sources import sqlagg
+
+    sch = pa.schema([("k", pa.string()), ("v", pa.float64()), ("n", pa.int64())])
+    plan = sqlagg.plan_aggregate_pushdown(
+        "SELECT k, round(sum(v), 2) AS s, avg(n) AS a FROM t GROUP BY k ORDER BY s DESC",
+        "t",
+        sch,
+    )
+    assert plan is not None
+    assert plan.partial_sql.startswith("SELECT k, sum(v) AS __p0")
+    assert "GROUP BY k" in plan.partial_sql and "__batch" in plan.partial_sql
+    assert "round(sum(__p0), 2) AS s" in plan.final_sql
+    assert "/ sum(__p1_c))" in plan.final_sql
+    rejected = [
+        "SELECT k, v FROM t",                                  # no aggregate
+        "SELECT sum(v) FROM t",                                # unaliased agg
+        "SELECT count(DISTINCT k) AS n FROM t",                # distinct
+        "SELECT k, sum(v) AS s FROM t GROUP BY k HAVING sum(v) > 3",
+        "SELECT k, sum(v) OVER () AS s FROM t",                # window
+        "SELECT a.k, sum(a.v) AS s FROM t a GROUP BY a.k",     # FROM alias
+        "SELECT k, sum(v) AS s FROM t GROUP BY upper(k)",      # expr group key
+        "SELECT k, sum(v) AS s FROM t GROUP BY rank",          # unknown col
+        "SELECT sum(v) AS s FROM (SELECT * FROM t) x",         # subquery
+        "SELECT k, sum(v) AS s FROM t GROUP BY k ORDER BY count(v)",  # agg in ORDER BY
+    ]
+    for q in rejected:
+        assert sqlagg.plan_aggregate_pushdown(q, "t", sch) is None, q
