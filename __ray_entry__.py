@@ -682,6 +682,101 @@ def _media_features(sf_dir: str):
     return mm.extract_media_features(ds, "payload", "doc_id", decoder=fake_decoder)
 
 
+def _topk_ngrams(sf_dir: str):
+    """Exact global top-20 bigrams: per-batch vectorized gram assembly +
+    Arrow groupby combiner, size-gated final reduce (distributed groupby
+    + per-block top-k beyond the gate, so gram cardinality never bounds
+    the driver)."""
+    from datafusion_orc_ray.pipelines import corpus
+
+    return corpus.ngram_topk(_ds(sf_dir, "documents", ["text"]), n=2, k=20)
+
+
+def _vocab_per_lang(sf_dir: str):
+    """Exact count(DISTINCT token) per lang via 128-bit token keys:
+    per-batch distinct combiner, distributed groupby beyond the gate."""
+    from datafusion_orc_ray.pipelines import corpus
+
+    return corpus.vocab_per_lang(_ds(sf_dir, "documents", ["lang", "text"]))
+
+
+def _hll_vocab(sf_dir: str):
+    """Approximate per-lang vocabulary (HyperLogLog p=14): constant
+    16 KiB partial per (batch, lang) regardless of token volume — the
+    100-TB path for vocabulary stats. ~0.8% std error (pytest-bounded
+    vs the exact count; approximate, so no SQL oracle)."""
+    from datafusion_orc_ray.pipelines import corpus
+
+    return corpus.hll_vocab_per_lang(_ds(sf_dir, "documents", ["lang", "text"]))
+
+
+def _c4_filter(sf_dir: str):
+    """C4-style rule filter (token count + mean token length bands),
+    one streaming vectorized map_batches."""
+    from datafusion_orc_ray.pipelines import corpus
+
+    out = corpus.c4_quality_filter(_ds(sf_dir, "documents", ["doc_id", "lang", "text"]))
+    return out.map_batches(
+        lambda b: b.select(["doc_id", "lang", "n_tok", "mean_tok_len"]),
+        batch_format="pyarrow",
+    )
+
+
+_SAMPLE_RATES = {"en": 0.5, "de": 0.25, "fr": 0.25, "es": 0.1, "zh": 0.1}
+
+
+def _stratified_sample(sf_dir: str):
+    """Deterministic multiplicative-hash stratified sample: same rows
+    kept on every run / partitioning (resumable sampling)."""
+    from datafusion_orc_ray.pipelines import corpus
+
+    return corpus.stratified_sample(
+        _ds(sf_dir, "documents", ["doc_id", "lang"]), _SAMPLE_RATES
+    )
+
+
+def _q5_revenue(sf_dir: str):
+    """TPC-H-Q5-shaped star rollup: revenue per (region, nation) with
+    the supplier->nation->region dim chain pre-joined LOCALLY (tiny) and
+    broadcast once; the lineitem fact table never shuffles."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from datafusion_orc_ray.pipelines import relational as rel
+
+    sup = pq.read_table(_table_path(sf_dir, "supplier"), columns=["s_suppkey", "s_nationkey"])
+    nat = pq.read_table(_table_path(sf_dir, "nation"))
+    reg = pq.read_table(_table_path(sf_dir, "region"))
+    dim = (
+        sup.join(nat, keys="s_nationkey", right_keys="n_nationkey")
+        .join(reg, keys="n_regionkey", right_keys="r_regionkey")
+        .select(["s_suppkey", "n_name", "r_name"])
+    )
+
+    def revenue(batch: pa.Table) -> pa.Array:
+        return pc.multiply(
+            batch.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
+        )
+
+    out = rel.broadcast_star_agg(
+        _ds(sf_dir, "lineitem", ["l_suppkey", "l_extendedprice", "l_discount"]),
+        dim,
+        "l_suppkey",
+        "s_suppkey",
+        ["r_name", "n_name"],
+        revenue,
+    )
+    return pa.table(
+        {
+            "r_name": out.column("r_name"),
+            "n_name": out.column("n_name"),
+            "total": pc.round(out.column("total"), 2),
+            "n": out.column("n"),
+        }
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # encode/decode stack (SURVEY.md §2.3)
@@ -725,7 +820,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bytes_meta_documents": _bytes_meta,
         "knn_embeddings": _knn,
         "unnest_embeddings": _unnest_embeddings,
+        "topk_ngrams_documents": _topk_ngrams,
+        "vocab_per_lang_documents": _vocab_per_lang,
+        "c4_filter_documents": _c4_filter,
+        "stratified_sample_documents": _stratified_sample,
+        "q5_revenue_nation": _q5_revenue,
         # non-SQL-expressible (rows-only checks)
+        "hll_vocab_documents": _hll_vocab,
         "minhash_dedup_documents": _minhash_dedup,
         "jaccard_pairs_documents": _jaccard_pairs,
         "simhash_documents": _simhash,
@@ -845,6 +946,56 @@ def oracle_sql() -> dict[str, str]:
             "SELECT id_a, id_b, CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard "
             "FROM inter JOIN szs sa ON sa.doc_id = id_a JOIN szs sb ON sb.doc_id = id_b "
             "WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5"
+        ),
+        "topk_ngrams_documents": (
+            # bigram construction mirrors the jaccard oracle's shingles
+            # (DuckDB list slice is 1-based INCLUSIVE: toks[i:i+1] = 2
+            # tokens); ties at the k-cut break on gram ASC both sides.
+            "WITH docs AS (SELECT list_filter(string_split_regex(text, '\\s+'), "
+            "x -> x <> '') AS toks FROM documents), "
+            "grams AS (SELECT array_to_string(toks[i:i+1], ' ') AS gram "
+            "FROM docs, LATERAL unnest(generate_series(1, len(toks) - 1)) AS t(i) "
+            "WHERE len(toks) >= 2) "
+            "SELECT gram, count(*) AS n FROM grams GROUP BY gram "
+            "ORDER BY n DESC, gram LIMIT 20"
+        ),
+        "vocab_per_lang_documents": (
+            "SELECT lang, count(DISTINCT tok) AS n_vocab FROM "
+            "(SELECT lang, unnest(list_filter(string_split_regex(text, '\\s+'), "
+            "x -> x <> '')) AS tok FROM documents) GROUP BY lang"
+        ),
+        "c4_filter_documents": (
+            "WITH f AS (SELECT doc_id, lang, text, "
+            "len(regexp_extract_all(text, '\\S+')) AS n_tok FROM documents "
+            "WHERE text IS NOT NULL), "
+            "g AS (SELECT doc_id, lang, n_tok, "
+            "CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) / n_tok "
+            "AS mean_len FROM f WHERE n_tok >= 20) "
+            "SELECT doc_id, lang, n_tok, round(mean_len, 4) AS mean_tok_len "
+            "FROM g WHERE mean_len >= 4.0 AND mean_len <= 4.6"
+        ),
+        "stratified_sample_documents": (
+            # same multiplicative-hash coin both sides; HUGEINT avoids
+            # BIGINT overflow for large doc_ids (numpy side wraps uint64,
+            # identical mod 2^32)
+            "SELECT doc_id, lang FROM documents WHERE "
+            "(CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296 < "
+            + (
+                "CASE lang "
+                + " ".join(
+                    f"WHEN '{l}' THEN {min(1 << 32, int(r * (1 << 32)))}"
+                    for l, r in _SAMPLE_RATES.items()
+                )
+                + " ELSE 0 END"
+            )
+        ),
+        "q5_revenue_nation": (
+            "SELECT r_name, n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) "
+            "AS total, count(*) AS n FROM lineitem "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN nation ON s_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey "
+            "GROUP BY r_name, n_name"
         ),
         "roundtrip_documents": "SELECT * FROM documents",
         "roundtrip_lineitem": "SELECT * FROM lineitem",

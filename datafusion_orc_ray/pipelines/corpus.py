@@ -1,0 +1,340 @@
+"""Corpus-level analytics for training-data curation: n-gram frequency
+top-k, per-language vocabulary size (exact and HyperLogLog), C4-style
+rule filtering, and deterministic stratified sampling.
+
+These are the "what's in my 100-TB corpus" operators a web-data pipeline
+runs before/after dedup (reference scope: datafusion-orc serves scans to
+such pipelines, src/lib.rs:107-169; the ops themselves are beyond it).
+Shapes follow the repo's scale rules: per-batch VECTORIZED partials
+(Arrow kernels + offset-segmented numpy), size-gated final reduces
+(driver combine for tiny partial sets, distributed groupby / tree reduce
+beyond), and zero whole-dataset materialization on the big side.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from . import tokhash as tk
+from .relational import _SMALL_PARTIALS, _tree_or_driver, collect
+
+# --------------------------------------------------------------- n-grams
+
+
+def _gram_strings(texts: pa.Array | pa.ChunkedArray, n: int) -> pa.Array:
+    """Flat space-joined n-gram strings over whitespace tokens, all docs
+    of a batch at once. Docs with < n tokens contribute none. Pure Arrow
+    take + binary_join_element_wise — no Python per row/gram."""
+    flat, offs = tk.token_strings(texts)
+    counts = np.diff(offs)
+    g_counts = np.maximum(counts - n + 1, 0)
+    total = int(g_counts.sum())
+    if total == 0:
+        return pa.array([], pa.string())
+    gram_doc = np.repeat(np.arange(len(counts)), g_counts)
+    gram_start = np.concatenate([[0], np.cumsum(g_counts)])[:-1]
+    within = np.arange(total) - np.repeat(gram_start, g_counts)
+    base = offs[:-1][gram_doc] + within
+    parts = [flat.take(pa.array(base + j, pa.int64())) for j in range(n)]
+    return pc.binary_join_element_wise(*parts, " ")
+
+
+def ngram_topk(
+    ds: ray.data.Dataset,
+    n: int = 2,
+    k: int = 20,
+    text_col: str = "text",
+    fanin: int = 8,
+) -> pa.Table:
+    """EXACT global top-k n-grams by count -> (gram, n) table, ties
+    broken by gram ascending (deterministic cut).
+
+    Per batch: one split kernel + vectorized gram assembly + an Arrow
+    groupby — the combiner, so the shuffle moves one row per distinct
+    gram per BATCH, not per occurrence. Small partial sets combine on
+    the driver (size gate, see relational._tree_or_driver rationale);
+    large ones go through a distributed groupby().aggregate() whose
+    sort-based shuffle makes output blocks key-disjoint, so a per-block
+    local top-k is globally complete and the driver merges only
+    (blocks x k) rows — gram cardinality never bounds driver memory."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        grams = _gram_strings(batch.column(text_col), n)
+        res = pa.TableGroupBy(pa.table({"gram": grams}), ["gram"]).aggregate(
+            [("gram", "count")]
+        )
+        return res.rename_columns(["gram", "n"])
+
+    def head(tbl: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            tbl, sort_keys=[("n", "descending"), ("gram", "ascending")]
+        )
+        return tbl.take(idx[:k]).combine_chunks()
+
+    def combine(batch: pa.Table) -> pa.Table:
+        res = pa.TableGroupBy(batch, ["gram"]).aggregate([("n", "sum")])
+        return res.rename_columns(["gram", "n"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow").materialize()
+    if partials.count() <= _SMALL_PARTIALS:
+        return head(combine(collect(partials)))
+    from ray.data.aggregate import Sum
+
+    gb = partials.groupby("gram").aggregate(Sum("n", alias_name="n"))
+    local = gb.map_batches(head, batch_format="pyarrow")
+    return head(collect(local))
+
+
+# ------------------------------------------------------ vocabulary size
+
+
+def _lang_token_hash_partial(lang_col: str, text_col: str):
+    """Per-batch distinct (lang, h1, h2) token rows — two independent
+    64-bit hashes form an effective 128-bit token key (collision-safe at
+    10^12-doc vocab sizes, same rationale as dedup._h128_cols)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        flat, offs = tk.token_strings(batch.column(text_col))
+        flat_np = flat.to_numpy(zero_copy_only=False).astype(object)
+        h1 = tk.hash_strings(flat_np) if len(flat_np) else np.zeros(0, np.uint64)
+        import pandas as pd
+
+        h2 = (
+            pd.util.hash_array(flat_np, hash_key="1b2c3d4e5f607182", categorize=False)
+            if len(flat_np)
+            else np.zeros(0, np.uint64)
+        )
+        lang = batch.column(lang_col)
+        if isinstance(lang, pa.ChunkedArray):
+            lang = lang.combine_chunks()
+        per_tok_lang = lang.take(
+            pa.array(np.repeat(np.arange(len(offs) - 1), np.diff(offs)), pa.int64())
+        )
+        tbl = pa.table(
+            {
+                lang_col: per_tok_lang,
+                "h1": pa.array(h1.view(np.int64)),
+                "h2": pa.array(h2.view(np.int64)),
+            }
+        )
+        gb = pa.TableGroupBy(tbl, [lang_col, "h1", "h2"]).aggregate([])
+        return gb
+
+    return fn
+
+
+def vocab_per_lang(
+    ds: ray.data.Dataset,
+    lang_col: str = "lang",
+    text_col: str = "text",
+    fanin: int = 8,
+) -> pa.Table:
+    """EXACT count(DISTINCT token) per language -> (lang, n_vocab).
+
+    Per batch: distinct (lang, token-hash128) rows (the combiner — one
+    row per distinct token per batch enters the reduce, not one per
+    occurrence). Final: size-gated — driver dedupe for small partial
+    sets; distributed groupby over the 3-part key beyond, where the
+    sort shuffle makes blocks key-disjoint so per-block counts sum to
+    the exact answer."""
+    partial = _lang_token_hash_partial(lang_col, text_col)
+
+    def dedupe(batch: pa.Table) -> pa.Table:
+        return pa.TableGroupBy(batch, [lang_col, "h1", "h2"]).aggregate([])
+
+    def count_per_lang(tbl: pa.Table) -> pa.Table:
+        res = pa.TableGroupBy(tbl, [lang_col]).aggregate([("h1", "count")])
+        return res.rename_columns([lang_col, "n_vocab"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow").materialize()
+    if partials.count() <= _SMALL_PARTIALS:
+        return count_per_lang(dedupe(collect(partials)))
+    gb = partials.groupby([lang_col, "h1", "h2"]).count()
+    local = gb.map_batches(count_per_lang, batch_format="pyarrow")
+    out = pa.TableGroupBy(collect(local), [lang_col]).aggregate([("n_vocab", "sum")])
+    return out.rename_columns([lang_col, "n_vocab"])
+
+
+# ------------------------------------------------ HyperLogLog vocabulary
+
+_HLL_P = 14  # 2^14 registers = 16 KiB/lang, ~0.8% standard error
+
+
+def _hll_registers(h: np.ndarray, p: int = _HLL_P) -> np.ndarray:
+    """uint8[2^p] HLL registers from uint64 hashes, fully vectorized.
+    Register index = top p bits; rank = leading-zeros-in-remaining+1.
+    The remaining 64-p <= 53 bits fit float64 exactly, so frexp gives an
+    exact bit_length."""
+    regs = np.zeros(1 << p, np.uint8)
+    if h.size == 0:
+        return regs
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    w = (h & np.uint64((1 << (64 - p)) - 1)).astype(np.float64)
+    bit_len = np.frexp(w)[1]  # 0 for w == 0
+    rank = ((64 - p) - bit_len + 1).astype(np.uint8)
+    np.maximum.at(regs, idx, rank)
+    return regs
+
+
+def _hll_estimate(regs: np.ndarray) -> float:
+    """Raw HLL estimator with linear counting for the small range (the
+    classic Flajolet correction; no bias table — pytest bounds error)."""
+    m = regs.size
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+    zeros = int(np.count_nonzero(regs == 0))
+    if est <= 2.5 * m and zeros:
+        return m * float(np.log(m / zeros))
+    return float(est)
+
+
+def hll_vocab_per_lang(
+    ds: ray.data.Dataset,
+    lang_col: str = "lang",
+    text_col: str = "text",
+    fanin: int = 8,
+) -> pa.Table:
+    """APPROXIMATE distinct-token count per language -> (lang, n_approx),
+    ~0.8% standard error at p=14. The scale path for vocabulary stats:
+    each batch emits one (lang, 16 KiB register blob) row regardless of
+    token volume, merges are byte-wise max — constant-size partials make
+    the reduce O(langs) no matter the corpus size (vs vocab_per_lang's
+    exact path whose shuffle carries every distinct token once)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        h, offs = tk.token_hashes(batch.column(text_col))
+        lang = batch.column(lang_col)
+        if isinstance(lang, pa.ChunkedArray):
+            lang = lang.combine_chunks()
+        per_tok_lang = lang.take(
+            pa.array(np.repeat(np.arange(len(offs) - 1), np.diff(offs)), pa.int64())
+        )
+        langs, blobs = [], []
+        lang_np = per_tok_lang.to_numpy(zero_copy_only=False)
+        for lv in pa.compute.unique(per_tok_lang).to_pylist():
+            mask = lang_np == lv
+            langs.append(lv)
+            blobs.append(_hll_registers(h[mask]).tobytes())
+        return pa.table({lang_col: pa.array(langs, pa.string()), "regs": pa.array(blobs, pa.binary())})
+
+    def merge(batch: pa.Table) -> pa.Table:
+        langs, blobs = [], []
+        lang_np = batch.column(lang_col).to_numpy(zero_copy_only=False)
+        regs_col = batch.column("regs")
+        for lv in np.unique(lang_np):
+            rows = np.flatnonzero(lang_np == lv)
+            acc = np.zeros(1 << _HLL_P, np.uint8)
+            for r in rows:
+                np.maximum(acc, np.frombuffer(regs_col[r].as_py(), np.uint8), out=acc)
+            langs.append(lv)
+            blobs.append(acc.tobytes())
+        return pa.table({lang_col: pa.array(langs, pa.string()), "regs": pa.array(blobs, pa.binary())})
+
+    merged = _tree_or_driver(
+        ds.map_batches(partial, batch_format="pyarrow"), merge, fanin
+    )
+    ests = [
+        round(_hll_estimate(np.frombuffer(b.as_py(), np.uint8)))
+        for b in merged.column("regs")
+    ]
+    idx = pc.sort_indices(merged.column(lang_col))
+    return pa.table(
+        {
+            lang_col: merged.column(lang_col).take(idx),
+            "n_approx": pa.array(np.asarray(ests, np.int64)[idx.to_numpy()]),
+        }
+    )
+
+
+# ----------------------------------------------------- C4-style filter
+
+
+def c4_quality_filter(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    min_tokens: int = 20,
+    mean_len_range: tuple[float, float] = (4.0, 4.6),
+) -> ray.data.Dataset:
+    """C4-style rule filter (Raffel et al. 2020 §2.2 shape, rules
+    adapted to this corpus): keep docs with >= min_tokens whitespace
+    tokens and mean non-space token length inside ``mean_len_range``.
+    Emits (other cols...) + n_tok + mean_tok_len for kept docs. One
+    streaming map_batches — three Arrow kernels + one numpy division per
+    batch, no shuffle, no Python rows."""
+    lo, hi = mean_len_range
+
+    def fn(batch: pa.Table) -> pa.Table:
+        # trim first: split_whitespace emits empty tokens at padded edges
+        # (interior runs are fine); blank docs still split to [""], so
+        # zero them explicitly — together this equals the SQL mirror's
+        # len(regexp_extract_all(text, '\S+')).
+        raw = pc.fill_null(batch.column(text_col), "")
+        txt = pc.utf8_trim_whitespace(raw)
+        n_tok = pc.list_value_length(pc.utf8_split_whitespace(txt)).to_numpy().astype(np.int64)
+        is_blank = pc.equal(txt, "").to_numpy(zero_copy_only=False)
+        n_tok = np.where(is_blank, 0, n_tok)
+        # total non-whitespace chars (== SQL length(regexp_replace(text,
+        # '\s', '', 'g'))) — one RE2 pass, whitespace class identical
+        nonspace = (
+            pc.utf8_length(pc.replace_substring_regex(raw, r"\s", ""))
+            .to_numpy()
+            .astype(np.int64)
+        )
+        mean_len = np.divide(
+            nonspace, n_tok, out=np.zeros(len(n_tok), np.float64), where=n_tok > 0
+        )
+        keep = (n_tok >= min_tokens) & (mean_len >= lo) & (mean_len <= hi)
+        out = batch.append_column("n_tok", pa.array(n_tok))
+        # half-away-from-zero to match SQL round() (numpy's half-even
+        # diverges on exact .xxxx5 ties like 137/32)
+        out = out.append_column(
+            "mean_tok_len",
+            pc.round(pa.array(mean_len), 4, round_mode="half_towards_infinity"),
+        )
+        return out.filter(pa.array(keep))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# ------------------------------------------------- stratified sampling
+
+_KNUTH = 2654435761  # Knuth multiplicative hash constant
+_MOD = 1 << 32
+
+
+def stratified_sample(
+    ds: ray.data.Dataset,
+    rates: dict[str, float],
+    id_col: str = "doc_id",
+    strata_col: str = "lang",
+    default_rate: float = 0.0,
+) -> ray.data.Dataset:
+    """Deterministic per-stratum subsample: keep a row iff
+    (id * 2654435761) mod 2^32 < rate[stratum] * 2^32 — the standard
+    multiplicative-hash coin flip, so the SAME rows are kept on every
+    run / cluster size / partitioning (resumable sampling), and the
+    decision is SQL-expressible for oracle parity. Pure streaming
+    map_batches; rates ship inside the task closure (a few bytes)."""
+    langs = list(rates)
+    thresholds = pa.array(
+        [min(_MOD, int(rates[l] * _MOD)) for l in langs], pa.int64()
+    )
+    lang_arr = pa.array(langs, pa.string())
+    default_thr = min(_MOD, int(default_rate * _MOD))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        # uint64 wraparound is exact mod-2^64 arithmetic and 2^32 | 2^64,
+        # so (id * K) % 2^32 is overflow-safe for any int64 id (the SQL
+        # mirror needs HUGEINT for the same reason)
+        ids = batch.column(id_col).to_numpy().astype(np.uint64)
+        coin = (ids * np.uint64(_KNUTH)) % np.uint64(_MOD)
+        pos = pc.index_in(batch.column(strata_col), value_set=lang_arr)
+        thr = pc.fill_null(thresholds.take(pos), default_thr).to_numpy(
+            zero_copy_only=False
+        ).astype(np.uint64)
+        return batch.filter(pa.array(coin < thr))
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -432,6 +432,60 @@ def broadcast_join_agg(
     return res.rename_columns([right_val, "total", "n_rows"])
 
 
+def broadcast_star_agg(
+    left: ray.data.Dataset,
+    dim_tbl: pa.Table,
+    left_key: str,
+    dim_key: str,
+    group_cols: list[str],
+    measure_fn,
+    fanin: int = 8,
+) -> pa.Table:
+    """Star-schema fact aggregate: sum(measure)+count per dim attribute
+    combination. The (pre-joined, tiny) dimension table ships via
+    ray.put ONCE; each fact batch maps its foreign key through a
+    vectorized ``pc.index_in`` lookup, evaluates ``measure_fn(batch)``
+    (an Arrow-kernel expression, e.g. extendedprice*(1-discount)), and
+    pre-aggregates per group — the combiner, so only (groups x batches)
+    partial rows reach the size-gated final reduce. Unmatched keys drop
+    (inner-join semantics). This is the Ray-native shape of TPC-H-style
+    fact/dimension rollups: no shuffle of the fact table, ever."""
+    dim = dim_tbl.combine_chunks()
+    ref = ray.put(
+        (
+            dim.column(dim_key).combine_chunks(),
+            {c: dim.column(c).combine_chunks() for c in group_cols},
+        )
+    )
+
+    class StarAgg:
+        def __init__(self) -> None:
+            self.keys, self.groups = ray.get(ref)  # once per actor
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            idx = pc.index_in(batch.column(left_key), value_set=self.keys)
+            keep = pc.is_valid(idx)
+            idx = idx.filter(keep)
+            batch = batch.filter(keep)
+            cols = {c: arr.take(idx) for c, arr in self.groups.items()}
+            tbl = pa.table({**cols, "__m": measure_fn(batch)})
+            res = pa.TableGroupBy(tbl, group_cols).aggregate(
+                [("__m", "sum"), ("__m", "count")]
+            )
+            return res.rename_columns(group_cols + ["total", "n"])
+
+    def combine(batch: pa.Table) -> pa.Table:
+        res = pa.TableGroupBy(batch, group_cols).aggregate(
+            [("total", "sum"), ("n", "sum")]
+        )
+        return res.rename_columns(group_cols + ["total", "n"])
+
+    partials = left.map_batches(
+        StarAgg, batch_format="pyarrow", concurrency=default_concurrency()
+    )
+    return _tree_or_driver(partials, combine, fanin)
+
+
 def _rank_within_groups(sorted_tbl: pa.Table, keys: list[str]) -> np.ndarray:
     """0-based rank of each row within its key group; input must already
     be sorted with group keys as the outer sort. Vectorized."""

@@ -38,15 +38,14 @@ def hash_strings128(arr: pa.Array | pa.ChunkedArray) -> tuple[np.ndarray, np.nda
     return h1, h2
 
 
-def token_hashes(texts: pa.Array | pa.ChunkedArray) -> tuple[np.ndarray, np.ndarray]:
-    """(flat uint64 token hashes, int64 doc offsets len n_docs+1).
-
-    Null/empty texts contribute zero tokens. One Arrow split kernel +
-    one vectorized hash pass for the whole batch."""
+def token_strings(texts: pa.Array | pa.ChunkedArray) -> tuple[pa.Array, np.ndarray]:
+    """(flat token STRING array with empty tokens dropped, int64 doc
+    offsets len n_docs+1). Null/empty texts contribute zero tokens. One
+    Arrow split kernel for the whole batch; segmentation stays numpy."""
     if isinstance(texts, pa.ChunkedArray):
         texts = texts.combine_chunks()
     if len(texts) == 0:
-        return np.zeros(0, np.uint64), np.zeros(1, np.int64)
+        return pa.array([], pa.string()), np.zeros(1, np.int64)
     toks = pc.utf8_split_whitespace(pc.fill_null(texts, ""))
     if isinstance(toks, pa.ChunkedArray):
         toks = toks.combine_chunks()
@@ -56,7 +55,6 @@ def token_hashes(texts: pa.Array | pa.ChunkedArray) -> tuple[np.ndarray, np.ndar
         toks.offset : toks.offset + len(toks) + 1
     ].astype(np.int64)
     offs = offs - offs[0]
-    flat_np = flat.to_numpy(zero_copy_only=False).astype(object)
     lens = pc.binary_length(flat).to_numpy(zero_copy_only=False) if len(flat) else np.zeros(0, np.int64)
     nonempty = lens > 0
     if not nonempty.all():
@@ -66,7 +64,17 @@ def token_hashes(texts: pa.Array | pa.ChunkedArray) -> tuple[np.ndarray, np.ndar
         pos = np.flatnonzero(nonempty)
         keep_counts = np.diff(np.searchsorted(pos, offs))
         offs = np.concatenate([[0], np.cumsum(keep_counts)])
-        flat_np = flat_np[nonempty]
+        flat = flat.filter(pa.array(nonempty))
+    return flat, offs
+
+
+def token_hashes(texts: pa.Array | pa.ChunkedArray) -> tuple[np.ndarray, np.ndarray]:
+    """(flat uint64 token hashes, int64 doc offsets len n_docs+1).
+
+    Null/empty texts contribute zero tokens. One Arrow split kernel +
+    one vectorized hash pass for the whole batch."""
+    flat, offs = token_strings(texts)
+    flat_np = flat.to_numpy(zero_copy_only=False).astype(object)
     h = hash_strings(flat_np) if len(flat_np) else np.zeros(0, np.uint64)
     return h, offs
 
