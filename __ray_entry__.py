@@ -777,6 +777,57 @@ def _q5_revenue(sf_dir: str):
     )
 
 
+def _normalize_documents(sf_dir: str):
+    """Unicode NFC + casefold + whitespace-collapse normalization (the
+    canonicalization pass before content hashing)."""
+    from datafusion_orc_ray.pipelines import text as tx
+
+    out = tx.normalize_text(_ds(sf_dir, "documents", ["doc_id", "text"]))
+    return out
+
+
+def _grouped_p90_events(sf_dir: str):
+    """Exact per-group interpolated 90th percentile (quantile_cont)."""
+    import pyarrow.compute as pc
+
+    from datafusion_orc_ray.pipelines import relational as rel
+
+    out = rel.collect(
+        rel.grouped_quantile(
+            _ds(sf_dir, "events", ["event_type", "value"]),
+            ["event_type"],
+            "value",
+            q=0.9,
+            out_col="p90",
+        )
+    )
+    return pa.table(
+        {
+            "event_type": out.column("event_type"),
+            "p90": pc.round(out.column("p90"), 4),
+        }
+    )
+
+
+_HIST_LO, _HIST_HI, _HIST_BINS = 0.0, 100.0, 20
+
+
+def _histogram_events(sf_dir: str):
+    """Fixed-width value histogram (data-profiling primitive)."""
+    from datafusion_orc_ray.pipelines import relational as rel
+
+    return rel.histogram(
+        _ds(sf_dir, "events", ["value"]), "value", _HIST_LO, _HIST_HI, _HIST_BINS
+    )
+
+
+def _sort_orders(sf_dir: str):
+    """Distributed global sort (Ray Data range-partitioned sort)."""
+    return _ds(sf_dir, "orders", ["o_orderkey", "o_totalprice"]).sort(
+        ["o_totalprice", "o_orderkey"], descending=[True, False]
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # encode/decode stack (SURVEY.md §2.3)
@@ -825,6 +876,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "c4_filter_documents": _c4_filter,
         "stratified_sample_documents": _stratified_sample,
         "q5_revenue_nation": _q5_revenue,
+        "normalize_documents": _normalize_documents,
+        "grouped_p90_events": _grouped_p90_events,
+        "histogram_events": _histogram_events,
+        "sort_orders": _sort_orders,
         # non-SQL-expressible (rows-only checks)
         "hll_vocab_documents": _hll_vocab,
         "minhash_dedup_documents": _minhash_dedup,
@@ -997,6 +1052,24 @@ def oracle_sql() -> dict[str, str]:
             "JOIN region ON n_regionkey = r_regionkey "
             "GROUP BY r_name, n_name"
         ),
+        "normalize_documents": (
+            "SELECT doc_id, trim(regexp_replace(lower(nfc_normalize(text)), "
+            "'\\s+', ' ', 'g')) AS normalized FROM documents"
+        ),
+        "grouped_p90_events": (
+            "SELECT event_type, round(quantile_cont(value, 0.9), 4) AS p90 "
+            "FROM events GROUP BY event_type"
+        ),
+        "histogram_events": (
+            # identical double arithmetic both sides: w inlined via
+            # Python repr (round-trips to the same IEEE value); the
+            # least() mirrors the Ray side's float-edge clip
+            f"SELECT least(CAST(floor((value - {_HIST_LO!r}) / "
+            f"{(_HIST_HI - _HIST_LO) / _HIST_BINS!r}) AS BIGINT), {_HIST_BINS - 1}) AS bin, "
+            f"count(*) AS n FROM events "
+            f"WHERE value >= {_HIST_LO!r} AND value < {_HIST_HI!r} GROUP BY 1"
+        ),
+        "sort_orders": "SELECT o_orderkey, o_totalprice FROM orders",
         "roundtrip_documents": "SELECT * FROM documents",
         "roundtrip_lineitem": "SELECT * FROM lineitem",
         "roundtrip_events": "SELECT * FROM events",

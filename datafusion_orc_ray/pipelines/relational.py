@@ -532,19 +532,23 @@ def grouped_topk(
     return _tree_or_driver(partials, batch_topk, fanin)
 
 
-def grouped_median(
+def grouped_quantile(
     ds: ray.data.Dataset,
     keys: list[str],
     val_col: str,
+    q: float = 0.5,
+    out_col: str = "qv",
     n_buckets: int | None = None,
 ) -> ray.data.Dataset:
-    """EXACT per-group median (interpolated for even counts, SQL
-    median()): one key-hash bucket shuffle co-locates each group, then a
-    vectorized per-bucket pass (sort, group boundaries, offset picks).
-    Exact medians need full co-location by key — the inherent cost;
-    nulls are ignored as in SQL."""
+    """EXACT per-group linear-interpolated quantile (SQL quantile_cont /
+    median at q=0.5): one key-hash bucket shuffle co-locates each group,
+    then a vectorized per-bucket pass (sort, group boundaries, offset
+    picks + interpolation). Exact quantiles need full co-location by key
+    — the inherent cost; nulls are ignored as in SQL."""
     from ..util import cluster_cpus
 
+    if not 0.0 <= q <= 1.0:
+        raise ValueError(f"q must be in [0, 1], got {q}")
     if n_buckets is None:
         n_buckets = max(16, 2 * cluster_cpus())
 
@@ -559,23 +563,71 @@ def grouped_median(
 
     tagged = ds.map_batches(tag, batch_format="pyarrow")
 
-    def bucket_median(group: pa.Table) -> pa.Table:
+    def bucket_quantile(group: pa.Table) -> pa.Table:
         if group.num_rows == 0:
             return pa.table(
-                {**{kc: pa.array([]) for kc in keys}, "med": pa.array([], pa.float64())}
+                {**{kc: pa.array([]) for kc in keys}, out_col: pa.array([], pa.float64())}
             )
         s = group.sort_by([(kc, "ascending") for kc in keys] + [(val_col, "ascending")])
         rank = _rank_within_groups(s, keys)
         starts = np.flatnonzero(rank == 0)
         counts = np.diff(np.append(starts, s.num_rows))
         v = s.column(val_col).to_numpy(zero_copy_only=False).astype(np.float64)
-        lo = starts + (counts - 1) // 2
-        hi = starts + counts // 2
-        med = (v[lo] + v[hi]) / 2.0
+        pos = (counts - 1) * q
+        lo = np.floor(pos).astype(np.int64)
+        frac = pos - lo
+        hi = np.minimum(lo + 1, counts - 1)
+        qv = v[starts + lo] * (1.0 - frac) + v[starts + hi] * frac
         first = s.select(keys).take(pa.array(starts, pa.int64()))
-        return first.append_column("med", pa.array(med, pa.float64()))
+        return first.append_column(out_col, pa.array(qv, pa.float64()))
 
-    return tagged.groupby("__bucket").map_groups(bucket_median, batch_format="pyarrow")
+    return tagged.groupby("__bucket").map_groups(bucket_quantile, batch_format="pyarrow")
+
+
+def grouped_median(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    val_col: str,
+    n_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """EXACT per-group median — grouped_quantile at q=0.5 (identical
+    interpolation: even counts average the middle pair)."""
+    return grouped_quantile(ds, keys, val_col, q=0.5, out_col="med", n_buckets=n_buckets)
+
+
+def histogram(
+    ds: ray.data.Dataset,
+    col: str,
+    lo: float,
+    hi: float,
+    n_bins: int,
+    fanin: int = 8,
+) -> pa.Table:
+    """Fixed-width histogram -> (bin, n) with bin = floor((v-lo)/w),
+    rows outside [lo, hi) excluded. Per-batch bin + Arrow groupby
+    combiner, size-gated final reduce — the shuffle carries at most
+    n_bins rows per batch. The data-profiling primitive for choosing
+    clustering keys / codec thresholds over a 100-TB column."""
+    if not (hi > lo and n_bins > 0):
+        raise ValueError("need hi > lo and n_bins > 0")
+    w = (hi - lo) / n_bins
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        keep = (v >= lo) & (v < hi) & ~np.isnan(v)
+        b = np.floor((v[keep] - lo) / w).astype(np.int64)
+        np.clip(b, 0, n_bins - 1, out=b)  # guard float-edge spill into bin n
+        res = pa.TableGroupBy(pa.table({"bin": pa.array(b)}), ["bin"]).aggregate(
+            [("bin", "count")]
+        )
+        return res.rename_columns(["bin", "n"])
+
+    def combine(batch: pa.Table) -> pa.Table:
+        res = pa.TableGroupBy(batch, ["bin"]).aggregate([("n", "sum")])
+        return res.rename_columns(["bin", "n"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return _tree_or_driver(partials, combine, fanin).sort_by("bin")
 
 
 def grouped_rank(

@@ -379,6 +379,34 @@ def pii_redact(ds: ray.data.Dataset) -> ray.data.Dataset:
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def normalize_text(
+    ds: ray.data.Dataset, text_col: str = "text", unicode_form: str | None = None
+) -> ray.data.Dataset:
+    """Canonical text normalization before hashing/dedup: lowercase,
+    whitespace runs collapsed to single spaces, edges trimmed; nulls
+    pass through. Three Arrow kernels per batch, streaming.
+
+    ``unicode_form`` ('NFC'/'NFKC'/...) additionally runs
+    pc.utf8_normalize, but is OFF by default: this environment's
+    pyarrow 16.1 decomposes under every form and never recomposes
+    (observed: NFC('\\xe9') -> 'e\\u0301'), so it cannot mirror SQL
+    nfc_normalize — enable only when both ends of a comparison use the
+    same Arrow build."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        t = batch.column(text_col)
+        if unicode_form is not None:
+            t = pc.utf8_normalize(t, form=unicode_form)
+        t = pc.utf8_lower(t)
+        t = pc.replace_substring_regex(t, r"\s+", " ")
+        t = pc.utf8_trim_whitespace(t)
+        return batch.set_column(
+            batch.schema.get_field_index(text_col), "normalized", t
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def pack_sequences(
     ds: ray.data.Dataset,
     key_col: str = "lang",

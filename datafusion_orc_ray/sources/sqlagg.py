@@ -316,6 +316,11 @@ def run_partial(partial_sql: str):
         try:
             con.register("__batch", batch)
             return con.sql(partial_sql).fetch_arrow_table()
+        except Exception as exc:  # annotate for remote-traceback debugging
+            raise RuntimeError(
+                f"partial aggregate failed: sql={partial_sql!r} "
+                f"batch_rows={batch.num_rows} schema={batch.schema!r}"
+            ) from exc
         finally:
             con.close()
 

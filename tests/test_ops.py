@@ -670,3 +670,50 @@ def test_near_dup_adaptive_bits_keeps_recall(ray_session):
     pairs = sim.embedding_near_dup_pairs(ray.data.from_arrow(t), threshold=0.99)
     found = set(zip(pairs.column("id_a").to_pylist(), pairs.column("id_b").to_pylist()))
     assert (50, 100) in found and (150, 200) in found
+
+
+def test_grouped_quantile_interpolation(ray_session):
+    """Interpolated per-group quantiles match numpy's linear method."""
+    import ray.data
+
+    t = pa.table({
+        "k": pa.array(["a"] * 5 + ["b"] * 4),
+        "v": pa.array([5.0, 1.0, 3.0, 2.0, 4.0, 10.0, 40.0, 20.0, 30.0]),
+    })
+    out = rel.collect(
+        rel.grouped_quantile(ray.data.from_arrow(t), ["k"], "v", q=0.9, out_col="p90")
+    ).sort_by("k")
+    got = out.column("p90").to_pylist()
+    assert got[0] == np.quantile([1, 2, 3, 4, 5], 0.9)
+    assert got[1] == np.quantile([10, 20, 30, 40], 0.9)
+    # median delegation unchanged
+    med = rel.collect(
+        rel.grouped_median(ray.data.from_arrow(t), ["k"], "v")
+    ).sort_by("k")
+    assert med.column("med").to_pylist() == [3.0, 25.0]
+
+
+def test_histogram_edges(ray_session):
+    """Out-of-range and NaN rows drop; in-range values bin by width."""
+    import ray.data
+
+    t = pa.table({"v": pa.array([-0.1, 0.0, 0.49, 0.5, 0.99, 1.0, float("nan")])})
+    out = rel.histogram(ray.data.from_arrow(t), "v", 0.0, 1.0, 2)
+    assert out.column("bin").to_pylist() == [0, 1]
+    assert out.column("n").to_pylist() == [2, 2]  # -0.1, 1.0, NaN excluded
+
+
+def test_normalize_text(ray_session):
+    from datafusion_orc_ray.pipelines import text as tx
+    import ray.data
+
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["  MiXeD   Case\t\ntext ", "UPPER lower", None]),
+    })
+    out = rel.collect(tx.normalize_text(ray.data.from_arrow(t))).sort_by("doc_id")
+    got = out.column("normalized").to_pylist()
+    assert got[0] == "mixed case text"
+    assert got[1] == "upper lower"
+    assert got[2] is None
