@@ -30,7 +30,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from .codecs import bytes_codec, outer
+from .codecs import bloom, bytes_codec, outer
 from .codecs.bitpack import pack_bits, unpack_bits
 from .codecs.integers import codec_name, decode_ints, encode_ints
 
@@ -270,6 +270,14 @@ def encode_column(
     if present is not None:
         _add(meta, blobs, PRESENT, {"codec": "bitpack"}, present)
     meta["stats"] = _stats(arr) if not pa.types.is_nested(t) else {"n": n, "null_count": null_count}
+    if not pa.types.is_nested(t):
+        # bloom-filter index for point-lookup pruning (footer-only: the
+        # manifest writer copies path/enc/streams/stats and drops this,
+        # keeping driver metadata O(stats) while each ReadTask's footer
+        # fetch gets the filter)
+        bl = bloom.build(arr)
+        if bl is not None:
+            meta["bloom"] = bl
 
     if pa.types.is_null(t):
         meta["enc"] = "null"
@@ -905,11 +913,19 @@ def _decode_from(
         picked = chunks[lo:hi]
         if predicate is not None:
             col, op, val = predicate
+            fschema = pa.ipc.read_schema(
+                pa.py_buffer(base64.b64decode(footer["schema_b64"]))
+            )
+            btype = fschema.field(col).type if col in fschema.names else None
 
             def chunk_may_match(ch: dict) -> bool:
                 for c in ch["columns"]:
                     if c["path"] == col:
-                        return stats_may_match(c.get("stats", {}), op, val)
+                        if not stats_may_match(c.get("stats", {}), op, val):
+                            return False
+                        if op == "==" and "bloom" in c and btype is not None:
+                            return bloom.may_contain(c["bloom"], val, btype)
+                        return True
                 return True  # unknown column -> cannot prune
 
             picked = [ch for ch in picked if chunk_may_match(ch)]
@@ -940,6 +956,23 @@ def _decode_from(
         raise IndexError(f"chunk_range {chunk_range} on a single-chunk stripe")
     schema = pa.ipc.read_schema(pa.py_buffer(base64.b64decode(footer["schema_b64"])))
     by_name = {c["path"]: c for c in footer["columns"]}
+    if predicate is not None and predicate[1] == "==":
+        # point lookup: the footer's bloom can prove the value absent from
+        # this whole stripe before ANY column-stream read (footer already
+        # fetched via tail range)
+        col, _, val = predicate
+        cmeta = by_name.get(col)
+        if (
+            cmeta is not None
+            and "bloom" in cmeta
+            and col in schema.names
+            and not bloom.may_contain(cmeta["bloom"], val, schema.field(col).type)
+        ):
+            base = unified_schema if unified_schema is not None else schema
+            wanted = columns if columns is not None else list(base.names)
+            return pa.schema(
+                [base.field(n) if n in base.names else schema.field(n) for n in wanted]
+            ).empty_table()
     if columns is not None:
         wanted = list(columns)
     elif unified_schema is not None:
