@@ -617,9 +617,22 @@ def _pack_sequences_documents(sf_dir: str):
 
 
 def _ann_ivf(sf_dir: str):
+    """Full IVF machinery (centroid build, cell assignment, per-cell
+    probe) run with n_probe == n_cells, which makes the result EXACT and
+    therefore hard-oracle-able against brute-force SQL top-k. The
+    approximate regime (n_probe < n_cells: recall and pruned-bytes
+    bounds) is pinned by pytest test_knn_exact_and_ivf /
+    test_ivf_disk_index_prunes_reads."""
+    import pyarrow.compute as pc
+
     from datafusion_orc_ray.pipelines import similarity as sim
 
-    return sim.knn_cosine_ivf(_ds(sf_dir, "embeddings"), _query_vec(sf_dir), k=10)
+    out = sim.knn_cosine_ivf(
+        _ds(sf_dir, "embeddings"), _query_vec(sf_dir), k=10, n_cells=16, n_probe=16
+    )
+    return pa.table(
+        {"vec_id": out.column("vec_id"), "cos_sim": pc.round(out.column("cos_sim"), 4)}
+    )
 
 
 def _near_dup_embeddings(sf_dir: str):
@@ -880,11 +893,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_p90_events": _grouped_p90_events,
         "histogram_events": _histogram_events,
         "sort_orders": _sort_orders,
+        "simhash_documents": _simhash,
         # non-SQL-expressible (rows-only checks)
         "hll_vocab_documents": _hll_vocab,
         "minhash_dedup_documents": _minhash_dedup,
         "jaccard_pairs_documents": _jaccard_pairs,
-        "simhash_documents": _simhash,
         "langid_documents": _langid,
         "fingerprint_documents": _fingerprints,
         "pii_redact_documents": _pii_redact_documents,
@@ -951,6 +964,67 @@ SELECT doc_id, NULL AS fingerprint FROM documents WHERE text IS NULL
 """
 
 
+def _simhash_oracle_sql() -> str:
+    """DuckDB mirror of pipelines.dedup.SimHasher: FNV-1a (byte-wise, as
+    a recursive CTE over each DISTINCT token's chars) + murmur fmix64
+    finalizer, then per-(doc, bit) majority votes over the token multiset
+    and bit reassembly. The two 64-bit fmix multiplications are split
+    into 32-bit partial products so every intermediate fits INT128
+    (HUGEINT overflows on a full 64x64 product); byte==codepoint holds
+    because the corpus is ASCII (same caveat as the fingerprint oracle).
+    Ties (vote sum 0) give bit 0 on both sides; null text -> NULL,
+    token-less text -> 0."""
+    m64 = f"CAST('{1 << 64}' AS HUGEINT)"
+
+    def mulmod(x: str, c: int) -> str:
+        c0, c1 = c & 0xFFFFFFFF, c >> 32
+        return (
+            f"(({x}) * {c0} + ((({x}) % 4294967296) * {c1}) "
+            f"% 4294967296 * 4294967296) % {m64}"
+        )
+
+    return f"""
+WITH RECURSIVE
+toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS tok
+  FROM documents WHERE text IS NOT NULL
+),
+dtoks AS (SELECT DISTINCT tok FROM toks),
+fnv AS (
+  SELECT tok, 1 AS i, CAST('{0xCBF29CE484222325}' AS HUGEINT) AS h FROM dtoks
+  UNION ALL
+  SELECT tok, i + 1,
+         (xor(h, CAST(ascii(substring(tok, i, 1)) AS HUGEINT)) * 1099511628211) % {m64}
+  FROM fnv WHERE i <= length(tok)
+),
+hashed AS (SELECT tok, h FROM fnv WHERE i = length(tok) + 1),
+x1 AS (SELECT tok, xor(h, h // 8589934592) AS h FROM hashed),
+m1 AS (SELECT tok, {mulmod("h", 0xFF51AFD7ED558CCD)} AS h FROM x1),
+x2 AS (SELECT tok, xor(h, h // 8589934592) AS h FROM m1),
+m2 AS (SELECT tok, {mulmod("h", 0xC4CEB9FE1A85EC53)} AS h FROM x2),
+mixed AS (SELECT tok, xor(h, h // 8589934592) AS h FROM m2),
+pows AS (SELECT unnest(range(64)) AS b),
+votes AS (
+  SELECT t.doc_id, p.b,
+         SUM(CASE WHEN (m.h // CAST(power(2, p.b) AS HUGEINT)) % 2 = 1
+                  THEN 1 ELSE -1 END) AS s
+  FROM toks t JOIN mixed m USING (tok) CROSS JOIN pows p
+  GROUP BY t.doc_id, p.b
+),
+sig AS (
+  SELECT doc_id, SUM(CASE WHEN s > 0 THEN CAST(power(2, b) AS HUGEINT)
+                          ELSE CAST(0 AS HUGEINT) END) AS u
+  FROM votes GROUP BY doc_id
+)
+SELECT d.doc_id,
+  CASE WHEN d.text IS NULL THEN NULL
+       ELSE CAST(CASE WHEN coalesce(s.u, CAST(0 AS HUGEINT)) >= CAST('{1 << 63}' AS HUGEINT)
+                      THEN coalesce(s.u, CAST(0 AS HUGEINT)) - {m64}
+                      ELSE coalesce(s.u, CAST(0 AS HUGEINT)) END AS BIGINT) END AS simhash
+FROM documents d LEFT JOIN sig s USING (doc_id)
+"""
+
+
 def _pii_oracle_sql() -> str:
     from datafusion_orc_ray.pipelines.text import EMAIL_RE, PHONE_RE
 
@@ -976,6 +1050,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences_documents": _PACK_ORACLE_SQL,
         "langid_documents": _langid_oracle_sql(),
         "fingerprint_documents": _FINGERPRINT_ORACLE_SQL,
+        "simhash_documents": _simhash_oracle_sql(),
         "near_dup_embeddings": (
             "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
             "round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cos_sim "
@@ -1197,6 +1272,15 @@ def oracle_sql() -> dict[str, str]:
         "bytes_meta_documents": "SELECT doc_id, strlen(text) AS payload_bytes FROM documents",
         "unnest_embeddings": (
             "SELECT vec_id, round(unnest(embedding)::DOUBLE, 5) AS v FROM embeddings"
+        ),
+        # all-cells IVF probe == exact top-k, so brute-force SQL is a
+        # hard oracle for the full index machinery (see _ann_ivf)
+        "ann_ivf_embeddings": (
+            "SELECT vec_id, round(list_cosine_similarity(embedding, "
+            "(SELECT embedding FROM embeddings WHERE vec_id = 0)), 4) AS cos_sim "
+            "FROM embeddings "
+            "ORDER BY list_cosine_similarity(embedding, "
+            "(SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC, vec_id LIMIT 10"
         ),
         "knn_embeddings": (
             "SELECT vec_id, round(list_cosine_similarity(embedding, "

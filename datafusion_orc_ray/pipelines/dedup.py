@@ -696,8 +696,11 @@ class SimHasher:
 
     def simhash_batch(self, texts: pa.Array | pa.ChunkedArray) -> tuple[np.ndarray, np.ndarray]:
         """(int64 signatures, bool validity) — null text -> invalid,
-        token-less text -> 0 (legacy per-doc semantics)."""
-        th, offs = tk.token_hashes(texts)
+        token-less text -> 0 (legacy per-doc semantics). Features are
+        hashed with FNV-1a+fmix64 (tokhash.token_hashes_fnv) — unlike
+        siphash it is reproducible in ANSI SQL, which gives this operator
+        a hard DuckDB oracle."""
+        th, offs = tk.token_hashes_fnv(texts)
         n_docs = len(offs) - 1
         sigs = np.zeros(n_docs, dtype=np.uint64)
         counts = np.diff(offs)

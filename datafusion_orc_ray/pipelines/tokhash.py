@@ -38,6 +38,55 @@ def hash_strings128(arr: pa.Array | pa.ChunkedArray) -> tuple[np.ndarray, np.nda
     return h1, h2
 
 
+_FNV_OFFSET = np.uint64(0xCBF29CE484222325)
+
+
+def fmix64(h: np.ndarray) -> np.ndarray:
+    """murmur3 finalizer (vectorized): full-avalanche mix of a uint64."""
+    h = h.copy()
+    with np.errstate(over="ignore"):
+        h ^= h >> np.uint64(33)
+        h *= np.uint64(0xFF51AFD7ED558CCD)
+        h ^= h >> np.uint64(33)
+        h *= np.uint64(0xC4CEB9FE1A85EC53)
+        h ^= h >> np.uint64(33)
+    return h
+
+
+def fnv1a_strings(flat: pa.Array) -> np.ndarray:
+    """FNV-1a over each string's UTF-8 bytes, finalized with fmix64
+    (FNV alone has weak high bits on short ASCII tokens; SimHash needs
+    uniform bits). Vectorized: one pass over byte position j masks the
+    still-live tokens — O(max_len) numpy steps for the whole batch, no
+    per-token Python. This exact function (bytes == codepoints on ASCII)
+    is reproducible in ANSI SQL via a recursive CTE, which is what gives
+    simhash its hard DuckDB oracle (__ray_entry__._simhash_oracle_sql)."""
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    n = len(flat)
+    if n == 0:
+        return np.zeros(0, np.uint64)
+    flat = flat.cast(pa.string())
+    offs = np.frombuffer(flat.buffers()[1], np.int32)[
+        flat.offset : flat.offset + n + 1
+    ].astype(np.int64)
+    buf = np.frombuffer(flat.buffers()[2], np.uint8)
+    starts, lens = offs[:-1], np.diff(offs)
+    h = np.full(n, _FNV_OFFSET, np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(int(lens.max()) if n else 0):
+            m = lens > j
+            h[m] = (h[m] ^ buf[starts[m] + j].astype(np.uint64)) * _FNV
+    return fmix64(h)
+
+
+def token_hashes_fnv(texts: pa.Array | pa.ChunkedArray) -> tuple[np.ndarray, np.ndarray]:
+    """token_hashes with the SQL-reproducible FNV-1a+fmix64 hash instead
+    of pandas siphash — the SimHash feature hash."""
+    flat, offs = token_strings(texts)
+    return fnv1a_strings(flat), offs
+
+
 def token_strings(texts: pa.Array | pa.ChunkedArray) -> tuple[pa.Array, np.ndarray]:
     """(flat token STRING array with empty tokens dropped, int64 doc
     offsets len n_docs+1). Null/empty texts contribute zero tokens. One

@@ -154,3 +154,31 @@ def test_broadcast_star_agg(ray_session):
     assert out.column("grp").to_pylist() == ["a", "b"]
     assert out.column("total").to_pylist() == [35.0, 7.0]
     assert out.column("n").to_pylist() == [3, 1]
+
+
+def test_fnv1a_strings_matches_reference():
+    """tokhash.fnv1a_strings == byte-wise FNV-1a + fmix64 (the contract
+    the simhash DuckDB oracle reproduces in SQL)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from datafusion_orc_ray.pipelines import tokhash as tk
+
+    def ref(s: str) -> int:
+        h = 0xCBF29CE484222325
+        for b in s.encode():
+            h = ((h ^ b) * 0x100000001B3) & (2**64 - 1)
+        h ^= h >> 33
+        h = (h * 0xFF51AFD7ED558CCD) & (2**64 - 1)
+        h ^= h >> 33
+        h = (h * 0xC4CEB9FE1A85EC53) & (2**64 - 1)
+        h ^= h >> 33
+        return h
+
+    toks = ["hello", "", "a", "the", "zebra42", "x" * 30, "Ünïcödé"]
+    got = tk.fnv1a_strings(pa.array(toks)).tolist()
+    assert got == [ref(t) for t in toks]
+    # uniform bits (SimHash needs this; raw FNV fails it on short tokens)
+    h = tk.fnv1a_strings(pa.array([f"tok{i}" for i in range(20000)]))
+    bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).mean(axis=0)
+    assert abs(bits - 0.5).max() < 0.02
