@@ -586,6 +586,28 @@ def _simhash(sf_dir: str):
     return dedup.simhashes(_ds(sf_dir, "documents", ["doc_id", "text"]))
 
 
+def _repetition_documents(sf_dir: str):
+    """Gopher/MassiveText repetition signals (dup-line / dup-char /
+    top-bigram fractions) — the standard web-corpus quality gate."""
+    from datafusion_orc_ray.pipelines import text as tx
+
+    return tx.repetition_signals(_ds(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def _point_lookup_orders(sf_dir: str):
+    """Point lookup over encoded stripes: an == predicate prunes via
+    manifest min/max AND the per-stripe footer bloom filters
+    (codecs/bloom — absent values proven absent after a footer-only
+    read), then the residual row filter keeps results exact."""
+    from datafusion_orc_ray.sources.stripes import read_stripes
+
+    return read_stripes(
+        _encoded(sf_dir, "orders"),
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+        predicate=("o_orderkey", "==", 777),
+    )
+
+
 def _langid(sf_dir: str):
     from datafusion_orc_ray.pipelines import text as tx
 
@@ -894,6 +916,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "histogram_events": _histogram_events,
         "sort_orders": _sort_orders,
         "simhash_documents": _simhash,
+        "repetition_documents": _repetition_documents,
+        "point_lookup_orders": _point_lookup_orders,
         # non-SQL-expressible (rows-only checks)
         "hll_vocab_documents": _hll_vocab,
         "minhash_dedup_documents": _minhash_dedup,
@@ -1025,6 +1049,41 @@ FROM documents d LEFT JOIN sig s USING (doc_id)
 """
 
 
+# Mirror of pipelines.text.repetition_signals: identical integer counts
+# divided as doubles on both sides -> bit-identical float64 results.
+# Lines = string_split on chr(10) with empties dropped; bigrams zipped
+# from the '\S+' token list.
+_REPETITION_ORACLE_SQL = """
+WITH
+ls AS (
+  SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+  FROM documents WHERE text IS NOT NULL
+),
+nl AS (SELECT doc_id, line, length(line) AS l FROM ls WHERE length(line) > 0),
+grp AS (SELECT doc_id, count(*) AS c, max(l) AS l FROM nl GROUP BY doc_id, line),
+lstats AS (
+  SELECT doc_id,
+         CAST(sum(c - 1) AS DOUBLE) / sum(c) AS dup_line_frac,
+         CAST(sum((c - 1) * l) AS DOUBLE) / sum(c * l) AS dup_char_frac
+  FROM grp GROUP BY doc_id
+),
+tl AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS ts
+       FROM documents WHERE text IS NOT NULL),
+grams AS (
+  SELECT doc_id, unnest(list_zip(ts[:len(ts)-1], ts[2:])) AS z
+  FROM tl WHERE len(ts) >= 2
+),
+gcnt AS (SELECT doc_id, z, count(*) AS c FROM grams GROUP BY doc_id, z),
+gstats AS (SELECT doc_id, CAST(max(c) AS DOUBLE) / sum(c) AS top_bigram_frac
+           FROM gcnt GROUP BY doc_id)
+SELECT d.doc_id,
+  CASE WHEN d.text IS NULL THEN NULL ELSE coalesce(l.dup_line_frac, 0.0) END AS dup_line_frac,
+  CASE WHEN d.text IS NULL THEN NULL ELSE coalesce(l.dup_char_frac, 0.0) END AS dup_char_frac,
+  CASE WHEN d.text IS NULL THEN NULL ELSE coalesce(g.top_bigram_frac, 0.0) END AS top_bigram_frac
+FROM documents d LEFT JOIN lstats l USING (doc_id) LEFT JOIN gstats g USING (doc_id)
+"""
+
+
 def _pii_oracle_sql() -> str:
     from datafusion_orc_ray.pipelines.text import EMAIL_RE, PHONE_RE
 
@@ -1051,6 +1110,11 @@ def oracle_sql() -> dict[str, str]:
         "langid_documents": _langid_oracle_sql(),
         "fingerprint_documents": _FINGERPRINT_ORACLE_SQL,
         "simhash_documents": _simhash_oracle_sql(),
+        "repetition_documents": _REPETITION_ORACLE_SQL,
+        "point_lookup_orders": (
+            "SELECT o_orderkey, o_custkey, o_totalprice FROM orders "
+            "WHERE o_orderkey = 777"
+        ),
         "near_dup_embeddings": (
             "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
             "round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cos_sim "

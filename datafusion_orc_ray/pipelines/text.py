@@ -360,6 +360,104 @@ def fingerprints(ds: ray.data.Dataset) -> ray.data.Dataset:
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def repetition_signals(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Gopher/MassiveText-style repetition quality signals per document,
+    one vectorized pass per batch (segmented numpy over flat line/token
+    arrays — no per-row Python):
+
+    * ``dup_line_frac``   — repeated-line occurrences (every occurrence
+      beyond a line's first) / non-empty lines
+    * ``dup_char_frac``   — characters in those repeated occurrences /
+      characters in all non-empty lines
+    * ``top_bigram_frac`` — occurrences of the most frequent token
+      bigram / total bigrams
+
+    Null text -> null signals; no lines / <2 tokens -> 0.0. Exactly
+    mirrored by the DuckDB oracle (__ray_entry__): both sides divide the
+    same integer counts, so the float64 results are bit-identical."""
+    from . import tokhash as tk
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text")
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        n_docs = len(texts)
+        valid = pc.is_valid(texts).to_numpy(zero_copy_only=False)
+        filled = pc.fill_null(texts, "")
+
+        # ---- lines: flat split + per-doc segmentation, empties dropped
+        ls = pc.split_pattern(filled, "\n")
+        if isinstance(ls, pa.ChunkedArray):
+            ls = ls.combine_chunks()
+        flat = ls.flatten()
+        lens_all = (
+            pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
+            if len(flat)
+            else np.zeros(0, np.int64)
+        )
+        offs = np.frombuffer(ls.buffers()[1], np.int32)[
+            ls.offset : ls.offset + n_docs + 1
+        ].astype(np.int64)
+        offs = offs - offs[0]
+        pos = np.flatnonzero(lens_all > 0)
+        cnt_per_doc = np.diff(np.searchsorted(pos, offs))
+        doc_of = np.repeat(np.arange(n_docs), cnt_per_doc)
+        if pos.size:
+            kept = flat.take(pa.array(pos, pa.int64()))
+            h = tk.hash_strings(kept.to_numpy(zero_copy_only=False).astype(object))
+        else:
+            h = np.zeros(0, np.uint64)
+        L = lens_all[pos]
+        order = np.lexsort((h, doc_of))
+        hd, dd, Ld = h[order], doc_of[order], L[order]
+        is_dup = (
+            np.concatenate([[False], (dd[1:] == dd[:-1]) & (hd[1:] == hd[:-1])])
+            if hd.size
+            else np.zeros(0, bool)
+        )
+        dup_cnt = np.bincount(dd[is_dup], minlength=n_docs)
+        dup_chars = np.bincount(dd[is_dup], weights=Ld[is_dup], minlength=n_docs)
+        tot_chars = np.bincount(dd, weights=Ld, minlength=n_docs)
+        dup_line_frac = dup_cnt / np.maximum(cnt_per_doc, 1)
+        dup_char_frac = dup_chars / np.maximum(tot_chars, 1)
+
+        # ---- token bigrams: adjacent-hash combine within each doc
+        th, toffs = tk.token_hashes(texts)
+        tdoc = np.repeat(np.arange(n_docs), np.diff(toffs))
+        top_cnt = np.zeros(n_docs, np.int64)
+        tot_grams = np.zeros(n_docs, np.int64)
+        if th.size > 1:
+            adj = tdoc[:-1] == tdoc[1:]
+            with np.errstate(over="ignore"):
+                g = th[:-1][adj] * tk._FNV + th[1:][adj]
+            gd = tdoc[:-1][adj]
+            if g.size:
+                o = np.lexsort((g, gd))
+                gg, gdd = g[o], gd[o]
+                new = np.concatenate([[True], (gdd[1:] != gdd[:-1]) | (gg[1:] != gg[:-1])])
+                starts = np.flatnonzero(new)
+                run = np.diff(np.append(starts, gg.size))
+                grp_doc = gdd[starts]
+                doc_starts = np.flatnonzero(
+                    np.concatenate([[True], grp_doc[1:] != grp_doc[:-1]])
+                )
+                top_cnt[grp_doc[doc_starts]] = np.maximum.reduceat(run, doc_starts)
+                tot_grams = np.bincount(gdd, minlength=n_docs)
+        top_bigram_frac = top_cnt / np.maximum(tot_grams, 1)
+
+        mask = ~valid
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "dup_line_frac": pa.array(dup_line_frac, pa.float64(), mask=mask),
+                "dup_char_frac": pa.array(dup_char_frac, pa.float64(), mask=mask),
+                "top_bigram_frac": pa.array(top_bigram_frac, pa.float64(), mask=mask),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 # RE2-safe patterns shared verbatim with the DuckDB oracle (both engines
 # run RE2, so replacement results match byte-for-byte)
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"

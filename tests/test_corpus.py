@@ -182,3 +182,33 @@ def test_fnv1a_strings_matches_reference():
     h = tk.fnv1a_strings(pa.array([f"tok{i}" for i in range(20000)]))
     bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).mean(axis=0)
     assert abs(bits - 0.5).max() < 0.02
+
+
+def test_repetition_signals_edges(ray_session):
+    """Gopher repetition signals: exact fractions on planted docs, nulls
+    and degenerate docs handled (mirrors the DuckDB oracle semantics)."""
+    import ray.data
+
+    from datafusion_orc_ray.pipelines import text as tx
+    from datafusion_orc_ray.pipelines.relational import collect
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "text": pa.array(
+                [
+                    "one\none\ntwo\n\none",  # 4 non-empty lines: one x3, two x1
+                    "a b a b a b c",  # bigrams: ab x3, ba x2, bc x1
+                    None,
+                    "",
+                    "solo",
+                ]
+            ),
+        }
+    )
+    out = collect(tx.repetition_signals(ray.data.from_arrow(t))).sort_by("doc_id")
+    d = out.to_pydict()
+    assert d["dup_line_frac"] == [2 / 4, 0.0, None, 0.0, 0.0]
+    assert d["dup_char_frac"] == [6 / 12, 0.0, None, 0.0, 0.0]
+    # doc 1 tokens [one one two one] -> 3 distinct bigrams, each x1 -> 1/3
+    assert d["top_bigram_frac"] == [1 / 3, 3 / 6, None, 0.0, 0.0]
