@@ -586,6 +586,14 @@ def _simhash(sf_dir: str):
     return dedup.simhashes(_ds(sf_dir, "documents", ["doc_id", "text"]))
 
 
+def _shared_spans_documents(sf_dir: str):
+    """Span-level dup diagnostic (Lee et al. 2022): per doc, k-token
+    window positions whose window recurs in another document."""
+    from datafusion_orc_ray.pipelines import dedup
+
+    return dedup.shared_span_counts(_ds(sf_dir, "documents", ["doc_id", "text"]), k=8)
+
+
 def _repetition_documents(sf_dir: str):
     """Gopher/MassiveText repetition signals (dup-line / dup-char /
     top-bigram fractions) — the standard web-corpus quality gate."""
@@ -918,6 +926,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_documents": _simhash,
         "repetition_documents": _repetition_documents,
         "point_lookup_orders": _point_lookup_orders,
+        "shared_spans_documents": _shared_spans_documents,
         # non-SQL-expressible (rows-only checks)
         "hll_vocab_documents": _hll_vocab,
         "minhash_dedup_documents": _minhash_dedup,
@@ -1111,6 +1120,24 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint_documents": _FINGERPRINT_ORACLE_SQL,
         "simhash_documents": _simhash_oracle_sql(),
         "repetition_documents": _REPETITION_ORACLE_SQL,
+        # windows as strings in SQL vs 64-bit rolling hashes in Ray:
+        # equal counts unless a hash collision (~10^-15 at this scale)
+        "shared_spans_documents": """
+WITH tl AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS ts
+            FROM documents WHERE text IS NOT NULL),
+wins AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(ts) - 7),
+                               i -> array_to_string(ts[i:i+7], ' '))) AS w
+  FROM tl
+),
+shared AS (SELECT w FROM wins GROUP BY w HAVING count(DISTINCT doc_id) >= 2),
+cnt AS (SELECT x.doc_id, count(*) AS n FROM wins x JOIN shared USING (w)
+        GROUP BY x.doc_id)
+SELECT d.doc_id,
+  CASE WHEN d.text IS NULL THEN NULL ELSE coalesce(c.n, 0) END AS n_shared_windows
+FROM documents d LEFT JOIN cnt c USING (doc_id)
+""",
         "point_lookup_orders": (
             "SELECT o_orderkey, o_custkey, o_totalprice FROM orders "
             "WHERE o_orderkey = 777"

@@ -805,3 +805,86 @@ def connected_components_ds(
             break
         prev_sum = s
     return lab
+
+
+# ------------------------------------------------- span-level (substring) dedup
+
+def shared_span_counts(
+    ds: ray.data.Dataset, k: int = 8, concurrency: int | None = None
+) -> ray.data.Dataset:
+    """(doc_id, n_shared_windows): for each document, how many of its
+    k-token window POSITIONS carry a window that also occurs in at least
+    one OTHER document — the span-level duplication diagnostic behind
+    substring dedup ("Deduplicating Training Data Makes Language Models
+    Better", Lee et al. 2022: repeated >=k-token spans across documents;
+    we count them rather than excise, leaving the cut policy to the
+    caller). Null text -> NULL; <k tokens -> 0.
+
+    Distributed shape (no suffix array, no text in any shuffle):
+      1. per batch: rolling FNV window hashes over the token-hash stream
+         (tokhash.rolling_shingles, pad_short=False), collapsed to
+         distinct (h, doc_id, n_pos) rows — within-doc repeats combine
+         here, so the all-to-all moves ~one 24-byte row per DISTINCT
+         window per doc, independent of text bytes;
+      2. groupby(h) marks windows spanning >=2 docs (each doc lives in
+         exactly one input row, so rows per h == distinct docs per h);
+      3. a semi-join brings the shared flags back to the per-doc rows and
+         a grouped sum emits per-doc position counts; docs with no shared
+         window re-enter via an anti-join with 0 (NULL for null text).
+    """
+    from .relational import grouped_agg_ds
+
+    def win_rows(batch: pa.Table):
+        texts = batch.column("text")
+        th, offs = tk.token_hashes(texts)
+        wh, woffs = tk.rolling_shingles(th, offs, k, pad_short=False)
+        doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        wdoc = np.repeat(doc_ids, np.diff(woffs))
+        if not wh.size:
+            return pa.table(
+                {
+                    "h": pa.array([], pa.int64()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_pos": pa.array([], pa.int64()),
+                }
+            )
+        o = np.lexsort((wh, wdoc))
+        h2, d2 = wh[o], wdoc[o]
+        new = np.concatenate([[True], (d2[1:] != d2[:-1]) | (h2[1:] != h2[:-1])])
+        starts = np.flatnonzero(new)
+        n_pos = np.diff(np.append(starts, h2.size))
+        return pa.table(
+            {
+                "h": pa.array(h2[starts].view(np.int64)),
+                "doc_id": pa.array(d2[starts], pa.int64()),
+                "n_pos": pa.array(n_pos, pa.int64()),
+            }
+        )
+
+    wins = ds.map_batches(win_rows, batch_format="pyarrow").materialize()
+    shared = grouped_agg_ds(wins, ["h"], {"n_docs": ("count", "doc_id")}).filter(
+        expr="n_docs >= 2"
+    )
+    counts = grouped_agg_ds(
+        hash_join(wins, shared, "h", "h", join_type="left semi"),
+        ["doc_id"],
+        {"n_shared_windows": ("sum", "n_pos")},
+    )
+
+    def doc_base(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "__null_text": pc.is_null(batch.column("text")),
+            }
+        )
+
+    base = ds.map_batches(doc_base, batch_format="pyarrow")
+    missing = hash_join(base, counts, "doc_id", "doc_id", join_type="left anti")
+
+    def fill(batch: pa.Table) -> pa.Table:
+        zero = pa.array(np.zeros(batch.num_rows, np.int64))
+        vals = pc.if_else(batch.column("__null_text"), pa.nulls(batch.num_rows, pa.int64()), zero)
+        return pa.table({"doc_id": batch.column("doc_id"), "n_shared_windows": vals})
+
+    return counts.union(missing.map_batches(fill, batch_format="pyarrow"))

@@ -129,12 +129,14 @@ def token_hashes(texts: pa.Array | pa.ChunkedArray) -> tuple[np.ndarray, np.ndar
 
 
 def rolling_shingles(
-    th: np.ndarray, offs: np.ndarray, shingle: int
+    th: np.ndarray, offs: np.ndarray, shingle: int, pad_short: bool = True
 ) -> tuple[np.ndarray, np.ndarray]:
     """FNV-style rolling hash of ``shingle``-token windows, segmented per
     doc. Returns (flat shingle hashes, per-doc offsets). Docs with fewer
     than ``shingle`` tokens (but ≥1) get ONE shingle from their padded
-    window, matching the per-doc semantics; empty docs get none."""
+    window, matching the per-doc semantics; empty docs get none. With
+    ``pad_short=False`` short docs instead get ZERO shingles (span-dedup
+    semantics: a doc with <k tokens has no k-token window)."""
     n_docs = len(offs) - 1
     counts = np.diff(offs)
     with np.errstate(over="ignore"):
@@ -151,7 +153,7 @@ def rolling_shingles(
             valid = np.zeros(0, bool)
         sh_counts = np.maximum(counts - shingle + 1, 0)
         # short docs (0 < tokens < shingle): one padded-window shingle
-        short = (counts > 0) & (counts < shingle)
+        short = (counts > 0) & (counts < shingle) if pad_short else np.zeros(n_docs, bool)
         out_counts = np.where(short, 1, sh_counts)
         out_offs = np.concatenate([[0], np.cumsum(out_counts)]).astype(np.int64)
         flat = np.empty(out_offs[-1], dtype=np.uint64)

@@ -717,3 +717,37 @@ def test_normalize_text(ray_session):
     assert got[0] == "mixed case text"
     assert got[1] == "upper lower"
     assert got[2] is None
+
+
+def test_shared_span_counts_planted(ray_session):
+    """Lee-et-al span dedup diagnostic: exact window-position counts on
+    planted docs; within-doc repeats alone don't count as shared; <k
+    tokens -> 0; null text -> NULL."""
+    import ray.data
+
+    w = " ".join(f"t{i}" for i in range(8))  # one exact 8-token window
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "text": pa.array(
+                [
+                    f"{w} unique1 unique2",  # shares w with doc 2: windows at pos 0 only
+                    f"prefix {w}",  # shares w with doc 1
+                    f"{w} {w}",  # within-doc repeat AND cross-doc share
+                    "short doc",  # <8 tokens
+                    None,
+                ]
+            ),
+        }
+    )
+    out = (
+        rel.collect(dedup.shared_span_counts(ray.data.from_arrow(t), k=8))
+        .sort_by("doc_id")
+        .to_pydict()
+    )
+    # doc1: 3 windows, only pos 0 == w is shared -> 1
+    # doc2: 2 windows ('prefix t0..t6' and w) -> 1 shared
+    # doc3: 9 windows; those equal to w are pos 0 and 8 -> 2; the mixed
+    #       middle windows (t1..t7 t0 etc.) exist in doc3 only -> not shared
+    assert out["doc_id"] == [1, 2, 3, 4, 5]
+    assert out["n_shared_windows"] == [1, 1, 2, 0, None]
