@@ -927,18 +927,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_documents": _repetition_documents,
         "point_lookup_orders": _point_lookup_orders,
         "shared_spans_documents": _shared_spans_documents,
-        # non-SQL-expressible (rows-only checks)
-        "hll_vocab_documents": _hll_vocab,
-        "minhash_dedup_documents": _minhash_dedup,
-        "jaccard_pairs_documents": _jaccard_pairs,
         "langid_documents": _langid,
         "fingerprint_documents": _fingerprints,
         "pii_redact_documents": _pii_redact_documents,
         "pack_sequences_documents": _pack_sequences_documents,
+        "jaccard_pairs_documents": _jaccard_pairs,
         "ann_ivf_embeddings": _ann_ivf,
         "near_dup_embeddings": _near_dup_embeddings,
-        "media_features_documents": _media_features,
-        "frame_samples_documents": _frame_samples,
+        "media_features_documents": _media_features,  # decode seam stubbed; plumbing hard-oracled
+        "frame_samples_documents": _frame_samples,  # decode seam stubbed; plumbing hard-oracled
+        # non-SQL-expressible (rows-only checks): probabilistic sketches
+        # and LSH candidate sets have no SQL mirror by construction
+        "hll_vocab_documents": _hll_vocab,
+        "minhash_dedup_documents": _minhash_dedup,
     }
 
 
@@ -1093,6 +1094,29 @@ FROM documents d LEFT JOIN lstats l USING (doc_id) LEFT JOIN gstats g USING (doc
 """
 
 
+# Hard oracles for the multimodal PLUMBING: the pixel/frame decode seam
+# stays an injected stub (no PIL/ffmpeg in this container — documented in
+# pipelines/multimodal.py), but with the deterministic stand-ins the full
+# Ray path (binary cast, actor batching, padding, one-to-many fan-out,
+# output layout) is exactly SQL-expressible. byte==codepoint on the ASCII
+# corpus, as for the fingerprint/simhash oracles.
+_MEDIA_FEATURES_ORACLE_SQL = """
+SELECT doc_id,
+  list_transform(generate_series(1, 8),
+    i -> CAST(CASE WHEN i <= length(text) THEN ascii(substring(text, i, 1))
+                   ELSE 0 END AS FLOAT)) AS features
+FROM documents WHERE text IS NOT NULL
+"""
+
+_FRAME_SAMPLES_ORACLE_SQL = """
+WITH f AS (SELECT doc_id, text, greatest(1, length(text) // 4) AS step
+           FROM documents WHERE text IS NOT NULL)
+SELECT doc_id, CAST(g.i AS INTEGER) AS frame_idx,
+       encode(substring(text, g.i * step + 1, step)) AS frame_payload
+FROM f, generate_series(0, 3) AS g(i)
+"""
+
+
 def _pii_oracle_sql() -> str:
     from datafusion_orc_ray.pipelines.text import EMAIL_RE, PHONE_RE
 
@@ -1120,6 +1144,8 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint_documents": _FINGERPRINT_ORACLE_SQL,
         "simhash_documents": _simhash_oracle_sql(),
         "repetition_documents": _REPETITION_ORACLE_SQL,
+        "media_features_documents": _MEDIA_FEATURES_ORACLE_SQL,
+        "frame_samples_documents": _FRAME_SAMPLES_ORACLE_SQL,
         # windows as strings in SQL vs 64-bit rolling hashes in Ray:
         # equal counts unless a hash collision (~10^-15 at this scale)
         "shared_spans_documents": """

@@ -227,7 +227,8 @@ def run_bench() -> dict:
               "group_by_custkey_orders", "hash_join_orders_customer",
               "minhash_dedup_documents", "langid_documents",
               "quality_documents", "topk_ngrams_documents",
-              "vocab_per_lang_documents", "sort_orders")
+              "vocab_per_lang_documents", "sort_orders",
+              "repetition_documents", "shared_spans_documents")
     )
     # best of 2: the first run pays one-off Ray dataset/actor-pool warmup
     # (~1 s) that every query in a long-lived session amortizes; the
