@@ -586,6 +586,28 @@ def _simhash(sf_dir: str):
     return dedup.simhashes(_ds(sf_dir, "documents", ["doc_id", "text"]))
 
 
+def _range_join_orders(sf_dir: str):
+    """Interval join (price tiers): broadcast small side + one
+    searchsorted per batch — the fact table never shuffles."""
+    from datafusion_orc_ray.pipelines import windows as w
+
+    tiers = pa.table(
+        {
+            "tier_id": pa.array(range(40), pa.int64()),
+            "lo": pa.array([i * 15000.0 for i in range(40)]),
+            "hi": pa.array([(i + 1) * 15000.0 for i in range(40)]),
+        }
+    )
+    return w.range_join_broadcast(
+        _ds(sf_dir, "orders", ["o_orderkey", "o_totalprice"]),
+        tiers,
+        "o_totalprice",
+        "lo",
+        "hi",
+        right_cols=["tier_id"],
+    )
+
+
 def _shared_spans_documents(sf_dir: str):
     """Span-level dup diagnostic (Lee et al. 2022): per doc, k-token
     window positions whose window recurs in another document."""
@@ -927,6 +949,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_documents": _repetition_documents,
         "point_lookup_orders": _point_lookup_orders,
         "shared_spans_documents": _shared_spans_documents,
+        "range_join_orders": _range_join_orders,
         "langid_documents": _langid,
         "fingerprint_documents": _fingerprints,
         "pii_redact_documents": _pii_redact_documents,
@@ -1145,6 +1168,14 @@ def oracle_sql() -> dict[str, str]:
         "simhash_documents": _simhash_oracle_sql(),
         "repetition_documents": _REPETITION_ORACLE_SQL,
         "media_features_documents": _MEDIA_FEATURES_ORACLE_SQL,
+        "range_join_orders": """
+WITH tiers AS (
+  SELECT i AS tier_id, i * 15000.0 AS lo, (i + 1) * 15000.0 AS hi
+  FROM generate_series(0, 39) g(i)
+)
+SELECT o_orderkey, o_totalprice, tier_id FROM orders
+JOIN tiers ON o_totalprice >= lo AND o_totalprice < hi
+""",
         "frame_samples_documents": _FRAME_SAMPLES_ORACLE_SQL,
         # windows as strings in SQL vs 64-bit rolling hashes in Ray:
         # equal counts unless a hash collision (~10^-15 at this scale)

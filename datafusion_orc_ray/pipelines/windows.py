@@ -185,6 +185,59 @@ def asof_join_broadcast(
     return left.map_batches(join, batch_format="pyarrow")
 
 
+def range_join_broadcast(
+    left: ray.data.Dataset,
+    right_tbl: pa.Table,
+    left_on: str,
+    lo_col: str,
+    hi_col: str,
+    right_cols: list[str] | None = None,
+) -> ray.data.Dataset:
+    """Interval (range) join: attach to each left row the right row whose
+    half-open interval [lo, hi) contains ``left_on`` — tier/bucket/ip-range
+    lookups (SQL ``JOIN ON l.v >= r.lo AND l.v < r.hi``). Inner semantics:
+    left rows in no interval (or with NULL keys) drop.
+
+    Partitioning assumption (validated eagerly): the right intervals are
+    NON-OVERLAPPING — then containment is a single vectorized searchsorted
+    against the sorted lo edges per batch, and the right side broadcasts
+    once via ray.put, so the fact side never shuffles (the same
+    small-side-broadcast shape as asof_join_broadcast above; overlapping
+    intervals need a banded expansion and are rejected loudly)."""
+    right_tbl = right_tbl.sort_by(lo_col)
+    lo = right_tbl.column(lo_col).to_numpy(zero_copy_only=False).astype(np.float64)
+    hi = right_tbl.column(hi_col).to_numpy(zero_copy_only=False).astype(np.float64)
+    if np.isnan(lo).any() or np.isnan(hi).any():
+        raise ValueError("range_join: NULL interval edges")
+    if (hi < lo).any():
+        raise ValueError("range_join: interval with hi < lo")
+    if len(lo) > 1 and (lo[1:] < hi[:-1]).any():
+        raise ValueError(
+            "range_join_broadcast requires non-overlapping intervals "
+            "(banded expansion for overlapping ranges is not implemented)"
+        )
+    take_cols = right_cols or list(right_tbl.column_names)
+    rt_ref = ray.put((lo, hi, right_tbl.select(take_cols)))
+
+    def join(batch: pa.Table) -> pa.Table:
+        rlo, rhi, rtbl = ray.get(rt_ref)
+        col = batch.column(left_on)
+        lv = col.to_numpy(zero_copy_only=False).astype(np.float64)
+        idx = np.searchsorted(rlo, lv, side="right") - 1
+        with np.errstate(invalid="ignore"):
+            keep = (idx >= 0) & ~np.isnan(lv)
+            keep[keep] &= lv[keep] < rhi[idx[keep]]
+        batch = batch.filter(pa.array(keep))
+        picked = rtbl.take(pa.array(idx[keep], pa.int64()))
+        out = batch
+        for c in picked.column_names:
+            if c not in out.column_names:
+                out = out.append_column(c, picked.column(c))
+        return out
+
+    return left.map_batches(join, batch_format="pyarrow")
+
+
 def running_total(
     ds: ray.data.Dataset,
     key_col: str,

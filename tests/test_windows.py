@@ -3,6 +3,7 @@
 import datetime
 
 import numpy as np
+import pytest
 import pyarrow as pa
 
 from datafusion_orc_ray.pipelines import relational as rel, windows as w
@@ -93,3 +94,39 @@ def test_running_total_segments(ray_session):
         w.running_total(ray.data.from_arrow(t), "u", "ts", "v", tiebreak="id")
     ).sort_by("id")
     assert out.column("running").to_pylist() == [1.0, 3.0, 6.0, 10.0, 30.0]
+
+
+def test_range_join_broadcast(ray_session):
+    """Interval join: boundary inclusivity ([lo, hi)), gap drops, NULL
+    drops, overlap rejection."""
+    import numpy as np
+    import ray.data
+
+    from datafusion_orc_ray.pipelines import windows as w
+
+    tiers = pa.table(
+        {
+            "tier_id": pa.array([0, 1, 2], pa.int64()),
+            "lo": pa.array([0.0, 10.0, 30.0]),  # gap [20, 30)
+            "hi": pa.array([10.0, 20.0, 40.0]),
+        }
+    )
+    left = pa.table(
+        {
+            "k": pa.array([1, 2, 3, 4, 5, 6, 7], pa.int64()),
+            "v": pa.array([0.0, 9.999, 10.0, 25.0, 39.9, 40.0, None]),
+        }
+    )
+    out = (
+        rel.collect(
+            w.range_join_broadcast(ray.data.from_arrow(left), tiers, "v", "lo", "hi")
+        )
+        .sort_by("k")
+        .to_pydict()
+    )
+    # v=25 (gap), v=40 (right-open), NULL all drop
+    assert out["k"] == [1, 2, 3, 5]
+    assert out["tier_id"] == [0, 0, 1, 2]
+    bad = tiers.set_column(1, "lo", pa.array([0.0, 5.0, 30.0]))  # overlap
+    with pytest.raises(ValueError, match="non-overlapping"):
+        w.range_join_broadcast(ray.data.from_arrow(left), bad, "v", "lo", "hi")
