@@ -722,7 +722,22 @@ def _frame_samples(sf_dir: str):
         )
 
     ds = _ds(sf_dir, "documents", ["doc_id", "text"]).map_batches(to_binary, batch_format="pyarrow")
-    return mm.sample_frames(ds, "payload", "doc_id", n_frames=4)
+    out = mm.sample_frames(ds, "payload", "doc_id", n_frames=4)
+
+    def frames_as_text(batch: pa.Table) -> pa.Table:
+        # the operator emits BINARY frames; for the driver's value-hash
+        # compare cast to utf8 (the stub payloads are text slices) so
+        # both engines hash the same logical strings instead of
+        # bytes-vs-BLOB representations
+        import pyarrow.compute as pc
+
+        return batch.set_column(
+            batch.schema.get_field_index("frame_payload"),
+            "frame_payload",
+            pc.cast(batch.column("frame_payload"), pa.string()),
+        )
+
+    return out.map_batches(frames_as_text, batch_format="pyarrow")
 
 
 def _media_features(sf_dir: str):
@@ -1135,7 +1150,7 @@ _FRAME_SAMPLES_ORACLE_SQL = """
 WITH f AS (SELECT doc_id, text, greatest(1, length(text) // 4) AS step
            FROM documents WHERE text IS NOT NULL)
 SELECT doc_id, CAST(g.i AS INTEGER) AS frame_idx,
-       encode(substring(text, g.i * step + 1, step)) AS frame_payload
+       substring(text, g.i * step + 1, step) AS frame_payload
 FROM f, generate_series(0, 3) AS g(i)
 """
 

@@ -12,6 +12,9 @@ Subcommands:
     decode   stripes -> Parquet (streaming sink, partitioned output)
     compact  merge small stripes (crash-safe replaces-tombstones)
     stats    print manifest totals (rows/bytes/ratio) without data IO
+    lookup   point lookup (== predicate): manifest min/max prune stripes,
+             footer bloom filters prove absent values absent after a
+             footer-only read, survivors decode with a residual filter
 
 Inside a submitted job the cluster is already running; this script only
 calls ray.init() when nothing else has (the library itself never does —
@@ -63,6 +66,13 @@ def main(argv: list[str] | None = None) -> int:
     st = sub.add_parser("stats", parents=[common])
     st.add_argument("--stripes", required=True)
 
+    lk = sub.add_parser("lookup", parents=[common])
+    lk.add_argument("--stripes", required=True)
+    lk.add_argument("--col", required=True)
+    lk.add_argument("--value", required=True)
+    lk.add_argument("--columns", default=None, help="comma-separated projection")
+    lk.add_argument("--limit", type=int, default=20)
+
     args = p.parse_args(argv)
     from .pipelines import encode as ep
     from .state import manifest as man
@@ -100,6 +110,23 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "compact":
         n = ep.compact_stripes(args.stripes, target_bytes=args.target_mb << 20)
         print(json.dumps({"merged_stripes": n}))
+    elif args.cmd == "lookup":
+        import pyarrow as pa
+
+        from .sources.stripes import read_stripes, stripes_schema
+
+        t = stripes_schema(args.stripes).field(args.col).type
+        val: object = args.value
+        if pa.types.is_integer(t):
+            val = int(val)
+        elif pa.types.is_floating(t):
+            val = float(val)
+        cols = args.columns.split(",") if args.columns else None
+        ds = read_stripes(
+            args.stripes, columns=cols, predicate=(args.col, "==", val)
+        )
+        rows = ds.limit(args.limit).take_all()
+        print(json.dumps({"n": len(rows), "rows": rows}, default=str))
     return 0
 
 

@@ -262,6 +262,7 @@ def test_job_cli_end_to_end(ray_session, tmp_path):
     got = pq.read_table(dec).sort_by("a")
     assert got.equals(t)
     assert job.main(["stats", "--stripes", out]) == 0
+    assert job.main(["lookup", "--stripes", out, "--col", "a", "--value", "7"]) == 0
 
 
 def test_compaction_across_schema_evolution(ray_session, tmp_path):
