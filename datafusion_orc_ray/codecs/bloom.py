@@ -111,6 +111,73 @@ def build(arr: pa.Array) -> dict | None:
     }
 
 
+def bits_for(n_keys: int, max_bits: int = 1 << 24) -> int:
+    """Bitmap size (power of two) for ~BITS_PER_KEY bits/key, capped —
+    2^24 bits = 2 MiB, small enough to broadcast as join-prefilter
+    state; past the cap the FP rate degrades gracefully (the filter
+    stays conservative, never wrong)."""
+    m = MIN_BITS
+    while m < n_keys * BITS_PER_KEY and m < max_bits:
+        m <<= 1
+    return m
+
+
+def build_bits(arr: pa.Array | pa.ChunkedArray, m: int) -> np.ndarray | None:
+    """Partial bloom BITMAP (uint8[m/8]) over one batch of keys, for a
+    FIXED m so partials from different batches OR-merge associatively
+    (set-union of inserted keys == bitwise OR of bitmaps). None when the
+    key type is ineligible. Null keys are skipped (SQL join semantics:
+    NULL never matches)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    # TYPE-only gate — the per-chunk avg-length gate would vary across
+    # batches, and partials that silently skip some batches' keys would
+    # make the merged filter WRONG (false negatives). Long join keys
+    # just cost hash time.
+    if not eligible(arr.type):
+        return None
+    vals = _normalize(arr.drop_null())
+    if vals is None:
+        return None
+    bits = np.zeros(m >> 3, np.uint8)
+    if not len(vals):
+        return bits
+    h1, h2 = _hash_values(vals)
+    mask = np.uint64(m - 1)
+    for i in range(K):
+        with np.errstate(over="ignore"):
+            pos = (h1 + np.uint64(i) * h2) & mask
+        np.bitwise_or.at(
+            bits,
+            (pos >> np.uint64(3)).astype(np.int64),
+            np.uint8(1) << (pos & np.uint64(7)).astype(np.uint8),
+        )
+    return bits
+
+
+def contains_many(bits: np.ndarray, m: int, arr: pa.Array | pa.ChunkedArray) -> np.ndarray:
+    """Vectorized membership probe: bool mask per value (True = maybe
+    present; null keys False — they can never join). One gather per
+    probe round over the whole batch."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    out = np.zeros(len(arr), bool)
+    valid = pc.is_valid(arr).to_numpy(zero_copy_only=False)
+    vals = _normalize(arr.drop_null())
+    if vals is None or not len(vals):
+        return out
+    h1, h2 = _hash_values(vals)
+    mask = np.uint64(m - 1)
+    hit = np.ones(len(vals), bool)
+    for i in range(K):
+        with np.errstate(over="ignore"):
+            pos = (h1 + np.uint64(i) * h2) & mask
+        byte = bits[(pos >> np.uint64(3)).astype(np.int64)]
+        hit &= (byte >> (pos & np.uint64(7)).astype(np.uint8)) & 1 > 0
+    out[valid] = hit
+    return out
+
+
 def may_contain(bloom: dict, val, col_type: pa.DataType) -> bool:
     """False only when the filter PROVES val absent from the chunk. Any
     normalization failure (type mismatch etc.) means 'cannot prune'."""

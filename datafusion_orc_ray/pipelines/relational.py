@@ -222,11 +222,26 @@ def manifest_column_stats(out_dir: str, column: str) -> pa.Table:
 def _stable_hash64(arr: pa.Array | pa.ChunkedArray) -> np.ndarray:
     """Vectorized run-stable uint64 hash of an Arrow column (C-speed via
     pandas' siphash; zlib-per-row Python loops were VERDICT r1 'What's
-    wrong' #1). Nulls hash to 0 — callers drop null keys first."""
+    wrong' #1). Nulls hash to 0.
+
+    Nulls are stripped BEFORE the numpy conversion and their hash slots
+    zero-filled: ``to_numpy`` on an int column containing nulls widens to
+    float64, which hashes every VALID value in that batch differently
+    from a null-free batch of the same column — batches of one dataset
+    (or the two sides of a join) would then disagree on bucket
+    assignment. (Caught as wrongly-kept rows in the anti-join
+    bloom-prefilter equivalence test: anti keeps null-key left rows, so
+    its tagged batches were the one hash caller that hashed through the
+    float64 path.)"""
     import pandas as pd
 
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
+    if arr.null_count:
+        out = np.zeros(len(arr), np.uint64)
+        valid = pc.is_valid(arr).to_numpy(zero_copy_only=False)
+        out[valid] = _stable_hash64(arr.drop_null())
+        return out
     np_vals = arr.to_numpy(zero_copy_only=False)
     if np_vals.dtype == object:
         np_vals = np.where(pd.isna(np_vals), "", np_vals.astype(object))
@@ -244,6 +259,7 @@ def hash_join(
     sample_rows: int = 50_000,
     broadcast_rows: int = 500_000,
     join_type: str = "inner",
+    bloom_prefilter: bool = False,
 ) -> ray.data.Dataset:
     """Skew-aware partitioned hash join for two LARGE sides (ray_guide
     "Joins and lookups"). ``join_type``: "inner" (SQL semantics: NULL
@@ -269,6 +285,16 @@ def hash_join(
       ``stable_hash(key) % B`` bucket column (vectorized), one groupby
       co-locates buckets, and each bucket joins Arrow-native via
       ``pa.Table.join`` — no pandas, no dtype-restore hacks.
+
+    ``bloom_prefilter=True`` (large-large path only): one extra pass over
+    the right KEYS builds an OR-merged bloom bitmap (codecs/bloom,
+    ≤2 MiB) that is broadcast to filter the LEFT side before any row
+    enters the bucket exchange — for selective joins the all-to-all
+    moves only probable matches. Inner/semi drop proven-absent rows;
+    anti emits them DIRECTLY to the output (bloom false == NOT EXISTS
+    proven true), so results are identical either way; false positives
+    only cost shuffle bytes. Off by default: a non-selective join pays
+    the extra right-side read for nothing.
     """
     l_schema = getattr(left.schema(), "base_schema", left.schema())
     r_schema = getattr(right.schema(), "base_schema", right.schema())
@@ -308,6 +334,48 @@ def hash_join(
 
         return left.map_batches(join_broadcast, batch_format="pyarrow")
 
+    parts: list[ray.data.Dataset] = []
+
+    # ---- optional bloom prefilter of the left side (large-large only)
+    if bloom_prefilter and right_count is not None:
+        from ..codecs import bloom as bloom_codec
+
+        rk_type = r_schema.field(right_key).type
+        if bloom_codec.eligible(rk_type):
+            m = bloom_codec.bits_for(right_count)
+
+            def rbits(batch: pa.Table) -> pa.Table:
+                bits = bloom_codec.build_bits(batch.column(right_key), m)
+                return pa.table({"bits": pa.array([bits.tobytes()], pa.binary())})
+
+            acc = np.zeros(m >> 3, np.uint8)
+            for b in (
+                right.select_columns([right_key])
+                .map_batches(rbits, batch_format="pyarrow")
+                .iter_batches(batch_format="pyarrow")
+            ):
+                for v in b.column("bits").to_pylist():
+                    acc |= np.frombuffer(v, np.uint8)
+            bits_ref = ray.put(acc)
+
+            def bloom_keep(batch: pa.Table) -> pa.Table:
+                maybe = bloom_codec.contains_many(
+                    ray.get(bits_ref), m, batch.column(left_key)
+                )
+                return batch.filter(pa.array(maybe))
+
+            if join_type == "left anti":
+                # proven-absent (and null-key) left rows ARE the anti
+                # output — they skip the exchange entirely
+                def bloom_miss(batch: pa.Table) -> pa.Table:
+                    maybe = bloom_codec.contains_many(
+                        ray.get(bits_ref), m, batch.column(left_key)
+                    )
+                    return batch.filter(pa.array(~maybe))
+
+                parts.append(left.map_batches(bloom_miss, batch_format="pyarrow"))
+            left = left.map_batches(bloom_keep, batch_format="pyarrow")
+
     # ---- hot-key split (sampled from the left side)
     sample_batches = list(
         left.select_columns([left_key]).limit(sample_rows).iter_batches(
@@ -327,7 +395,6 @@ def hash_join(
         if c.as_py() / total > hot_key_share
     ]
 
-    parts: list[ray.data.Dataset] = []
     if hot_keys:
         hot_arr = pa.array(hot_keys, type=l_schema.field(left_key).type)
 

@@ -136,3 +136,59 @@ def test_point_lookup_prunes_chunks(tmp_path):
     probe = int(vals[777])
     got = stripe.decode_table(blob2, predicate=("a", "==", probe))
     assert probe in got.column("a").to_pylist()
+
+
+def test_build_bits_or_merge_and_contains_many():
+    """Partial bitmaps OR-merge to exactly the single-pass filter; probes
+    have no false negatives; null probes are False (never join)."""
+    import numpy as np
+
+    keys = pa.array([f"k{i}" for i in range(10_000)])
+    m = bloom.bits_for(10_000)
+    whole = bloom.build_bits(keys, m)
+    merged = np.zeros_like(whole)
+    for s in range(0, 10_000, 17):
+        merged |= bloom.build_bits(keys.slice(s, 17), m)
+    assert np.array_equal(whole, merged)
+    probe = pa.array([f"k{i}" for i in range(0, 10_000, 13)] + [None, "absent"])
+    got = bloom.contains_many(merged, m, probe)
+    assert got[:-2].all()  # no false negatives
+    assert not got[-2]  # null never joins
+    absent = pa.array([f"zz{i}" for i in range(2000)])
+    assert bloom.contains_many(merged, m, absent).mean() < 0.05
+    # floats are ineligible as prefilter keys
+    assert bloom.build_bits(pa.array([1.5]), m) is None
+
+
+def test_hash_join_bloom_prefilter_equivalence(ray_session):
+    """bloom_prefilter is an optimization only: identical results for
+    inner/semi/anti on a selective large-large join with null keys and
+    a hot key."""
+    import numpy as np
+    import ray.data
+
+    from datafusion_orc_ray.pipelines import relational as rel
+
+    rng = np.random.default_rng(7)
+    n = 20_000
+    lk = rng.integers(0, 5000, n).tolist()
+    lk[0] = None
+    lk[1:4000] = [42] * 3999  # hot key
+    left = pa.table({"k": pa.array(lk, pa.int64()), "lv": pa.array(range(n), pa.int64())})
+    # right: only keys 0..99 -> highly selective
+    right = pa.table(
+        {"k": pa.array(list(range(100)) * 3, pa.int64()),
+         "rv": pa.array(range(300), pa.int64())}
+    )
+    for jt in ("inner", "left semi", "left anti"):
+        plain = rel.collect(
+            rel.hash_join(ray.data.from_arrow(left), ray.data.from_arrow(right),
+                          "k", "k", join_type=jt, broadcast_rows=0)
+        )
+        pre = rel.collect(
+            rel.hash_join(ray.data.from_arrow(left), ray.data.from_arrow(right),
+                          "k", "k", join_type=jt, broadcast_rows=0,
+                          bloom_prefilter=True)
+        )
+        sort_cols = [(c, "ascending") for c in plain.column_names]
+        assert plain.sort_by(sort_cols).equals(pre.sort_by(sort_cols)), jt

@@ -751,3 +751,20 @@ def test_shared_span_counts_planted(ray_session):
     #       middle windows (t1..t7 t0 etc.) exist in doc3 only -> not shared
     assert out["doc_id"] == [1, 2, 3, 4, 5]
     assert out["n_shared_windows"] == [1, 1, 2, 0, None]
+
+
+def test_stable_hash64_null_batches_hash_like_dense_ones():
+    """A batch that CONTAINS nulls must hash its valid values identically
+    to a null-free batch — to_numpy widens int-with-null to float64,
+    which silently re-buckets every value in that batch (root cause of
+    the anti-join colocation bug). Nulls themselves hash to 0."""
+    dense = pa.array([69, 16, 42, 0, 7], pa.int64())
+    withnull = pa.array([69, None, 16, 42, None, 0, 7], pa.int64())
+    hd = rel._stable_hash64(dense)
+    hn = rel._stable_hash64(withnull)
+    assert hn[1] == 0 and hn[4] == 0
+    assert np.array_equal(hd, hn[[0, 2, 3, 5, 6]])
+    # string columns too
+    sd = pa.array(["a", "bb", "ccc"])
+    sn = pa.array(["a", None, "bb", "ccc"])
+    assert np.array_equal(rel._stable_hash64(sd), rel._stable_hash64(sn)[[0, 2, 3]])
