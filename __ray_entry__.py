@@ -616,6 +616,34 @@ def _shared_spans_documents(sf_dir: str):
     return dedup.shared_span_counts(_ds(sf_dir, "documents", ["doc_id", "text"]), k=8)
 
 
+def _decontam_documents(sf_dir: str):
+    """Benchmark decontamination (GPT-3 appendix-C shape): per training
+    doc, 8-token window positions overlapping a held-out eval slice
+    (doc_id % 37 == 0 stands in for the benchmark set). Shuffle-free:
+    the benchmark's window hashes broadcast once as bloom + sorted
+    array; the corpus streams through a vectorized probe."""
+    import ray.data
+
+    from datafusion_orc_ray.pipelines import dedup
+
+    import numpy as np
+    import pyarrow as pa
+
+    docs = _ds(sf_dir, "documents", ["doc_id", "text"])
+
+    def _slice(want_bench: bool):
+        def fn(b):
+            ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+            m = (ids % 37) == 0
+            return b.filter(pa.array(m if want_bench else ~m))
+
+        return fn
+
+    bench = docs.map_batches(_slice(True), batch_format="pyarrow")
+    train = docs.map_batches(_slice(False), batch_format="pyarrow")
+    return dedup.contamination_counts(train, bench, k=8)
+
+
 def _repetition_documents(sf_dir: str):
     """Gopher/MassiveText repetition signals (dup-line / dup-char /
     top-bigram fractions) — the standard web-corpus quality gate."""
@@ -964,6 +992,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_documents": _repetition_documents,
         "point_lookup_orders": _point_lookup_orders,
         "shared_spans_documents": _shared_spans_documents,
+        "decontam_documents": _decontam_documents,
         "range_join_orders": _range_join_orders,
         "langid_documents": _langid,
         "fingerprint_documents": _fingerprints,
@@ -1209,6 +1238,29 @@ cnt AS (SELECT x.doc_id, count(*) AS n FROM wins x JOIN shared USING (w)
 SELECT d.doc_id,
   CASE WHEN d.text IS NULL THEN NULL ELSE coalesce(c.n, 0) END AS n_shared_windows
 FROM documents d LEFT JOIN cnt c USING (doc_id)
+""",
+        "decontam_documents": """
+WITH tl AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS ts
+            FROM documents WHERE text IS NOT NULL AND doc_id % 37 <> 0),
+wins AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(ts) - 7),
+                               i -> array_to_string(ts[i:i+7], ' '))) AS w
+  FROM tl
+),
+bl AS (SELECT regexp_extract_all(text, '\\S+') AS ts
+       FROM documents WHERE text IS NOT NULL AND doc_id % 37 = 0),
+bwins AS (
+  SELECT DISTINCT unnest(list_transform(generate_series(1, len(ts) - 7),
+                                        i -> array_to_string(ts[i:i+7], ' '))) AS w
+  FROM bl
+),
+cnt AS (SELECT x.doc_id, count(*) AS n FROM wins x JOIN bwins USING (w)
+        GROUP BY x.doc_id)
+SELECT d.doc_id,
+  CASE WHEN d.text IS NULL THEN NULL ELSE coalesce(c.n, 0) END
+    AS n_contaminated_windows
+FROM documents d LEFT JOIN cnt c USING (doc_id) WHERE d.doc_id % 37 <> 0
 """,
         "point_lookup_orders": (
             "SELECT o_orderkey, o_custkey, o_totalprice FROM orders "

@@ -228,7 +228,8 @@ def run_bench() -> dict:
               "minhash_dedup_documents", "langid_documents",
               "quality_documents", "topk_ngrams_documents",
               "vocab_per_lang_documents", "sort_orders",
-              "repetition_documents", "shared_spans_documents")
+              "repetition_documents", "shared_spans_documents",
+              "decontam_documents")
     )
     # best of 2: the first run pays one-off Ray dataset/actor-pool warmup
     # (~1 s) that every query in a long-lived session amortizes; the

@@ -888,3 +888,87 @@ def shared_span_counts(
         return pa.table({"doc_id": batch.column("doc_id"), "n_shared_windows": vals})
 
     return counts.union(missing.map_batches(fill, batch_format="pyarrow"))
+
+
+# --------------------------------------------- benchmark decontamination
+
+def contamination_counts(
+    docs: ray.data.Dataset,
+    bench: ray.data.Dataset,
+    k: int = 8,
+) -> ray.data.Dataset:
+    """(doc_id, n_contaminated_windows): for each TRAINING document, how
+    many of its k-token window positions carry a window that also occurs
+    anywhere in the BENCHMARK set — the n-gram-overlap decontamination
+    check run before training so eval data is not memorized from the
+    corpus (the GPT-3 appendix-C shape: 8-gram overlap against each eval
+    set). Callers drop or excise docs with n > 0; this operator reports
+    the evidence and leaves the cut policy to them. Null text -> NULL;
+    docs with <k tokens -> 0.
+
+    Scale shape — the one dedup-family op with NO shuffle at all:
+      * the benchmark side is the small side by construction (eval sets
+        are millions of windows; the corpus is trillions). Its DISTINCT
+        window hashes are collected once into a sorted uint64 array plus
+        a bloom bitmap (codecs/bloom, <=16 MiB) and ray.put ONCE — every
+        task reads both zero-copy from the object store.
+      * the corpus side streams: per batch, one rolling-hash pass
+        (tokhash.rolling_shingles), one vectorized bloom probe over ALL
+        window hashes (cheap reject for the overwhelmingly-clean
+        majority), an exact searchsorted only on bloom survivors, and a
+        bincount per doc. Text bytes never leave their batch.
+    """
+    from ..codecs import bloom as bloom_codec
+
+    def bench_rows(batch: pa.Table) -> pa.Table:
+        th, offs = tk.token_hashes(batch.column("text"))
+        wh, _ = tk.rolling_shingles(th, offs, k, pad_short=False)
+        return pa.table({"h": pa.array(np.unique(wh).view(np.int64))})
+
+    parts = [
+        b.column("h").to_numpy(zero_copy_only=False)
+        for b in bench.select_columns(["text"])
+        .map_batches(bench_rows, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")
+        if b.num_rows
+    ]
+    # view BEFORE unique: the Arrow transport is int64, and a signed sort
+    # order would break the unsigned searchsorted in probe()
+    exact = (
+        np.unique(np.concatenate(parts).view(np.uint64))
+        if parts
+        else np.zeros(0, np.uint64)
+    )
+    m = bloom_codec.bits_for(max(1, exact.size), max_bits=1 << 27)
+    bits = bloom_codec.build_bits(pa.array(exact.view(np.int64)), m)
+    state_ref = ray.put((exact, bits))
+
+    def probe(batch: pa.Table) -> pa.Table:
+        exact_s, bits_s = ray.get(state_ref)
+        texts = batch.column("text")
+        th, offs = tk.token_hashes(texts)
+        wh, woffs = tk.rolling_shingles(th, offs, k, pad_short=False)
+        n_docs = batch.num_rows
+        counts = np.zeros(n_docs, np.int64)
+        if wh.size and exact_s.size:
+            maybe = bloom_codec.contains_many(bits_s, m, pa.array(wh.view(np.int64)))
+            cand = np.flatnonzero(maybe)
+            if cand.size:
+                pos = np.searchsorted(exact_s, wh[cand])
+                np.minimum(pos, exact_s.size - 1, out=pos)
+                hit = cand[exact_s[pos] == wh[cand]]
+                wdoc = np.repeat(np.arange(n_docs), np.diff(woffs))
+                counts = np.bincount(wdoc[hit], minlength=n_docs)
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        null_mask = pc.is_null(texts).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_contaminated_windows": pa.array(
+                    counts.astype(np.int64), pa.int64(), mask=null_mask
+                ),
+            }
+        )
+
+    return docs.map_batches(probe, batch_format="pyarrow")

@@ -768,3 +768,65 @@ def test_stable_hash64_null_batches_hash_like_dense_ones():
     sd = pa.array(["a", "bb", "ccc"])
     sn = pa.array(["a", None, "bb", "ccc"])
     assert np.array_equal(rel._stable_hash64(sd), rel._stable_hash64(sn)[[0, 2, 3]])
+
+
+def test_contamination_counts_planted(ray_session):
+    """Planted overlap: train doc windows shared with the benchmark are
+    counted per POSITION; clean docs get 0, short docs 0, null text NULL.
+    Cross-checked against a string-window DuckDB oracle on the fly."""
+    import duckdb
+    import ray.data
+
+    w = "a b c d e f g h"  # one exact 8-token window
+    bench = pa.table({"doc_id": pa.array([100, 101], pa.int64()),
+                      "text": pa.array([w + " tail tokens here", "unrelated benchmark text"])})
+    train = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "text": pa.array([
+            f"{w} x y z",        # windows at pos 0 only -> 1
+            f"pre {w}",          # 1 (different position, same window)
+            f"{w} {w}",          # the window recurs -> positions 0 and 9
+            "totally clean doc with enough tokens to have windows ok",
+            None,
+        ]),
+    })
+    got = dedup.contamination_counts(
+        ray.data.from_arrow(train), ray.data.from_arrow(bench), k=8
+    )
+    out = rel.collect(got).sort_by([("doc_id", "ascending")]).to_pydict()
+    assert out["doc_id"] == [1, 2, 3, 4, 5]
+    con = duckdb.connect()
+    con.register("train", train); con.register("bench", bench)
+    exp = con.sql("""
+WITH tl AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS ts FROM train WHERE text IS NOT NULL),
+wins AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(ts)-7), i -> array_to_string(ts[i:i+7], ' '))) AS w FROM tl),
+bl AS (SELECT regexp_extract_all(text, '\\S+') AS ts FROM bench WHERE text IS NOT NULL),
+bwins AS (SELECT DISTINCT unnest(list_transform(generate_series(1, len(ts)-7), i -> array_to_string(ts[i:i+7], ' '))) AS w FROM bl),
+cnt AS (SELECT x.doc_id, count(*) AS n FROM wins x JOIN bwins USING (w) GROUP BY x.doc_id)
+SELECT d.doc_id, CASE WHEN d.text IS NULL THEN NULL ELSE coalesce(c.n, 0) END AS n
+FROM train d LEFT JOIN cnt c USING (doc_id) ORDER BY d.doc_id
+""").fetchall()
+    assert out["n_contaminated_windows"] == [n for _, n in exp] == [1, 1, 2, 0, None]
+    # empty benchmark -> all zeros (no false hits from an empty filter)
+    clean = rel.collect(dedup.contamination_counts(
+        ray.data.from_arrow(train),
+        ray.data.from_arrow(bench.slice(0, 0)), k=8,
+    )).sort_by([("doc_id", "ascending")]).to_pydict()
+    assert clean["n_contaminated_windows"] == [0, 0, 0, 0, None]
+
+
+def test_contamination_self_is_total(ray_session):
+    """Probing a corpus against ITSELF marks every window position of
+    every >=k-token doc — exercises thousands of window hashes across
+    the uint64 sign boundary (a signed sort of the benchmark array
+    breaks searchsorted for half the key space)."""
+    import ray.data
+
+    rng = np.random.default_rng(3)
+    vocab = [f"tok{i}" for i in range(50)]
+    texts = [" ".join(rng.choice(vocab, 40)) for _ in range(200)]
+    t = pa.table({"doc_id": pa.array(range(200), pa.int64()), "text": pa.array(texts)})
+    out = rel.collect(
+        dedup.contamination_counts(ray.data.from_arrow(t), ray.data.from_arrow(t), k=8)
+    ).to_pydict()
+    assert all(n == 40 - 8 + 1 for n in out["n_contaminated_windows"])
