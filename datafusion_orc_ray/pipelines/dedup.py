@@ -680,7 +680,14 @@ def minhash_dedup_corpus(
     ids = ds.map_batches(
         lambda b: pa.table({"doc_id": b.column("doc_id")}), batch_format="pyarrow"
     )
-    return hash_join(ids, drops_ds, "doc_id", "__drop", join_type="left anti")
+    # bloom_prefilter: the drop list is the selective side (dups are a
+    # minority of ids per bucket even at web scale), so survivors are
+    # proven absent by the broadcast bitmap and go STRAIGHT to the
+    # output — only probable drops (plus bloom FPs) pay the anti-join
+    # exchange at all
+    return hash_join(
+        ids, drops_ds, "doc_id", "__drop", join_type="left anti", bloom_prefilter=True
+    )
 
 
 # --------------------------------------------------------------- simhash
@@ -820,19 +827,26 @@ def shared_span_counts(
     we count them rather than excise, leaving the cut policy to the
     caller). Null text -> NULL; <k tokens -> 0.
 
-    Distributed shape (no suffix array, no text in any shuffle):
+    Distributed shape (no suffix array, no text in any shuffle; TWO
+    all-to-alls total — the earlier groupby + semi-join + anti-join form
+    paid four, and their fixed sort overhead dominated the bench wall):
       1. per batch: rolling FNV window hashes over the token-hash stream
          (tokhash.rolling_shingles, pad_short=False), collapsed to
          distinct (h, doc_id, n_pos) rows — within-doc repeats combine
          here, so the all-to-all moves ~one 24-byte row per DISTINCT
          window per doc, independent of text bytes;
-      2. groupby(h) marks windows spanning >=2 docs (each doc lives in
-         exactly one input row, so rows per h == distinct docs per h);
-      3. a semi-join brings the shared flags back to the per-doc rows and
-         a grouped sum emits per-doc position counts; docs with no shared
-         window re-enter via an anti-join with 0 (NULL for null text).
+      2. ONE bucket groupby (hash(h) % B) co-locates equal hashes; a
+         vectorized per-bucket pass marks runs with >=2 rows (each doc
+         lives in exactly one row per h, so run length == distinct docs)
+         and emits the member (doc_id, n_pos) rows;
+      3. those rows union with a (doc_id, 0) row per non-null doc — no
+         join needed for the zero-fill — and ONE grouped sum produces
+         the per-doc counts; null-text docs append as (doc_id, NULL)
+         after the aggregate (they have no window rows by construction).
     """
-    from .relational import grouped_agg_ds
+    from .relational import _cluster_cpus, _stable_hash64, grouped_agg_ds
+
+    n_buckets = max(16, 2 * _cluster_cpus())
 
     def win_rows(batch: pa.Table):
         texts = batch.column("text")
@@ -846,6 +860,7 @@ def shared_span_counts(
                     "h": pa.array([], pa.int64()),
                     "doc_id": pa.array([], pa.int64()),
                     "n_pos": pa.array([], pa.int64()),
+                    "__bucket": pa.array([], pa.int32()),
                 }
             )
         o = np.lexsort((wh, wdoc))
@@ -853,41 +868,67 @@ def shared_span_counts(
         new = np.concatenate([[True], (d2[1:] != d2[:-1]) | (h2[1:] != h2[:-1])])
         starts = np.flatnonzero(new)
         n_pos = np.diff(np.append(starts, h2.size))
+        h_out = h2[starts]
         return pa.table(
             {
-                "h": pa.array(h2[starts].view(np.int64)),
+                "h": pa.array(h_out.view(np.int64)),
                 "doc_id": pa.array(d2[starts], pa.int64()),
                 "n_pos": pa.array(n_pos, pa.int64()),
+                "__bucket": pa.array(
+                    (_stable_hash64(pa.array(h_out.view(np.int64))) % n_buckets).astype(
+                        np.int32
+                    )
+                ),
             }
         )
 
-    wins = ds.map_batches(win_rows, batch_format="pyarrow").materialize()
-    shared = grouped_agg_ds(wins, ["h"], {"n_docs": ("count", "doc_id")}).filter(
-        expr="n_docs >= 2"
+    def mark_shared(g: pa.Table) -> pa.Table:
+        """One bucket: emit the (doc_id, n_pos) rows whose hash run has
+        >=2 members (>=2 distinct docs share that window)."""
+        h = g.column("h").to_numpy(zero_copy_only=False)
+        o = np.argsort(h, kind="stable")
+        hs = h[o]
+        new = np.concatenate([[True], hs[1:] != hs[:-1]])
+        run_id = np.cumsum(new) - 1
+        shared = (np.bincount(run_id) >= 2)[run_id]
+        keep = o[shared]
+        return pa.table(
+            {
+                "doc_id": g.column("doc_id").take(pa.array(keep, pa.int64())),
+                "n_pos": g.column("n_pos").take(pa.array(keep, pa.int64())),
+            }
+        )
+
+    wins = ds.map_batches(win_rows, batch_format="pyarrow")
+    shared_rows = wins.groupby("__bucket").map_groups(
+        mark_shared, batch_format="pyarrow"
     )
+
+    def zero_rows(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.is_valid(batch.column("text")))
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_pos": pa.array(np.zeros(t.num_rows, np.int64)),
+            }
+        )
+
     counts = grouped_agg_ds(
-        hash_join(wins, shared, "h", "h", join_type="left semi"),
+        shared_rows.union(ds.map_batches(zero_rows, batch_format="pyarrow")),
         ["doc_id"],
         {"n_shared_windows": ("sum", "n_pos")},
     )
 
-    def doc_base(batch: pa.Table) -> pa.Table:
+    def null_rows(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.is_null(batch.column("text")))
         return pa.table(
             {
-                "doc_id": batch.column("doc_id"),
-                "__null_text": pc.is_null(batch.column("text")),
+                "doc_id": t.column("doc_id"),
+                "n_shared_windows": pa.nulls(t.num_rows, pa.int64()),
             }
         )
 
-    base = ds.map_batches(doc_base, batch_format="pyarrow")
-    missing = hash_join(base, counts, "doc_id", "doc_id", join_type="left anti")
-
-    def fill(batch: pa.Table) -> pa.Table:
-        zero = pa.array(np.zeros(batch.num_rows, np.int64))
-        vals = pc.if_else(batch.column("__null_text"), pa.nulls(batch.num_rows, pa.int64()), zero)
-        return pa.table({"doc_id": batch.column("doc_id"), "n_shared_windows": vals})
-
-    return counts.union(missing.map_batches(fill, batch_format="pyarrow"))
+    return counts.union(ds.map_batches(null_rows, batch_format="pyarrow"))
 
 
 # --------------------------------------------- benchmark decontamination
