@@ -644,6 +644,17 @@ def _decontam_documents(sf_dir: str):
     return dedup.contamination_counts(train, bench, k=8)
 
 
+def _quantile_filter_documents(sf_dir: str):
+    """Per-language percentile quality gate: keep docs whose char length
+    is >= their language's p25 (drop each language's shortest tail
+    rather than one global cutoff)."""
+    from datafusion_orc_ray.pipelines import corpus
+
+    return corpus.quantile_length_filter(
+        _ds(sf_dir, "documents", ["doc_id", "lang", "text"]), q=0.25
+    )
+
+
 def _repetition_documents(sf_dir: str):
     """Gopher/MassiveText repetition signals (dup-line / dup-char /
     top-bigram fractions) — the standard web-corpus quality gate."""
@@ -993,6 +1004,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "point_lookup_orders": _point_lookup_orders,
         "shared_spans_documents": _shared_spans_documents,
         "decontam_documents": _decontam_documents,
+        "quantile_filter_documents": _quantile_filter_documents,
         "range_join_orders": _range_join_orders,
         "langid_documents": _langid,
         "fingerprint_documents": _fingerprints,
@@ -1239,6 +1251,12 @@ SELECT d.doc_id,
   CASE WHEN d.text IS NULL THEN NULL ELSE coalesce(c.n, 0) END AS n_shared_windows
 FROM documents d LEFT JOIN cnt c USING (doc_id)
 """,
+        "quantile_filter_documents": (
+            "SELECT doc_id, lang, n_chars FROM ("
+            "SELECT doc_id, lang, length(text) AS n_chars, "
+            "quantile_cont(length(text), 0.25) OVER (PARTITION BY lang) AS thr "
+            "FROM documents) t WHERE n_chars >= thr"
+        ),
         "decontam_documents": """
 WITH tl AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS ts
             FROM documents WHERE text IS NOT NULL AND doc_id % 37 <> 0),

@@ -338,3 +338,60 @@ def stratified_sample(
         return batch.filter(pa.array(coin < thr))
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# ----------------------------------- per-lang quantile quality gate
+
+
+def quantile_length_filter(
+    ds: ray.data.Dataset, q: float = 0.25
+) -> ray.data.Dataset:
+    """Keep documents whose char length is >= their language's q-quantile
+    — the per-group percentile gate pattern (drop the shortest tail of
+    each language rather than one global cutoff, which would wipe out
+    naturally-terse languages). Returns (doc_id, lang, n_chars) rows.
+
+    Composition, all existing scale-safe parts: one vectorized length
+    pass -> grouped_quantile (exact, one key-bucket shuffle over (lang,
+    n_chars) pairs only) -> thresholds are ONE ROW PER LANGUAGE, so they
+    broadcast via ray.put and the corpus filters in-stream — the second
+    pass over the documents never shuffles. SQL mirror:
+    quantile_cont(length(text), q) OVER (PARTITION BY lang). NULL text
+    never passes (NULL comparison); a NULL lang forms its own partition."""
+    from .relational import grouped_quantile
+
+    def lengths(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "lang": batch.column("lang"),
+                "n_chars": pc.cast(pc.utf8_length(batch.column("text")), pa.int64()),
+            }
+        )
+
+    sized = ds.map_batches(lengths, batch_format="pyarrow")
+    thr_tbl = collect(
+        grouped_quantile(sized, ["lang"], "n_chars", q=q, out_col="thr")
+    )
+    langs = thr_tbl.column("lang").combine_chunks()
+    thrs = thr_tbl.column("thr").to_numpy(zero_copy_only=False)
+    null_thr = next(
+        (t for l, t in zip(langs.to_pylist(), thrs) if l is None), None
+    )
+    thr_ref = ray.put((langs, thrs, null_thr))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        langs_b, thrs_b, null_thr_b = ray.get(thr_ref)
+        idx = pc.index_in(batch.column("lang"), value_set=langs_b)
+        idx_np = idx.to_numpy(zero_copy_only=False)
+        thr_row = np.full(batch.num_rows, np.inf)
+        have = pc.is_valid(idx).to_numpy(zero_copy_only=False)
+        thr_row[have] = thrs_b[idx_np[have].astype(np.int64)]
+        if null_thr_b is not None:
+            lang_null = pc.is_null(batch.column("lang")).to_numpy(zero_copy_only=False)
+            thr_row[lang_null] = null_thr_b
+        nc = batch.column("n_chars").to_numpy(zero_copy_only=False).astype(np.float64)
+        ok = nc >= thr_row  # NaN (null text) compares False, like SQL NULL
+        return batch.filter(pa.array(ok))
+
+    return sized.map_batches(keep, batch_format="pyarrow")

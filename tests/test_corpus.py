@@ -212,3 +212,42 @@ def test_repetition_signals_edges(ray_session):
     assert d["dup_char_frac"] == [6 / 12, 0.0, None, 0.0, 0.0]
     # doc 1 tokens [one one two one] -> 3 distinct bigrams, each x1 -> 1/3
     assert d["top_bigram_frac"] == [1 / 3, 3 / 6, None, 0.0, 0.0]
+
+
+def test_quantile_length_filter_per_lang_gate(ray_session):
+    """Each language drops its own short tail; NULL text never passes;
+    NULL lang forms its own partition (SQL PARTITION BY semantics)."""
+    import duckdb
+    import ray.data
+
+    import pyarrow as pa
+
+    from datafusion_orc_ray.pipelines import corpus
+    from datafusion_orc_ray.pipelines.relational import collect
+
+    rows = []
+    for i, lang, n in [
+        (0, "en", 10), (1, "en", 100), (2, "en", 200), (3, "en", 300),
+        (4, "de", 1), (5, "de", 2), (6, "de", 3),
+        (7, None, 50), (8, None, 5),
+    ]:
+        rows.append((i, lang, "x" * n))
+    rows.append((9, "en", None))
+    t = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "lang": pa.array([r[1] for r in rows]),
+        "text": pa.array([r[2] for r in rows]),
+    })
+    got = collect(
+        corpus.quantile_length_filter(ray.data.from_arrow(t), q=0.25)
+    ).sort_by([("doc_id", "ascending")])
+    con = duckdb.connect()
+    con.register("documents", t)
+    exp = con.sql(
+        "SELECT doc_id, lang, n_chars FROM (SELECT doc_id, lang, "
+        "length(text) AS n_chars, quantile_cont(length(text), 0.25) "
+        "OVER (PARTITION BY lang) AS thr FROM documents) t "
+        "WHERE n_chars >= thr ORDER BY doc_id"
+    ).arrow()
+    assert got.cast(exp.schema).equals(exp)
+    assert 9 not in got.column("doc_id").to_pylist()  # null text dropped
