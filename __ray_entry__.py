@@ -644,6 +644,31 @@ def _decontam_documents(sf_dir: str):
     return dedup.contamination_counts(train, bench, k=8)
 
 
+def _dedup_incremental_documents(sf_dir: str):
+    """Incremental ingest dedup: even doc_ids play yesterday's corpus,
+    odd doc_ids are today's crawl; keep only odd docs whose text is not
+    already present in the even slice (exact content match, anti join
+    on 16-byte content keys)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from datafusion_orc_ray.pipelines import dedup
+
+    docs = _ds(sf_dir, "documents", ["doc_id", "text"])
+
+    def _half(want_even: bool):
+        def fn(b):
+            ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+            m = (ids % 2) == 0
+            return b.filter(pa.array(m if want_even else ~m))
+
+        return fn
+
+    existing = docs.map_batches(_half(True), batch_format="pyarrow")
+    new = docs.map_batches(_half(False), batch_format="pyarrow")
+    return dedup.dedup_against(new, existing)
+
+
 def _quantile_filter_documents(sf_dir: str):
     """Per-language percentile quality gate: keep docs whose char length
     is >= their language's p25 (drop each language's shortest tail
@@ -1005,6 +1030,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shared_spans_documents": _shared_spans_documents,
         "decontam_documents": _decontam_documents,
         "quantile_filter_documents": _quantile_filter_documents,
+        "dedup_incremental_documents": _dedup_incremental_documents,
         "range_join_orders": _range_join_orders,
         "langid_documents": _langid,
         "fingerprint_documents": _fingerprints,
@@ -1251,6 +1277,11 @@ SELECT d.doc_id,
   CASE WHEN d.text IS NULL THEN NULL ELSE coalesce(c.n, 0) END AS n_shared_windows
 FROM documents d LEFT JOIN cnt c USING (doc_id)
 """,
+        "dedup_incremental_documents": (
+            "SELECT d.doc_id FROM documents d WHERE d.doc_id % 2 = 1 "
+            "AND (d.text IS NULL OR NOT EXISTS (SELECT 1 FROM documents e "
+            "WHERE e.doc_id % 2 = 0 AND e.text = d.text))"
+        ),
         "quantile_filter_documents": (
             "SELECT doc_id, lang, n_chars FROM ("
             "SELECT doc_id, lang, length(text) AS n_chars, "

@@ -1013,3 +1013,50 @@ def contamination_counts(
         )
 
     return docs.map_batches(probe, batch_format="pyarrow")
+
+
+# ------------------------------------------------- incremental ingest dedup
+
+def dedup_against(
+    new: ray.data.Dataset, existing: ray.data.Dataset
+) -> ray.data.Dataset:
+    """doc_ids of NEW documents whose text does NOT already occur in the
+    EXISTING corpus — the continuous-ingest dedup shape: yesterday's
+    corpus is the reference side, today's crawl is the probe side, and
+    only genuinely fresh documents survive.
+
+    Both sides reduce per batch to a 16-byte binary content key (the
+    same 128-bit hash pair exact dedup uses, packed little-endian), so
+    the anti join's exchange moves (key, doc_id) rows — 24 B/doc, never
+    text. NULL-text rows keep SQL NOT EXISTS semantics end-to-end: a
+    NULL key on the new side is retained by hash_join's anti path, and
+    NULL keys on the existing side match nothing.
+    """
+
+    def key_rows(batch: pa.Table, id_out: str) -> pa.Table:
+        texts = batch.column("text")
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        h1, h2 = tk.hash_strings128(texts)
+        buf = np.empty((batch.num_rows, 2), dtype="<u8")
+        buf[:, 0], buf[:, 1] = h1, h2
+        nulls = pc.is_null(texts).to_numpy(zero_copy_only=False)
+        keys = pa.array(buf.view("S16").ravel(), mask=nulls)
+        return pa.table({id_out: batch.column("doc_id"), "__key" + id_out[-1]: keys})
+
+    # distinct column names keep hash_join's overlap check happy
+    new_keys = new.map_batches(
+        lambda b: key_rows(b, "doc_id"), batch_format="pyarrow"
+    )
+    old_keys = existing.map_batches(
+        lambda b: key_rows(b, "__ref_id"), batch_format="pyarrow"
+    )
+    if old_keys.schema() is None:
+        # empty reference corpus (first ingest): nothing can match
+        return new_keys.map_batches(
+            lambda b: pa.table({"doc_id": b.column("doc_id")}), batch_format="pyarrow"
+        )
+    joined = hash_join(new_keys, old_keys, "__keyd", "__keyd", join_type="left anti")
+    return joined.map_batches(
+        lambda b: pa.table({"doc_id": b.column("doc_id")}), batch_format="pyarrow"
+    )

@@ -830,3 +830,30 @@ def test_contamination_self_is_total(ray_session):
         dedup.contamination_counts(ray.data.from_arrow(t), ray.data.from_arrow(t), k=8)
     ).to_pydict()
     assert all(n == 40 - 8 + 1 for n in out["n_contaminated_windows"])
+
+
+def test_dedup_against_incremental(ray_session):
+    """New docs survive iff their exact text is absent from the existing
+    corpus; NULL-text news are always kept (SQL NOT EXISTS); existing
+    NULL texts match nothing."""
+    import ray.data
+
+    existing = pa.table({
+        "doc_id": pa.array([100, 101, 102], pa.int64()),
+        "text": pa.array(["seen before", "also seen", None]),
+    })
+    new = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array(["fresh one", "seen before", None, "also seen"]),
+    })
+    got = rel.collect(
+        dedup.dedup_against(ray.data.from_arrow(new), ray.data.from_arrow(existing))
+    )
+    assert sorted(got.column("doc_id").to_pylist()) == [1, 3]
+    # empty existing corpus keeps everything
+    got2 = rel.collect(
+        dedup.dedup_against(
+            ray.data.from_arrow(new), ray.data.from_arrow(existing.slice(0, 0))
+        )
+    )
+    assert sorted(got2.column("doc_id").to_pylist()) == [1, 2, 3, 4]
