@@ -826,6 +826,37 @@ def _media_features(sf_dir: str):
     return mm.extract_media_features(ds, "payload", "doc_id", decoder=fake_decoder)
 
 
+def _approx_topk_ngrams(sf_dir: str):
+    """Bounded-error top-k bigrams (SpaceSaving-merge partials). At this
+    scale m exceeds per-batch gram cardinality, so no batch truncates,
+    the cut is PROVEN exact and the (gram, n) columns equal the exact
+    operator's — which is what the SQL oracle checks; the bounds-and-
+    truncation regime is pinned by pytest instead."""
+    from datafusion_orc_ray.pipelines import corpus
+
+    t = corpus.approx_ngram_topk(
+        _ds(sf_dir, "documents", ["text"]), n=2, k=20, m=1 << 20
+    )
+    assert t.column("exact").to_pylist() == [True] * t.num_rows
+    return t.select(["gram", "n"])
+
+
+def _approx_quantile_events(sf_dir: str):
+    """Mergeable equi-depth summary quantile (approximate: rank error
+    <= 1/(2*bins) of the group mass) — the scale path where exact
+    grouped_quantile's full per-key co-location is too heavy."""
+    from datafusion_orc_ray.pipelines import corpus
+
+    return corpus.approx_grouped_quantile(
+        _ds(sf_dir, "events", ["event_type", "value"]),
+        ["event_type"],
+        "value",
+        q=0.9,
+        out_col="p90",
+        bins=256,
+    )
+
+
 def _topk_ngrams(sf_dir: str):
     """Exact global top-20 bigrams: per-batch vectorized gram assembly +
     Arrow groupby combiner, size-gated final reduce (distributed groupby
@@ -1016,6 +1047,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_embeddings": _knn,
         "unnest_embeddings": _unnest_embeddings,
         "topk_ngrams_documents": _topk_ngrams,
+        "approx_topk_ngrams_documents": _approx_topk_ngrams,
         "vocab_per_lang_documents": _vocab_per_lang,
         "c4_filter_documents": _c4_filter,
         "stratified_sample_documents": _stratified_sample,
@@ -1045,6 +1077,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # and LSH candidate sets have no SQL mirror by construction
         "hll_vocab_documents": _hll_vocab,
         "minhash_dedup_documents": _minhash_dedup,
+        "approx_quantile_events": _approx_quantile_events,
     }
 
 
@@ -1340,6 +1373,17 @@ FROM documents d LEFT JOIN cnt c USING (doc_id) WHERE d.doc_id % 37 <> 0
             "SELECT id_a, id_b, CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard "
             "FROM inter JOIN szs sa ON sa.doc_id = id_a JOIN szs sb ON sb.doc_id = id_b "
             "WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5"
+        ),
+        "approx_topk_ngrams_documents": (
+            # same as the exact top-k oracle: the query runs in the
+            # proven-exact regime (asserted in the callable)
+            "WITH docs AS (SELECT list_filter(string_split_regex(text, '\\s+'), "
+            "x -> x <> '') AS toks FROM documents), "
+            "grams AS (SELECT array_to_string(toks[i:i+1], ' ') AS gram "
+            "FROM docs, LATERAL unnest(generate_series(1, len(toks) - 1)) AS t(i) "
+            "WHERE len(toks) >= 2) "
+            "SELECT gram, count(*) AS n FROM grams GROUP BY gram "
+            "ORDER BY n DESC, gram LIMIT 20"
         ),
         "topk_ngrams_documents": (
             # bigram construction mirrors the jaccard oracle's shingles

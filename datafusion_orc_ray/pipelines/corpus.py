@@ -395,3 +395,267 @@ def quantile_length_filter(
         return batch.filter(pa.array(ok))
 
     return sized.map_batches(keep, batch_format="pyarrow")
+
+
+# ------------------------------- bounded-error top-k (SpaceSaving merge)
+
+
+def approx_ngram_topk(
+    ds: ray.data.Dataset,
+    n: int = 2,
+    k: int = 20,
+    text_col: str = "text",
+    m: int = 1 << 16,
+) -> pa.Table:
+    """Bounded-error global top-k n-grams — the 100-TB path for
+    ``ngram_topk``: each batch ships its exact gram counts TRUNCATED to
+    its heaviest ``m`` rows, so shuffle volume is <= m rows per batch
+    REGARDLESS of gram cardinality (the exact op's combiner still moves
+    every distinct gram per batch, which on web text is ~every gram).
+
+    Truncated-exact partials merge associatively (the SpaceSaving-merge
+    bound, Berinde et al. 2010): summed counts where a gram was kept are
+    a LOWER bound; adding each batch's residual (its largest dropped
+    count) where the gram was missing gives an UPPER bound. Returns
+    (gram, n, n_high, exact): rows ranked by lower bound, ``exact=True``
+    iff the top-k CUT is proven (k-th lower bound >= (k+1)-th upper
+    bound). When no batch truncates (m exceeds per-batch cardinality)
+    n == the exact count and the result equals ``ngram_topk``."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        grams = _gram_strings(batch.column(text_col), n)
+        res = pa.TableGroupBy(pa.table({"gram": grams}), ["gram"]).aggregate(
+            [("gram", "count")]
+        )
+        res = res.rename_columns(["gram", "n"])
+        err = 0
+        if res.num_rows > m:
+            idx = pc.sort_indices(
+                res, sort_keys=[("n", "descending"), ("gram", "ascending")]
+            )
+            err = res.column("n").take(idx[m : m + 1])[0].as_py()
+            res = res.take(idx[:m])
+        # marker row (NULL gram) carries this batch's residual so the
+        # merge can form SUM(err) over ALL batches
+        marker = pa.table(
+            {
+                "gram": pa.array([None], res.column("gram").type),
+                "n": pa.array([0], pa.int64()),
+                "err": pa.array([err], pa.int64()),
+            }
+        )
+        body = res.append_column(
+            "err", pa.array(np.full(res.num_rows, err, np.int64))
+        )
+        return pa.concat_tables([body, marker])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow").materialize()
+    dropped_core_max = None  # max (n_low - err_present) over rows the
+    # distributed path pruned; their n_high = that + total_err
+    if partials.count() <= _SMALL_PARTIALS:
+        merged = collect(partials)
+        markers = merged.filter(pc.is_null(merged.column("gram")))
+        body = merged.filter(pc.is_valid(merged.column("gram")))
+        g = pa.TableGroupBy(body, ["gram"]).aggregate([("n", "sum"), ("err", "sum")])
+    else:
+        # distributed merge: the sort-based groupby makes blocks
+        # key-disjoint, so a per-block top-(k+1) by lower bound is
+        # globally complete for the CUT; each block also reports the max
+        # (n_low - err_present) over the rows it prunes, because a
+        # pruned row's UPPER bound (n_low - err_present + total_err) can
+        # exceed a kept row's and must stay in the exactness proof.
+        from ray.data.aggregate import Sum
+
+        gb = partials.groupby("gram").aggregate(
+            Sum("n", alias_name="n_sum"), Sum("err", alias_name="err_sum")
+        )
+
+        def local_head(b: pa.Table) -> pa.Table:
+            null_rows = b.filter(pc.is_null(b.column("gram")))
+            live = b.filter(pc.is_valid(b.column("gram")))
+            idx = pc.sort_indices(
+                live, sort_keys=[("n_sum", "descending"), ("gram", "ascending")]
+            )
+            kept, rest = live.take(idx[: k + 1]), live.take(idx[k + 1 :])
+            parts = [kept, null_rows]
+            if rest.num_rows:
+                core = pc.max(
+                    pc.subtract(rest.column("n_sum"), rest.column("err_sum"))
+                ).as_py()
+                parts.append(
+                    pa.table(
+                        {
+                            "gram": pa.array([None], b.column("gram").type),
+                            "n_sum": pa.array([core], pa.int64()),
+                            "err_sum": pa.array([-1], pa.int64()),  # bound tag
+                        }
+                    )
+                )
+            return pa.concat_tables(parts)
+
+        merged = collect(gb.map_batches(local_head, batch_format="pyarrow"))
+        nulls = merged.filter(pc.is_null(merged.column("gram")))
+        bound_rows = nulls.filter(pc.equal(nulls.column("err_sum"), -1))
+        if bound_rows.num_rows:
+            dropped_core_max = pc.max(bound_rows.column("n_sum")).as_py()
+        markers = nulls.filter(pc.not_equal(nulls.column("err_sum"), -1))
+        markers = markers.rename_columns(["gram", "n", "err"])
+        g = merged.filter(pc.is_valid(merged.column("gram"))).rename_columns(
+            ["gram", "n_sum", "err_sum"]
+        )
+    total_err = (pc.sum(markers.column("err")).as_py() or 0) if markers.num_rows else 0
+    n_low = g.column("n_sum")
+    n_high = pc.add(n_low, pc.subtract(pa.scalar(total_err), g.column("err_sum")))
+    out = pa.table({"gram": g.column("gram"), "n": n_low, "n_high": n_high})
+    idx = pc.sort_indices(out, sort_keys=[("n", "descending"), ("gram", "ascending")])
+    top = out.take(idx[:k])
+    rest = out.take(idx[k:])
+    # highest possible true count OUTSIDE the reported top-k: the best
+    # seen-but-not-top row, any distributed-path pruned row, or a gram
+    # never kept by any batch (n_high <= total_err)
+    outside_high = total_err
+    if rest.num_rows:
+        outside_high = max(outside_high, pc.max(rest.column("n_high")).as_py())
+    if dropped_core_max is not None:
+        outside_high = max(outside_high, dropped_core_max + total_err)
+    if top.num_rows < k:
+        # fewer grams than k reported: exact iff nothing was ever
+        # truncated or pruned (an unseen gram could hide otherwise)
+        exact = total_err == 0 and dropped_core_max is None
+    else:
+        exact = bool(top.column("n")[k - 1].as_py() >= outside_high)
+    return top.append_column("exact", pa.array(np.full(top.num_rows, exact)))
+
+
+# ---------------------- mergeable approximate grouped quantile (summary)
+
+
+def approx_grouped_quantile(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    val_col: str,
+    q: float = 0.5,
+    out_col: str = "qv",
+    bins: int = 256,
+) -> pa.Table:
+    """Approximate per-group quantile via mergeable equi-depth summaries
+    — the 100-TB path for ``grouped_quantile``, whose EXACT answer needs
+    full per-key co-location. Each (batch, group) ships ``bins`` weighted
+    points (the batch-group's own equi-depth quantiles, weight
+    count/bins), so the exchange moves bins rows per group per batch
+    independent of row count; the merge sorts each group's points and
+    interpolates the target rank. Per-summary rank error <= 1/(2*bins)
+    of that batch-group's mass, so the merged estimate's rank error is
+    <= 1/(2*bins) of the group total (weighted-summary bound; B=256 ->
+    0.2%). Nulls are ignored as in SQL. Intended for lang-like key
+    cardinality (the per-batch group loop is per DISTINCT group in that
+    batch); huge key spaces co-locate fine too, but prefer the exact op
+    when you already pay its shuffle."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        cols = {k: batch.column(k).to_numpy(zero_copy_only=False) for k in keys}
+        v = batch.column(val_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        ok = ~np.isnan(v)
+        codes, uniq = pd.factorize(
+            pd.Series(list(zip(*(cols[k] for k in keys)))) if len(keys) > 1
+            else pd.Series(cols[keys[0]]),
+            use_na_sentinel=False,
+        )
+        out_keys: dict[str, list] = {k: [] for k in keys}
+        vals, wts = [], []
+        for gi in range(len(uniq)):
+            gv = np.sort(v[(codes == gi) & ok])
+            if not gv.size:
+                continue
+            pick = np.clip(
+                ((np.arange(bins) + 0.5) / bins * gv.size).astype(np.int64),
+                0,
+                gv.size - 1,
+            )
+            kv = uniq[gi] if len(keys) > 1 else (uniq[gi],)
+            for kn, kvv in zip(keys, kv):
+                out_keys[kn].extend([kvv] * bins)
+            vals.append(gv[pick])
+            wts.append(np.full(bins, gv.size / bins))
+        if not vals:
+            return pa.table(
+                {
+                    **{kn: pa.array([], batch.schema.field(kn).type) for kn in keys},
+                    "v": pa.array([], pa.float64()),
+                    "w": pa.array([], pa.float64()),
+                }
+            )
+        return pa.table(
+            {
+                **{
+                    kn: pa.array(out_keys[kn], batch.schema.field(kn).type)
+                    for kn in keys
+                },
+                "v": pa.array(np.concatenate(vals)),
+                "w": pa.array(np.concatenate(wts)),
+            }
+        )
+
+    def recompress(b: pa.Table) -> pa.Table:
+        """Re-summarize weighted points to <= bins rows per group —
+        summaries are associative, so a tree level keeps the driver's
+        merge input at fanin x groups x bins rows regardless of batch
+        count (adds <= 1/(2*bins) rank error per level)."""
+        import pandas as pd
+
+        df_b = b.to_pandas()
+        outs = []
+        for kv, grp in df_b.groupby(keys, dropna=False):
+            grp = grp.sort_values("v")
+            w = grp["w"].to_numpy()
+            v = grp["v"].to_numpy()
+            cw = np.cumsum(w)
+            total = cw[-1]
+            ranks = (np.arange(bins) + 0.5) / bins * total
+            pick = np.clip(np.searchsorted(cw - w / 2, ranks), 0, len(v) - 1)
+            kv = kv if isinstance(kv, tuple) else (kv,)
+            outs.append(
+                pa.table(
+                    {
+                        **{
+                            kn: pa.array([kvv] * bins, b.schema.field(kn).type)
+                            for kn, kvv in zip(keys, kv)
+                        },
+                        "v": pa.array(v[pick]),
+                        "w": pa.array(np.full(bins, total / bins)),
+                    }
+                )
+            )
+        return pa.concat_tables(outs) if outs else b.slice(0, 0)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow").materialize()
+    if partials.count() > _SMALL_PARTIALS:
+        partials = partials.repartition(8).map_batches(
+            recompress, batch_format="pyarrow"
+        )
+    merged = collect(partials)
+    import pandas as pd
+
+    df = merged.to_pandas()
+    rows = []
+    for kv, grp in df.groupby(keys, dropna=False):
+        g = grp.sort_values("v")
+        cw = g["w"].cumsum().to_numpy()
+        total = cw[-1]
+        target = q * total
+        i = int(np.searchsorted(cw - g["w"].to_numpy() / 2, target))
+        i = min(i, len(g) - 1)
+        kv = kv if isinstance(kv, tuple) else (kv,)
+        rows.append((*kv, float(g["v"].to_numpy()[i])))
+    out = pa.table(
+        {
+            **{
+                kn: pa.array([r[j] for r in rows], merged.schema.field(kn).type)
+                for j, kn in enumerate(keys)
+            },
+            out_col: pa.array([r[-1] for r in rows], pa.float64()),
+        }
+    )
+    return out

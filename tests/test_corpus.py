@@ -251,3 +251,83 @@ def test_quantile_length_filter_per_lang_gate(ray_session):
     ).arrow()
     assert got.cast(exp.schema).equals(exp)
     assert 9 not in got.column("doc_id").to_pylist()  # null text dropped
+
+
+def test_approx_ngram_topk_matches_exact_when_untruncated(ray_session):
+    """With m above per-batch cardinality no batch truncates: counts are
+    exact, the cut is proven, and the result equals ngram_topk."""
+    import ray.data
+
+    import pyarrow as pa
+
+    from datafusion_orc_ray.pipelines import corpus
+
+    docs = pq_docs = None
+    t = _docs_table()
+    ds = ray.data.from_arrow(t)
+    exact = corpus.ngram_topk(ds, n=2, k=10)
+    approx = corpus.approx_ngram_topk(ray.data.from_arrow(t), n=2, k=10, m=1 << 20)
+    assert approx.column("exact").to_pylist() == [True] * approx.num_rows
+    assert approx.column("gram").to_pylist() == exact.column("gram").to_pylist()
+    assert approx.column("n").to_pylist() == exact.column("n").to_pylist()
+
+
+def test_approx_ngram_topk_bounds_hold_under_truncation(ray_session):
+    """With aggressive truncation the [n, n_high] interval still brackets
+    every reported gram's true count."""
+    import ray.data
+
+    from datafusion_orc_ray.pipelines import corpus
+
+    t = _docs_table()
+    # many small blocks -> many truncating partials
+    ds = ray.data.from_arrow(t).repartition(16)
+    exact = corpus.ngram_topk(ray.data.from_arrow(t), n=2, k=10_000)
+    truth = dict(zip(exact.column("gram").to_pylist(), exact.column("n").to_pylist()))
+    approx = corpus.approx_ngram_topk(ds, n=2, k=10, m=8)
+    for g, lo, hi in zip(
+        approx.column("gram").to_pylist(),
+        approx.column("n").to_pylist(),
+        approx.column("n_high").to_pylist(),
+    ):
+        assert lo <= truth[g] <= hi, (g, lo, truth[g], hi)
+
+
+def test_approx_ngram_topk_distributed_path(ray_session, monkeypatch):
+    """Force the distributed merge (gate at 0) and require the same
+    proven-exact result as the driver path."""
+    import ray.data
+
+    from datafusion_orc_ray.pipelines import corpus
+
+    t = _docs_table()
+    monkeypatch.setattr(corpus, "_SMALL_PARTIALS", 0)
+    approx = corpus.approx_ngram_topk(ray.data.from_arrow(t), n=2, k=10, m=1 << 20)
+    exact = corpus.ngram_topk(ray.data.from_arrow(t), n=2, k=10)
+    assert approx.column("exact").to_pylist() == [True] * approx.num_rows
+    assert approx.column("gram").to_pylist() == exact.column("gram").to_pylist()
+    assert approx.column("n").to_pylist() == exact.column("n").to_pylist()
+
+
+def test_approx_grouped_quantile_rank_error(ray_session):
+    """The approx p50/p90 lands within 2/bins rank error of the true
+    rank per group, on skewed lognormal data split over many batches."""
+    import numpy as np
+    import ray.data
+
+    import pyarrow as pa
+
+    from datafusion_orc_ray.pipelines import corpus
+
+    rng = np.random.default_rng(11)
+    n = 40_000
+    langs = rng.choice(["en", "de", "fr"], n)
+    vals = np.exp(rng.normal(0, 2, n))  # heavy tail
+    t = pa.table({"lang": pa.array(langs), "val": pa.array(vals)})
+    ds = ray.data.from_arrow(t).repartition(12)
+    for q in (0.5, 0.9):
+        got = corpus.approx_grouped_quantile(ds, ["lang"], "val", q=q, bins=128)
+        for lang, qv in zip(got.column("lang").to_pylist(), got.column("qv").to_pylist()):
+            grp = np.sort(vals[langs == lang])
+            rank = np.searchsorted(grp, qv) / grp.size
+            assert abs(rank - q) <= 2 / 128 + 1e-9, (lang, q, rank)
