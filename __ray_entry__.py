@@ -644,6 +644,39 @@ def _decontam_documents(sf_dir: str):
     return dedup.contamination_counts(train, bench, k=8)
 
 
+def _curation_pipeline_documents(sf_dir: str):
+    """End-to-end curation composition — the engine's flagship shape:
+    C4 quality gate (streaming, no shuffle) -> benchmark decontamination
+    (broadcast probe, no shuffle) -> exact dedup survivors (one
+    (h128, id) exchange) -> survivor semi-join back to attributes.
+    Every stage is an existing hard-oracled operator; the oracle mirrors
+    the SAME order (dedup runs on the filtered set)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from datafusion_orc_ray.pipelines import corpus, dedup, relational as rel
+
+    docs = _ds(sf_dir, "documents", ["doc_id", "lang", "text"])
+
+    def _slice(want_bench: bool):
+        def fn(b):
+            ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+            m = (ids % 37) == 0
+            return b.filter(pa.array(m if want_bench else ~m))
+
+        return fn
+
+    bench = docs.map_batches(_slice(True), batch_format="pyarrow")
+    train = docs.map_batches(_slice(False), batch_format="pyarrow")
+    q = corpus.c4_quality_filter(train)
+    clean = dedup.decontaminate(q, bench, k=8)
+    surv = dedup.exact_dedup_ids(clean)
+    attrs = clean.map_batches(
+        lambda b: b.select(["doc_id", "lang", "n_tok"]), batch_format="pyarrow"
+    )
+    return rel.hash_join(attrs, surv, "doc_id", "doc_id", join_type="left semi")
+
+
 def _dedup_incremental_documents(sf_dir: str):
     """Incremental ingest dedup: even doc_ids play yesterday's corpus,
     odd doc_ids are today's crawl; keep only odd docs whose text is not
@@ -1063,6 +1096,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontam_documents": _decontam_documents,
         "quantile_filter_documents": _quantile_filter_documents,
         "dedup_incremental_documents": _dedup_incremental_documents,
+        "curation_pipeline_documents": _curation_pipeline_documents,
         "range_join_orders": _range_join_orders,
         "langid_documents": _langid,
         "fingerprint_documents": _fingerprints,
@@ -1309,6 +1343,35 @@ cnt AS (SELECT x.doc_id, count(*) AS n FROM wins x JOIN shared USING (w)
 SELECT d.doc_id,
   CASE WHEN d.text IS NULL THEN NULL ELSE coalesce(c.n, 0) END AS n_shared_windows
 FROM documents d LEFT JOIN cnt c USING (doc_id)
+""",
+        "curation_pipeline_documents": """
+WITH train AS (SELECT * FROM documents WHERE doc_id % 37 <> 0),
+f AS (SELECT doc_id, lang, text, len(regexp_extract_all(text, '\\S+')) AS n_tok
+      FROM train WHERE text IS NOT NULL),
+g AS (SELECT doc_id, lang, text, n_tok,
+      CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) / n_tok AS mean_len
+      FROM f WHERE n_tok >= 20),
+q AS (SELECT doc_id, lang, text, n_tok FROM g
+      WHERE mean_len >= 4.0 AND mean_len <= 4.6),
+tl AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS ts FROM q),
+wins AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(ts) - 7),
+                               i -> array_to_string(ts[i:i+7], ' '))) AS w
+  FROM tl
+),
+bl AS (SELECT regexp_extract_all(text, '\\S+') AS ts
+       FROM documents WHERE text IS NOT NULL AND doc_id % 37 = 0),
+bwins AS (
+  SELECT DISTINCT unnest(list_transform(generate_series(1, len(ts) - 7),
+                                        i -> array_to_string(ts[i:i+7], ' '))) AS w
+  FROM bl
+),
+dirty AS (SELECT DISTINCT x.doc_id FROM wins x JOIN bwins USING (w)),
+clean AS (SELECT q.* FROM q
+          WHERE NOT EXISTS (SELECT 1 FROM dirty WHERE dirty.doc_id = q.doc_id)),
+surv AS (SELECT min(doc_id) AS doc_id FROM clean GROUP BY text)
+SELECT c.doc_id, c.lang, c.n_tok FROM clean c JOIN surv USING (doc_id)
 """,
         "dedup_incremental_documents": (
             "SELECT d.doc_id FROM documents d WHERE d.doc_id % 2 = 1 "

@@ -959,6 +959,24 @@ def contamination_counts(
         majority), an exact searchsorted only on bloom survivors, and a
         bincount per doc. Text bytes never leave their batch.
     """
+    state_ref, m = _bench_window_state(bench, k)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        counts, null_mask = _contam_counts_batch(batch, state_ref, m, k)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_contaminated_windows": pa.array(counts, pa.int64(), mask=null_mask),
+            }
+        )
+
+    return docs.map_batches(probe, batch_format="pyarrow")
+
+
+def _bench_window_state(bench: ray.data.Dataset, k: int):
+    """(ray.put ref to (sorted uint64 window hashes, bloom bitmap), m) —
+    the broadcast probe state shared by contamination_counts and
+    decontaminate."""
     from ..codecs import bloom as bloom_codec
 
     def bench_rows(batch: pa.Table) -> pa.Table:
@@ -974,7 +992,7 @@ def contamination_counts(
         if b.num_rows
     ]
     # view BEFORE unique: the Arrow transport is int64, and a signed sort
-    # order would break the unsigned searchsorted in probe()
+    # order would break the unsigned searchsorted in the probe
     exact = (
         np.unique(np.concatenate(parts).view(np.uint64))
         if parts
@@ -982,37 +1000,52 @@ def contamination_counts(
     )
     m = bloom_codec.bits_for(max(1, exact.size), max_bits=1 << 27)
     bits = bloom_codec.build_bits(pa.array(exact.view(np.int64)), m)
-    state_ref = ray.put((exact, bits))
+    return ray.put((exact, bits)), m
 
-    def probe(batch: pa.Table) -> pa.Table:
-        exact_s, bits_s = ray.get(state_ref)
-        texts = batch.column("text")
-        th, offs = tk.token_hashes(texts)
-        wh, woffs = tk.rolling_shingles(th, offs, k, pad_short=False)
-        n_docs = batch.num_rows
-        counts = np.zeros(n_docs, np.int64)
-        if wh.size and exact_s.size:
-            maybe = bloom_codec.contains_many(bits_s, m, pa.array(wh.view(np.int64)))
-            cand = np.flatnonzero(maybe)
-            if cand.size:
-                pos = np.searchsorted(exact_s, wh[cand])
-                np.minimum(pos, exact_s.size - 1, out=pos)
-                hit = cand[exact_s[pos] == wh[cand]]
-                wdoc = np.repeat(np.arange(n_docs), np.diff(woffs))
-                counts = np.bincount(wdoc[hit], minlength=n_docs)
-        if isinstance(texts, pa.ChunkedArray):
-            texts = texts.combine_chunks()
-        null_mask = pc.is_null(texts).to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                "doc_id": batch.column("doc_id"),
-                "n_contaminated_windows": pa.array(
-                    counts.astype(np.int64), pa.int64(), mask=null_mask
-                ),
-            }
-        )
 
-    return docs.map_batches(probe, batch_format="pyarrow")
+def _contam_counts_batch(
+    batch: pa.Table, state_ref, m: int, k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """(per-row contaminated-window counts, null-text mask) for one
+    batch: rolling window hashes -> vectorized bloom reject -> exact
+    searchsorted on survivors -> per-doc bincount."""
+    from ..codecs import bloom as bloom_codec
+
+    exact_s, bits_s = ray.get(state_ref)
+    texts = batch.column("text")
+    th, offs = tk.token_hashes(texts)
+    wh, woffs = tk.rolling_shingles(th, offs, k, pad_short=False)
+    n_docs = batch.num_rows
+    counts = np.zeros(n_docs, np.int64)
+    if wh.size and exact_s.size:
+        maybe = bloom_codec.contains_many(bits_s, m, pa.array(wh.view(np.int64)))
+        cand = np.flatnonzero(maybe)
+        if cand.size:
+            pos = np.searchsorted(exact_s, wh[cand])
+            np.minimum(pos, exact_s.size - 1, out=pos)
+            hit = cand[exact_s[pos] == wh[cand]]
+            wdoc = np.repeat(np.arange(n_docs), np.diff(woffs))
+            counts = np.bincount(wdoc[hit], minlength=n_docs).astype(np.int64)
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    null_mask = pc.is_null(texts).to_numpy(zero_copy_only=False)
+    return counts, null_mask
+
+
+def decontaminate(
+    docs: ray.data.Dataset, bench: ray.data.Dataset, k: int = 8
+) -> ray.data.Dataset:
+    """The filtering twin of ``contamination_counts``: streams through
+    ``docs`` and keeps the rows (ALL columns) with ZERO k-token window
+    overlap with the benchmark set. Null-text rows pass (no windows, no
+    evidence); same broadcast probe state, still no shuffle."""
+    state_ref, m = _bench_window_state(bench, k)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        counts, _ = _contam_counts_batch(batch, state_ref, m, k)
+        return batch.filter(pa.array(counts == 0))
+
+    return docs.map_batches(keep, batch_format="pyarrow")
 
 
 # ------------------------------------------------- incremental ingest dedup

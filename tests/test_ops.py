@@ -857,3 +857,22 @@ def test_dedup_against_incremental(ray_session):
         )
     )
     assert sorted(got2.column("doc_id").to_pylist()) == [1, 2, 3, 4]
+
+
+def test_decontaminate_keeps_clean_rows_all_columns(ray_session):
+    """Filtering twin of contamination_counts: clean + null-text rows
+    pass with every column intact; contaminated rows drop."""
+    import ray.data
+
+    w = "a b c d e f g h"
+    bench = pa.table({"doc_id": pa.array([9], pa.int64()), "text": pa.array([w])})
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "lang": pa.array(["en", "de", "fr"]),
+        "text": pa.array([f"{w} tail", "clean doc with plenty of tokens", None]),
+    })
+    got = rel.collect(
+        dedup.decontaminate(ray.data.from_arrow(docs), ray.data.from_arrow(bench), k=8)
+    ).sort_by([("doc_id", "ascending")])
+    assert got.column("doc_id").to_pylist() == [2, 3]
+    assert got.column_names == ["doc_id", "lang", "text"]
