@@ -302,6 +302,22 @@ def _running_total_events(sf_dir: str):
     )
 
 
+def _lag_lead_events(sf_dir: str):
+    """lag/lead window: previous and next value per user ordered by
+    (ts, event_id) — one co-location shuffle, per-bucket vectorized
+    index-shift take (nulls at partition edges, SQL semantics)."""
+    from datafusion_orc_ray.pipelines import relational as rel, windows as w
+
+    out = rel.collect(
+        w.lag_lead(
+            _ds(sf_dir, "events", ["event_id", "user_id", "ts", "value"]),
+            "user_id", "ts", "value", tiebreak="event_id",
+            lag_col="prev_value", lead_col="next_value",
+        )
+    )
+    return out.select(["event_id", "prev_value", "next_value"])
+
+
 def _regex_replace_documents(sf_dir: str):
     """Vectorized regexp_replace (RE2 both sides)."""
     import pyarrow.compute as pc
@@ -985,6 +1001,75 @@ def _q5_revenue(sf_dir: str):
     )
 
 
+def _q3_shipping(sf_dir: str):
+    """TPC-H-Q3-shaped pipeline: segment-filtered customers semi-join
+    orders (broadcast fast path — no shuffle for the dimension side),
+    date-filtered lineitem revenue joined to the surviving orders
+    (skew-aware hash_join; bucket exchange only when both sides are
+    big), distributed grouped sum per order, then shuffle-free global
+    top-10 by revenue (per-batch combiner + tree merge). The full
+    scan -> filter -> join -> join -> aggregate -> top-k chain as ONE
+    streaming Ray Data plan (reference: the DataFusion plans
+    /root/reference/src/file_source.rs feeds would produce this shape)."""
+    from datetime import datetime
+
+    import pyarrow.compute as pc
+
+    from datafusion_orc_ray.pipelines import relational as rel
+
+    cut = datetime(1998, 6, 1)
+
+    def building_only(batch: pa.Table) -> pa.Table:
+        keep = pc.equal(batch.column("c_mktsegment"), pa.scalar("BUILDING"))
+        return batch.filter(keep).select(["c_custkey"])
+
+    cust = _ds(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
+        building_only, batch_format="pyarrow"
+    )
+
+    def early_orders(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.less(batch.column("o_orderdate"), pa.scalar(cut)))
+
+    orders = _ds(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"]
+    ).map_batches(early_orders, batch_format="pyarrow")
+    orders_b = rel.hash_join(
+        orders, cust, "o_custkey", "c_custkey", join_type="left semi"
+    ).map_batches(
+        lambda b: b.select(["o_orderkey", "o_orderdate", "o_orderpriority"]),
+        batch_format="pyarrow",
+    )
+
+    def line_revenue(batch: pa.Table) -> pa.Table:
+        kept = batch.filter(pc.greater(batch.column("l_shipdate"), pa.scalar(cut)))
+        rev = pc.multiply(
+            kept.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), kept.column("l_discount")),
+        )
+        return pa.table({"l_orderkey": kept.column("l_orderkey"), "rev": rev})
+
+    line = _ds(
+        sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"]
+    ).map_batches(line_revenue, batch_format="pyarrow")
+
+    joined = rel.hash_join(line, orders_b, "l_orderkey", "o_orderkey")
+    grouped = rel.grouped_agg_ds(
+        joined,
+        ["l_orderkey", "o_orderdate", "o_orderpriority"],
+        {"revenue": ("sum", "rev")},
+    )
+    top = rel.topk(
+        grouped,
+        "revenue",
+        10,
+        ["l_orderkey", "revenue", "o_orderdate", "o_orderpriority"],
+        tiebreak="l_orderkey",
+    )
+    return top.set_column(
+        top.schema.get_field_index("revenue"), "revenue", pc.round(top.column("revenue"), 2)
+    )
+
+
 def _normalize_documents(sf_dir: str):
     """Unicode NFC + casefold + whitespace-collapse normalization (the
     canonicalization pass before content hashing)."""
@@ -1065,6 +1150,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rank_in_lang_documents": _rank_in_lang_documents,
         "zscore_events": _zscore_events,
         "running_total_events": _running_total_events,
+        "lag_lead_events": _lag_lead_events,
         "regex_replace_documents": _regex_replace_documents,
         "sliding_window_events": _sliding_window_events,
         "asof_join_events": _asof_join_events,
@@ -1085,6 +1171,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "c4_filter_documents": _c4_filter,
         "stratified_sample_documents": _stratified_sample,
         "q5_revenue_nation": _q5_revenue,
+        "q3_shipping": _q3_shipping,
         "normalize_documents": _normalize_documents,
         "grouped_p90_events": _grouped_p90_events,
         "histogram_events": _histogram_events,
@@ -1498,6 +1585,19 @@ FROM documents d LEFT JOIN cnt c USING (doc_id) WHERE d.doc_id % 37 <> 0
             "JOIN region ON n_regionkey = r_regionkey "
             "GROUP BY r_name, n_name"
         ),
+        "q3_shipping": (
+            "SELECT l_orderkey, "
+            "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, "
+            "o_orderdate, o_orderpriority "
+            "FROM customer JOIN orders ON c_custkey = o_custkey "
+            "JOIN lineitem ON l_orderkey = o_orderkey "
+            "WHERE c_mktsegment = 'BUILDING' "
+            "AND o_orderdate < TIMESTAMP '1998-06-01' "
+            "AND l_shipdate > TIMESTAMP '1998-06-01' "
+            "GROUP BY l_orderkey, o_orderdate, o_orderpriority "
+            "ORDER BY sum(l_extendedprice * (1 - l_discount)) DESC, l_orderkey "
+            "LIMIT 10"
+        ),
         "normalize_documents": (
             "SELECT doc_id, trim(regexp_replace(lower(nfc_normalize(text)), "
             "'\\s+', ' ', 'g')) AS normalized FROM documents"
@@ -1586,6 +1686,13 @@ FROM documents d LEFT JOIN cnt c USING (doc_id) WHERE d.doc_id % 37 <> 0
             "SELECT event_id, round(sum(value) OVER (PARTITION BY user_id "
             "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING), 4) AS running "
             "FROM events"
+        ),
+        "lag_lead_events": (
+            "SELECT event_id, "
+            "lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+            "AS prev_value, "
+            "lead(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+            "AS next_value FROM events"
         ),
         "regex_replace_documents": (
             "SELECT doc_id, regexp_replace(text, '[aeiou]+', '_', 'g') AS redacted "

@@ -229,7 +229,8 @@ def run_bench() -> dict:
               "quality_documents", "topk_ngrams_documents",
               "vocab_per_lang_documents", "sort_orders",
               "repetition_documents", "shared_spans_documents",
-              "decontam_documents")
+              "decontam_documents", "curation_pipeline_documents",
+              "q3_shipping")
     )
     # best of 2: the first run pays one-off Ray dataset/actor-pool warmup
     # (~1 s) that every query in a long-lived session amortizes; the

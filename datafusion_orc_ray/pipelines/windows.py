@@ -282,3 +282,62 @@ def running_total(
     return ds.map_batches(tag, batch_format="pyarrow").groupby("__bucket").map_groups(
         bucket_cumsum, batch_format="pyarrow"
     )
+
+
+def lag_lead(
+    ds: ray.data.Dataset,
+    key_col: str,
+    ts_col: str,
+    val_col: str,
+    n: int = 1,
+    tiebreak: str | None = None,
+    lag_col: str = "lag",
+    lead_col: str = "lead",
+    n_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """lag(val, n) / lead(val, n) OVER (PARTITION BY key ORDER BY ts
+    [, tiebreak]): the same ONE key-hash co-location shuffle as
+    ``running_total``, then a vectorized per-bucket pass — sort, segment
+    boundaries, and an index-shift ``take`` whose out-of-segment indices
+    are null, so values of ANY Arrow type (floats, strings, timestamps)
+    shift without a cast. SQL semantics: the first/last n rows of each
+    partition get NULL."""
+    from ..util import cluster_cpus
+
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    if n_buckets is None:
+        n_buckets = max(16, 2 * cluster_cpus())
+
+    def tag(batch: pa.Table) -> pa.Table:
+        b = (_stable_hash64(batch.column(key_col)) % n_buckets).astype(np.int32)
+        return batch.append_column("__bucket", pa.array(b))
+
+    sort_keys = [(key_col, "ascending"), (ts_col, "ascending")] + (
+        [(tiebreak, "ascending")] if tiebreak else []
+    )
+
+    def bucket_shift(group: pa.Table) -> pa.Table:
+        g = group.drop_columns(["__bucket"]).sort_by(sort_keys)
+        vals = g.column(val_col)
+        if isinstance(vals, pa.ChunkedArray):
+            vals = vals.combine_chunks()
+        if g.num_rows == 0:
+            empty = pa.array([], vals.type)
+            return g.append_column(lag_col, empty).append_column(lead_col, empty)
+        keys = g.column(key_col).to_numpy(zero_copy_only=False)
+        new_key = np.concatenate([[True], keys[1:] != keys[:-1]])
+        seg = np.cumsum(new_key) - 1
+        idx = np.arange(g.num_rows, dtype=np.int64)
+
+        def shifted(offset: int) -> pa.Array:
+            src = idx + offset
+            ok = (src >= 0) & (src < g.num_rows)
+            ok &= seg[np.clip(src, 0, g.num_rows - 1)] == seg
+            return vals.take(pa.array(np.where(ok, src, 0), pa.int64(), mask=~ok))
+
+        return g.append_column(lag_col, shifted(-n)).append_column(lead_col, shifted(n))
+
+    return ds.map_batches(tag, batch_format="pyarrow").groupby("__bucket").map_groups(
+        bucket_shift, batch_format="pyarrow"
+    )

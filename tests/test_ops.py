@@ -876,3 +876,28 @@ def test_decontaminate_keeps_clean_rows_all_columns(ray_session):
     ).sort_by([("doc_id", "ascending")])
     assert got.column("doc_id").to_pylist() == [2, 3]
     assert got.column_names == ["doc_id", "lang", "text"]
+
+
+def test_lag_lead_segments_and_types(ray_session):
+    """lag/lead shift stays inside each partition (nulls at the edges),
+    works for non-numeric value types, and honors n>1."""
+    import ray.data
+
+    from datafusion_orc_ray.pipelines import windows as w
+
+    t = pa.table({
+        "u": pa.array([1, 1, 1, 2, 2], pa.int64()),
+        "ts": pa.array([10, 20, 30, 10, 20], pa.int64()),
+        "v": pa.array(["a", "b", "c", "x", "y"]),
+    })
+    out = rel.collect(
+        w.lag_lead(ray.data.from_arrow(t), "u", "ts", "v")
+    ).sort_by([("u", "ascending"), ("ts", "ascending")])
+    assert out.column("lag").to_pylist() == [None, "a", "b", None, "x"]
+    assert out.column("lead").to_pylist() == ["b", "c", None, "y", None]
+
+    out2 = rel.collect(
+        w.lag_lead(ray.data.from_arrow(t), "u", "ts", "v", n=2)
+    ).sort_by([("u", "ascending"), ("ts", "ascending")])
+    assert out2.column("lag").to_pylist() == [None, None, "a", None, None]
+    assert out2.column("lead").to_pylist() == ["c", None, None, None, None]
