@@ -318,6 +318,28 @@ def _lag_lead_events(sf_dir: str):
     return out.select(["event_id", "prev_value", "next_value"])
 
 
+def _moving_avg_events(sf_dir: str):
+    """Rolling mean over the last 4 rows per user (ROWS BETWEEN 3
+    PRECEDING AND CURRENT ROW) — prefix-difference frame sums after one
+    co-location shuffle."""
+    import pyarrow.compute as pc
+
+    from datafusion_orc_ray.pipelines import relational as rel, windows as w
+
+    out = rel.collect(
+        w.moving_avg(
+            _ds(sf_dir, "events", ["event_id", "user_id", "ts", "value"]),
+            "user_id", "ts", "value", preceding=3, tiebreak="event_id",
+        )
+    )
+    return pa.table(
+        {
+            "event_id": out.column("event_id"),
+            "moving_avg": pc.round(out.column("moving_avg"), 4),
+        }
+    )
+
+
 def _regex_replace_documents(sf_dir: str):
     """Vectorized regexp_replace (RE2 both sides)."""
     import pyarrow.compute as pc
@@ -1151,6 +1173,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zscore_events": _zscore_events,
         "running_total_events": _running_total_events,
         "lag_lead_events": _lag_lead_events,
+        "moving_avg_events": _moving_avg_events,
         "regex_replace_documents": _regex_replace_documents,
         "sliding_window_events": _sliding_window_events,
         "asof_join_events": _asof_join_events,
@@ -1686,6 +1709,11 @@ FROM documents d LEFT JOIN cnt c USING (doc_id) WHERE d.doc_id % 37 <> 0
             "SELECT event_id, round(sum(value) OVER (PARTITION BY user_id "
             "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING), 4) AS running "
             "FROM events"
+        ),
+        "moving_avg_events": (
+            "SELECT event_id, round(avg(value) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) "
+            "AS moving_avg FROM events"
         ),
         "lag_lead_events": (
             "SELECT event_id, "

@@ -341,3 +341,65 @@ def lag_lead(
     return ds.map_batches(tag, batch_format="pyarrow").groupby("__bucket").map_groups(
         bucket_shift, batch_format="pyarrow"
     )
+
+
+def moving_avg(
+    ds: ray.data.Dataset,
+    key_col: str,
+    ts_col: str,
+    val_col: str,
+    preceding: int,
+    tiebreak: str | None = None,
+    out_col: str = "moving_avg",
+    n_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """avg(val) OVER (PARTITION BY key ORDER BY ts [, tiebreak] ROWS
+    BETWEEN ``preceding`` PRECEDING AND CURRENT ROW): one key-hash
+    co-location shuffle, then a per-bucket vectorized pass — sort,
+    prefix sums, and each row's frame sum/count read as two prefix
+    differences clamped at its segment start. SQL NULL semantics: null
+    values contribute to neither sum nor count; an all-null frame yields
+    NULL."""
+    from ..util import cluster_cpus
+
+    if preceding < 0:
+        raise ValueError(f"preceding must be >= 0, got {preceding}")
+    if n_buckets is None:
+        n_buckets = max(16, 2 * cluster_cpus())
+
+    def tag(batch: pa.Table) -> pa.Table:
+        b = (_stable_hash64(batch.column(key_col)) % n_buckets).astype(np.int32)
+        return batch.append_column("__bucket", pa.array(b))
+
+    sort_keys = [(key_col, "ascending"), (ts_col, "ascending")] + (
+        [(tiebreak, "ascending")] if tiebreak else []
+    )
+
+    def bucket_moving(group: pa.Table) -> pa.Table:
+        g = group.drop_columns(["__bucket"]).sort_by(sort_keys)
+        if g.num_rows == 0:
+            return g.append_column(out_col, pa.array([], pa.float64()))
+        keys = g.column(key_col).to_numpy(zero_copy_only=False)
+        vals = g.column(val_col)
+        if isinstance(vals, pa.ChunkedArray):
+            vals = vals.combine_chunks()
+        valid = pc.is_valid(vals).to_numpy(zero_copy_only=False)
+        v = np.where(valid, vals.to_numpy(zero_copy_only=False), 0).astype(np.float64)
+        new_key = np.concatenate([[True], keys[1:] != keys[:-1]])
+        starts = np.flatnonzero(new_key)
+        seg = np.cumsum(new_key) - 1
+        idx = np.arange(g.num_rows, dtype=np.int64)
+        lo = np.maximum(starts[seg], idx - preceding)  # frame start (inclusive)
+        cs = np.concatenate([[0.0], np.cumsum(v)])
+        cn = np.concatenate([[0], np.cumsum(valid.astype(np.int64))])
+        s = cs[idx + 1] - cs[lo]
+        n = cn[idx + 1] - cn[lo]
+        with np.errstate(invalid="ignore", divide="ignore"):
+            avg = s / n
+        return g.append_column(
+            out_col, pa.array(avg, pa.float64(), mask=n == 0)
+        )
+
+    return ds.map_batches(tag, batch_format="pyarrow").groupby("__bucket").map_groups(
+        bucket_moving, batch_format="pyarrow"
+    )

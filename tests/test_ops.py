@@ -901,3 +901,22 @@ def test_lag_lead_segments_and_types(ray_session):
     ).sort_by([("u", "ascending"), ("ts", "ascending")])
     assert out2.column("lag").to_pylist() == [None, None, "a", None, None]
     assert out2.column("lead").to_pylist() == ["c", None, None, None, None]
+
+
+def test_moving_avg_null_frames_and_edges(ray_session):
+    """Frame clamps at each partition start; NULL values join neither
+    sum nor count; an all-null frame is NULL (SQL avg semantics)."""
+    import ray.data
+
+    from datafusion_orc_ray.pipelines import windows as w
+
+    t = pa.table({
+        "u": pa.array([1, 1, 1, 1, 2, 2], pa.int64()),
+        "ts": pa.array([1, 2, 3, 4, 1, 2], pa.int64()),
+        "v": pa.array([2.0, None, 4.0, 6.0, None, None]),
+    })
+    out = rel.collect(
+        w.moving_avg(ray.data.from_arrow(t), "u", "ts", "v", preceding=1)
+    ).sort_by([("u", "ascending"), ("ts", "ascending")])
+    # frames: [2], [2,N], [N,4], [4,6] | [N], [N,N]
+    assert out.column("moving_avg").to_pylist() == [2.0, 2.0, 4.0, 5.0, None, None]
