@@ -368,6 +368,30 @@ def _rank_in_lang_documents(sf_dir: str):
     )
 
 
+def _ntile_documents(sf_dir: str):
+    """percent_rank + ntile(4) per lang ordered by n_chars DESC — same
+    one co-location shuffle as row_number, extra columns are two numpy
+    expressions over the segment sizes."""
+    import pyarrow.compute as pc
+
+    from datafusion_orc_ray.pipelines import relational as rel
+
+    out = rel.collect(
+        rel.grouped_rank(
+            _ds(sf_dir, "documents", ["lang", "doc_id", "n_chars"]),
+            keys=["lang"], order_col="n_chars", tiebreak="doc_id",
+            percent=True, ntile=4,
+        )
+    )
+    return pa.table(
+        {
+            "doc_id": out.column("doc_id"),
+            "pct_rank": pc.round(out.column("pct_rank"), 6),
+            "tile": out.column("tile"),
+        }
+    )
+
+
 def _zscore_events(sf_dir: str):
     """Group-mean centering: value - avg(value) per event_type via the
     aggregate-then-broadcast-join-back pattern (no row shuffle)."""
@@ -1170,6 +1194,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_topk_documents": _grouped_topk_documents,
         "grouped_median_events": _grouped_median_events,
         "rank_in_lang_documents": _rank_in_lang_documents,
+        "ntile_documents": _ntile_documents,
         "zscore_events": _zscore_events,
         "running_total_events": _running_total_events,
         "lag_lead_events": _lag_lead_events,
@@ -1700,6 +1725,12 @@ FROM documents d LEFT JOIN cnt c USING (doc_id) WHERE d.doc_id % 37 <> 0
         "rank_in_lang_documents": (
             "SELECT lang, doc_id, n_chars, row_number() OVER "
             "(PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rn FROM documents"
+        ),
+        "ntile_documents": (
+            "SELECT doc_id, round(percent_rank() OVER "
+            "(PARTITION BY lang ORDER BY n_chars DESC, doc_id), 6) AS pct_rank, "
+            "ntile(4) OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS tile "
+            "FROM documents"
         ),
         "zscore_events": (
             "SELECT event_id, event_type, round(value - avg(value) OVER "

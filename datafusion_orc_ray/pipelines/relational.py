@@ -704,11 +704,16 @@ def grouped_rank(
     tiebreak: str | None = None,
     descending: bool = True,
     n_buckets: int | None = None,
+    percent: bool = False,
+    ntile: int | None = None,
 ) -> ray.data.Dataset:
     """row_number() OVER (PARTITION BY keys ORDER BY order_col [DESC],
     tiebreak): one key-hash bucket shuffle co-locates each group, then a
     vectorized per-bucket sort + group-rank. Returns the input columns
-    plus ``rn`` (1-based)."""
+    plus ``rn`` (1-based); ``percent=True`` adds ``pct_rank`` = (rn-1)/
+    (group_size-1) (0.0 for singleton groups, SQL percent_rank over a
+    unique ordering); ``ntile=n`` adds ``tile`` (1-based, earlier tiles
+    take the remainder rows — SQL ntile)."""
     from ..util import cluster_cpus
 
     if n_buckets is None:
@@ -729,8 +734,33 @@ def grouped_rank(
 
     def bucket_rank(group: pa.Table) -> pa.Table:
         g = group.drop_columns(["__bucket"]).sort_by(sort_keys)
-        rn = _rank_within_groups(g, keys) + 1
-        return g.append_column("rn", pa.array(rn, pa.int64()))
+        r0 = _rank_within_groups(g, keys)  # 0-based
+        g = g.append_column("rn", pa.array(r0 + 1, pa.int64()))
+        if not (percent or ntile):
+            return g
+        # per-row group size from segment boundaries
+        n = r0.size
+        starts = np.flatnonzero(r0 == 0)
+        seg = np.cumsum(r0 == 0) - 1
+        ends = np.append(starts[1:], n)
+        size = (ends - starts)[seg] if n else np.array([], np.int64)
+        if percent:
+            with np.errstate(invalid="ignore", divide="ignore"):
+                p = np.where(size > 1, r0 / np.maximum(size - 1, 1), 0.0)
+            g = g.append_column("pct_rank", pa.array(p, pa.float64()))
+        if ntile:
+            small = size // ntile
+            big = size % ntile  # first `big` tiles get small+1 rows
+            cut = big * (small + 1)
+            in_big = r0 < cut
+            with np.errstate(invalid="ignore", divide="ignore"):
+                tile = np.where(
+                    in_big,
+                    r0 // np.maximum(small + 1, 1),
+                    big + (r0 - cut) // np.maximum(small, 1),
+                )
+            g = g.append_column("tile", pa.array(tile + 1, pa.int64()))
+        return g
 
     return ds.map_batches(tag, batch_format="pyarrow").groupby("__bucket").map_groups(
         bucket_rank, batch_format="pyarrow"

@@ -920,3 +920,23 @@ def test_moving_avg_null_frames_and_edges(ray_session):
     ).sort_by([("u", "ascending"), ("ts", "ascending")])
     # frames: [2], [2,N], [N,4], [4,6] | [N], [N,N]
     assert out.column("moving_avg").to_pylist() == [2.0, 2.0, 4.0, 5.0, None, None]
+
+
+def test_grouped_rank_percent_and_ntile(ray_session):
+    """percent_rank is 0 for singleton groups; ntile gives earlier
+    tiles the remainder rows (SQL ntile: 5 rows / 3 tiles -> 2,2,1)."""
+    import ray.data
+
+    t = pa.table({
+        "k": pa.array(["a"] * 5 + ["b"], ),
+        "v": pa.array([50, 40, 30, 20, 10, 7], pa.int64()),
+        "id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+    })
+    out = rel.collect(
+        rel.grouped_rank(
+            ray.data.from_arrow(t), keys=["k"], order_col="v",
+            tiebreak="id", percent=True, ntile=3,
+        )
+    ).sort_by([("k", "ascending"), ("rn", "ascending")])
+    assert out.column("pct_rank").to_pylist() == [0.0, 0.25, 0.5, 0.75, 1.0, 0.0]
+    assert out.column("tile").to_pylist() == [1, 1, 2, 2, 3, 1]
