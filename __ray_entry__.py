@@ -1005,6 +1005,23 @@ def _stratified_sample(sf_dir: str):
     )
 
 
+def _boilerplate(sf_dir: str):
+    """CCNet-style boilerplate stripping: census of per-token document
+    frequency (vectorized explode + Arrow pair-dedup groupby, size-gated
+    reduce), broadcast hot set via ray.put, one streaming is_in +
+    bincount + binary_join reassembly pass. The synthetic docs carry no
+    newlines, so the query runs on the space delimiter (drop tokens in
+    >=100 distinct docs) — same machinery, non-trivial output; the
+    newline path is pytest-covered with planted multi-line docs."""
+    from datafusion_orc_ray.pipelines import corpus
+
+    return corpus.remove_boilerplate_lines(
+        _ds(sf_dir, "documents", ["doc_id", "text"]),
+        min_docs=100,
+        delimiter=" ",
+    )
+
+
 def _q5_revenue(sf_dir: str):
     """TPC-H-Q5-shaped star rollup: revenue per (region, nation) with
     the supplier->nation->region dim chain pre-joined LOCALLY (tiny) and
@@ -1217,6 +1234,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_topk_ngrams_documents": _approx_topk_ngrams,
         "vocab_per_lang_documents": _vocab_per_lang,
         "c4_filter_documents": _c4_filter,
+        "boilerplate_strip_documents": _boilerplate,
         "stratified_sample_documents": _stratified_sample,
         "q5_revenue_nation": _q5_revenue,
         "q3_shipping": _q3_shipping,
@@ -1609,6 +1627,21 @@ FROM documents d LEFT JOIN cnt c USING (doc_id) WHERE d.doc_id % 37 <> 0
             "AS mean_len FROM f WHERE n_tok >= 20) "
             "SELECT doc_id, lang, n_tok, round(mean_len, 4) AS mean_tok_len "
             "FROM g WHERE mean_len >= 4.0 AND mean_len <= 4.6"
+        ),
+        "boilerplate_strip_documents": (
+            # explode with ordinality (parallel unnests zip in DuckDB),
+            # hot = tokens in >=100 distinct docs, reassemble in order;
+            # docs whose every token is hot drop out (no group) — the
+            # Ray side filters per_doc > 0 identically
+            "WITH exploded AS (SELECT doc_id, "
+            "unnest(string_split(text, ' ')) AS line, "
+            "unnest(range(1, len(string_split(text, ' ')) + 1)) AS ord "
+            "FROM documents), "
+            "hot AS (SELECT line FROM exploded GROUP BY line "
+            "HAVING count(DISTINCT doc_id) >= 100) "
+            "SELECT e.doc_id, string_agg(e.line, ' ' ORDER BY e.ord) AS text "
+            "FROM exploded e WHERE e.line NOT IN (SELECT line FROM hot) "
+            "GROUP BY e.doc_id"
         ),
         "stratified_sample_documents": (
             # same multiplicative-hash coin both sides; HUGEINT avoids

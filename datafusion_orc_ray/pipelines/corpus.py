@@ -659,3 +659,91 @@ def approx_grouped_quantile(
         }
     )
     return out
+
+
+# ------------------------------------- boilerplate line removal (CCNet)
+
+
+def remove_boilerplate_lines(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    min_docs: int = 5,
+    delimiter: str = "\n",
+) -> ray.data.Dataset:
+    """CCNet/RefinedWeb-style boilerplate stripping: drop every line
+    (``delimiter``-separated; newline by default) that appears in
+    >= ``min_docs`` DISTINCT
+    documents, reassemble the survivors, and drop docs whose text
+    becomes empty (all lines boilerplate).
+
+    Two passes, both vectorized:
+
+    1. **Hot-line census.** Per batch: explode lines (`split_pattern` +
+       `list_flatten`), dedupe (line, doc) pairs with one Arrow groupby
+       (a doc is a single row, so per-batch pair dedup is globally
+       exact), emit per-line partial doc counts. Final reduce through
+       the size-gated `_tree_or_driver` — the distinct-line space is
+       bounded by content, not corpus size.
+    2. **Streaming strip.** The hot-line set ships once via `ray.put`
+       (broadcast, not per-batch capture). Per batch: one `pc.is_in`
+       over the flat line array, `np.bincount` over
+       `list_parent_indices` to rebuild per-doc offsets, `binary_join`
+       to reassemble — no Python rows.
+
+    Scale note: the broadcast hot set holds only lines crossing the
+    ``min_docs`` threshold. At web scale that set is the classic CCNet
+    shared-line table — millions of short strings, well inside a
+    worker heap; raise ``min_docs`` (it is a per-corpus knob) if a
+    pathological corpus explodes it. The census shuffle carries one
+    (line, count) row per distinct line per batch, never the corpus.
+    """
+
+    def _lines(batch_text: pa.ChunkedArray | pa.Array):
+        txt = pc.fill_null(batch_text, "")
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        return pc.split_pattern(txt, delimiter)
+
+    def census(batch: pa.Table) -> pa.Table:
+        lists = _lines(batch.column(text_col))
+        flat = pc.list_flatten(lists)
+        doc = pc.list_parent_indices(lists)
+        pairs = pa.TableGroupBy(
+            pa.table({"line": flat, "__doc": doc}), ["line", "__doc"]
+        ).aggregate([])
+        out = pa.TableGroupBy(pairs, ["line"]).aggregate([("__doc", "count")])
+        return out.rename_columns(["line", "n_docs"])
+
+    def combine(tbl: pa.Table) -> pa.Table:
+        out = pa.TableGroupBy(tbl, ["line"]).aggregate([("n_docs", "sum")])
+        return out.rename_columns(["line", "n_docs"])
+
+    counts = ds.map_batches(census, batch_format="pyarrow")
+    merged = _tree_or_driver(counts, combine, fanin=32)
+    hot = merged.filter(
+        pc.greater_equal(merged.column("n_docs"), min_docs)
+    ).column("line")
+    if isinstance(hot, pa.ChunkedArray):
+        hot = hot.combine_chunks()
+    hot_ref = ray.put(hot)
+
+    def strip(batch: pa.Table) -> pa.Table:
+        hot_lines = ray.get(hot_ref)
+        lists = _lines(batch.column(text_col))
+        flat = pc.list_flatten(lists)
+        parent = pc.list_parent_indices(lists)
+        keep = pc.invert(pc.is_in(flat, value_set=hot_lines))
+        kept_flat = flat.filter(keep)
+        kept_parent = parent.filter(keep).to_numpy(zero_copy_only=False)
+        n = batch.num_rows
+        per_doc = np.bincount(kept_parent, minlength=n)
+        offsets = np.concatenate([[0], np.cumsum(per_doc)])
+        new_lists = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int64()), kept_flat
+        )
+        new_text = pc.binary_join(new_lists, delimiter)
+        i = batch.schema.get_field_index(text_col)
+        out = batch.set_column(i, text_col, new_text)
+        return out.filter(pa.array(per_doc > 0))
+
+    return ds.map_batches(strip, batch_format="pyarrow")

@@ -331,3 +331,49 @@ def test_approx_grouped_quantile_rank_error(ray_session):
             grp = np.sort(vals[langs == lang])
             rank = np.searchsorted(grp, qv) / grp.size
             assert abs(rank - q) <= 2 / 128 + 1e-9, (lang, q, rank)
+
+
+def test_remove_boilerplate_lines_newline(ray_session):
+    """Planted multi-line docs: the shared footer/banner lines cross the
+    min_docs threshold and vanish; unique lines survive in order; a doc
+    made entirely of hot lines is dropped; null/blank texts are dropped
+    (their single '' line is hot across them)."""
+    docs, ids = [], []
+    for i in range(10):
+        lines = [f"unique {i}", "SHARED FOOTER", f"body {i}"]
+        if i % 2 == 0:
+            lines.insert(0, "COOKIE BANNER")
+        docs.append("\n".join(lines))
+        ids.append(i)
+    docs += ["COOKIE BANNER\nSHARED FOOTER", None, "", ""]
+    ids += [10, 11, 12, 13]
+    tbl = pa.table({"doc_id": pa.array(ids, pa.int64()), "text": docs})
+
+    out = rel.collect(
+        corpus.remove_boilerplate_lines(
+            ray.data.from_arrow(tbl).repartition(3), min_docs=3
+        )
+    ).sort_by("doc_id")
+    assert out.column("doc_id").to_pylist() == list(range(10))
+    assert out.column("text").to_pylist() == [
+        f"unique {i}\nbody {i}" for i in range(10)
+    ]
+
+
+def test_remove_boilerplate_counts_distinct_docs(ray_session):
+    """A line repeated many times INSIDE one doc counts once toward the
+    threshold (distinct-document frequency, not raw frequency)."""
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": ["spam\nspam\nspam\nspam\nkeep", "other"],
+        }
+    )
+    out = rel.collect(
+        corpus.remove_boilerplate_lines(ray.data.from_arrow(tbl), min_docs=2)
+    ).sort_by("doc_id")
+    # "spam" appears in only 1 distinct doc -> below threshold -> kept
+    assert out.column("text").to_pylist() == [
+        "spam\nspam\nspam\nspam\nkeep",
+        "other",
+    ]
