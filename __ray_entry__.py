@@ -555,6 +555,38 @@ def _query_vec(sf_dir: str) -> np.ndarray:
     return np.array(t.column("embedding")[idx].as_py(), dtype=np.float64)
 
 
+def _embedding_decontam(sf_dir: str):
+    """Embedding-space decontamination: every 50th vector plays the
+    held-out eval set (broadcast float64 matrix via ray.put); corpus
+    rows whose max cosine against it rounds to >= 0.2 are dropped.
+    One matmul per batch, zero shuffle — the 100-TB-side op is pure
+    streaming."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from datafusion_orc_ray.pipelines import similarity as sim
+
+    ref_tbl = pq.read_table(
+        _table_path(sf_dir, "embeddings"), columns=["vec_id", "embedding"]
+    )
+    mask = pc.equal(_np_mod(ref_tbl.column("vec_id"), 50), 0)
+    ref_tbl = ref_tbl.filter(mask)
+    flat = ref_tbl.column("embedding").combine_chunks().flatten()
+    ref = np.asarray(flat, dtype=np.float64).reshape(ref_tbl.num_rows, -1)
+    return sim.embedding_decontam(
+        _ds(sf_dir, "embeddings", ["vec_id", "embedding"]), ref, threshold=0.2
+    )
+
+
+def _np_mod(arr, k: int):
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+
+    if isinstance(arr, _pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    return _pa.array(arr.to_numpy(zero_copy_only=False) % k)
+
+
 def _unnest_embeddings(sf_dir: str):
     """Vectorized list explode (flat_map): one row per (vec_id, element).
     pc.list_parent_indices + list_flatten — no Python row loop."""
@@ -1229,6 +1261,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_documents": _quality,
         "bytes_meta_documents": _bytes_meta,
         "knn_embeddings": _knn,
+        "embedding_decontam_embeddings": _embedding_decontam,
         "unnest_embeddings": _unnest_embeddings,
         "topk_ngrams_documents": _topk_ngrams,
         "approx_topk_ngrams_documents": _approx_topk_ngrams,
@@ -1851,6 +1884,18 @@ FROM documents d LEFT JOIN cnt c USING (doc_id) WHERE d.doc_id % 37 <> 0
             "FROM embeddings "
             "ORDER BY list_cosine_similarity(embedding, "
             "(SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC, vec_id LIMIT 10"
+        ),
+        "embedding_decontam_embeddings": (
+            # both sides round the max cosine to 4 decimals BEFORE the
+            # threshold compare, so float64 (Ray) vs DuckDB double land
+            # on the same side; the eval refs themselves hit 1.0 and drop
+            "WITH ref AS (SELECT CAST(embedding AS DOUBLE[]) AS embedding "
+            "FROM embeddings WHERE vec_id % 50 = 0), "
+            "s AS (SELECT e.vec_id, "
+            "round(max(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
+            "r.embedding)), 4) "
+            "AS max_ref_sim FROM embeddings e CROSS JOIN ref r GROUP BY e.vec_id) "
+            "SELECT vec_id, max_ref_sim FROM s WHERE max_ref_sim < 0.2"
         ),
         "knn_embeddings": (
             "SELECT vec_id, round(list_cosine_similarity(embedding, "

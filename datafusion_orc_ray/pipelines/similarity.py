@@ -471,3 +471,45 @@ def embedding_near_dup_pairs_bruteforce(
 
     out = collect(ds.map_batches(batch_pairs, batch_format="pyarrow"))
     return out.sort_by([("id_a", "ascending"), ("id_b", "ascending")])
+
+
+def embedding_decontam(
+    ds: ray.data.Dataset,
+    ref_vectors: np.ndarray,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> ray.data.Dataset:
+    """Embedding-space decontamination (SemDeDup / eval-set-leakage
+    shape): drop every row whose max cosine similarity against a small
+    REFERENCE matrix (e.g. eval-set embeddings) reaches ``threshold``;
+    keep survivors with their max-ref similarity.
+
+    The reference matrix is normalized once on the driver and broadcast
+    via ``ray.put`` (read zero-copy by every task, never re-shipped per
+    batch); each batch is one float64 matmul (B x D) @ (D x R) + a row
+    max — no shuffle, fully streaming, so the corpus side scales to
+    100 TB while the reference side must fit a worker heap (eval sets
+    are thousands of rows; chunk the matmul over R if ever larger).
+
+    The keep/drop decision compares ``round(sim, 4) >= threshold`` so a
+    SQL oracle computing cosine in double precision lands on the same
+    side of the threshold (both sides round before comparing).
+    """
+    ref = _normalize(np.asarray(ref_vectors, dtype=np.float64))
+    ref_t = ray.put(np.ascontiguousarray(ref.T))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        rt = ray.get(ref_t)
+        m = _normalize(_batch_matrix(batch, vec_col))
+        max_sim = np.round((m @ rt).max(axis=1), 4)
+        keep = max_sim < threshold
+        out = pa.table(
+            {
+                id_col: batch.column(id_col),
+                "max_ref_sim": pa.array(max_sim, pa.float64()),
+            }
+        )
+        return out.filter(pa.array(keep))
+
+    return ds.map_batches(fn, batch_format="pyarrow")

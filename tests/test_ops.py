@@ -940,3 +940,25 @@ def test_grouped_rank_percent_and_ntile(ray_session):
     ).sort_by([("k", "ascending"), ("rn", "ascending")])
     assert out.column("pct_rank").to_pylist() == [0.0, 0.25, 0.5, 0.75, 1.0, 0.0]
     assert out.column("tile").to_pylist() == [1, 1, 2, 2, 3, 1]
+
+
+def test_embedding_decontam(vectors):
+    """Rows cosine-close to the broadcast reference set drop; the refs
+    themselves (sim 1.0 with themselves) drop; orthogonal rows keep
+    their max_ref_sim."""
+    ds, m = vectors
+    ref = m[[3, 20]].astype(np.float64)  # row 7 is collinear with row 3
+    out = rel.collect(sim.embedding_decontam(ds, ref, threshold=0.95)).sort_by(
+        "vec_id"
+    )
+    kept = set(out.column("vec_id").to_pylist())
+    assert 3 not in kept and 20 not in kept  # refs match themselves
+    assert 7 not in kept                     # collinear near-dup of ref 3
+    assert len(kept) == 97
+    # survivors' sims equal the brute-force max cosine, rounded
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    rn = ref / np.linalg.norm(ref, axis=1, keepdims=True)
+    truth = np.round((mn.astype(np.float64) @ rn.T).max(axis=1), 4)
+    got = dict(zip(out.column("vec_id").to_pylist(), out.column("max_ref_sim").to_pylist()))
+    for vid, s in got.items():
+        assert s == pytest.approx(truth[vid], abs=1e-9)
