@@ -66,6 +66,9 @@ def main(argv: list[str] | None = None) -> int:
     st = sub.add_parser("stats", parents=[common])
     st.add_argument("--stripes", required=True)
 
+    va = sub.add_parser("validate", parents=[common])
+    va.add_argument("--stripes", required=True)
+
     lk = sub.add_parser("lookup", parents=[common])
     lk.add_argument("--stripes", required=True)
     lk.add_argument("--col", required=True)
@@ -110,6 +113,26 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "compact":
         n = ep.compact_stripes(args.stripes, target_bytes=args.target_mb << 20)
         print(json.dumps({"merged_stripes": n}))
+    elif args.cmd == "validate":
+        import pyarrow.compute as pc
+
+        from .pipelines.relational import collect
+        from .sources.stripes import validate_stripes
+
+        t = collect(validate_stripes(args.stripes))
+        bad = t.filter(pc.invert(t.column("ok")))
+        print(json.dumps({
+            "n_stripes": t.num_rows,
+            "n_streams_checked": int(pc.sum(t.column("n_checked")).as_py() or 0),
+            "n_bad": bad.num_rows,
+            "bad": [
+                {"path": p, "why": w}
+                for p, w in zip(
+                    bad.column("path").to_pylist(), bad.column("bad").to_pylist()
+                )
+            ][:50],
+        }))
+        return 0 if bad.num_rows == 0 else 3
     elif args.cmd == "lookup":
         import pyarrow as pa
 

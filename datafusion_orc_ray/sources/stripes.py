@@ -299,3 +299,62 @@ def _stats_may_match(entry: dict, predicate: tuple[str, str, object]) -> bool:
         if c["path"] == col:
             return stripe_mod.stats_may_match(c.get("stats", {}), op, val)
     return True  # unknown column/stats -> cannot prune
+
+
+def validate_stripes(out_dir: str, concurrency: int | None = None) -> ray.data.Dataset:
+    """Distributed integrity audit ("fsck for the corpus"): one Ray task
+    per stripe recomputes every stream's CRC-32 against the footer
+    records (stripe.validate_blob) and cross-checks the manifest's row
+    count against the footer's. Returns a Dataset of
+    (path, ok, n_streams, n_checked, n_rows, bad) — filter ``ok ==
+    False`` to get the re-encode worklist. Pure map over the manifest
+    list: no shuffle, cost is one sequential read + crc pass per stripe,
+    so auditing 100 TB is IO-bound and embarrassingly parallel."""
+    import pyarrow as pa
+
+    from .. import stripe as stripe_mod
+
+    entries = [
+        {"path": e["path"], "n_rows": int(e.get("n_rows", -1))}
+        for e in sorted(manifest.load_manifest(out_dir), key=lambda e: e["path"])
+    ]
+    if not entries:
+        raise FileNotFoundError(f"no manifest entries under {out_dir}")
+
+    def audit(batch: pa.Table) -> pa.Table:
+        paths = batch.column("path").to_pylist()
+        want_rows = batch.column("n_rows").to_pylist()
+        oks, n_streams, n_checked, n_rows, bads = [], [], [], [], []
+        for p, wr in zip(paths, want_rows):
+            r = stripe_mod.validate_file(p)
+            rows = -1
+            if r["ok"]:
+                try:
+                    rows = int(stripe_mod.read_footer_from_file(p)["n_rows"])
+                except (ValueError, OSError) as exc:
+                    r = {**r, "ok": False, "bad": r["bad"] + [f"footer: {exc}"]}
+                if rows != wr and wr >= 0 and rows >= 0:
+                    r = {
+                        **r,
+                        "ok": False,
+                        "bad": r["bad"] + [f"rows: manifest {wr} != footer {rows}"],
+                    }
+            oks.append(r["ok"])
+            n_streams.append(r["n_streams"])
+            n_checked.append(r["n_checked"])
+            n_rows.append(rows)
+            bads.append("; ".join(r["bad"]))
+        return pa.table(
+            {
+                "path": pa.array(paths, pa.string()),
+                "ok": pa.array(oks, pa.bool_()),
+                "n_streams": pa.array(n_streams, pa.int64()),
+                "n_checked": pa.array(n_checked, pa.int64()),
+                "n_rows": pa.array(n_rows, pa.int64()),
+                "bad": pa.array(bads, pa.string()),
+            }
+        )
+
+    return ray.data.from_items(entries).map_batches(
+        audit, batch_format="pyarrow", concurrency=concurrency
+    )

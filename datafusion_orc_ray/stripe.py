@@ -25,6 +25,7 @@ from __future__ import annotations
 import base64
 import json
 import struct
+import zlib
 
 import numpy as np
 import pyarrow as pa
@@ -618,6 +619,10 @@ def encode_table(
                 smeta["size"] = framed_len
                 smeta["pre_outer_size"] = len(memoryview(payload).cast("B"))
                 smeta["outer"] = outer.outer_name(framed_parts[0][0])
+                crc = 0
+                for p in framed_parts:
+                    crc = zlib.crc32(p, crc)
+                smeta["crc32"] = crc
                 parts.extend(framed_parts)
                 pos += framed_len
             columns_meta.append(cmeta)
@@ -653,6 +658,58 @@ def read_footer(blob: bytes) -> dict:
             f"stripe format {footer.get('format')!r} != {FORMAT!r} — stale blob; re-encode"
         )
     return footer
+
+
+def _walk_stream_metas(cmeta: dict):
+    """Yield (column_path, stream_kind, stream_meta) depth-first,
+    including nested children's streams."""
+    for kind, s in cmeta.get("streams", {}).items():
+        yield cmeta.get("path", "?"), kind, s
+    for child in cmeta.get("children", []):
+        yield from _walk_stream_metas(child)
+
+
+def validate_blob(blob: bytes) -> dict:
+    """Integrity audit of one stripe blob: magic framing, footer parse,
+    and the per-stream CRC-32 recorded at encode time (``crc32`` in each
+    stream meta) recomputed over the stored framed bytes. Returns
+    ``{"ok", "n_streams", "n_checked", "bad"}`` where ``bad`` lists
+    ``column/stream`` names that fail. Streams written before checksums
+    existed are counted in ``n_streams`` but not ``n_checked`` — absence
+    of a CRC is not corruption. Never decompresses or decodes, so the
+    audit cost is one crc32 pass over the file bytes (~GB/s/core)."""
+    n_streams = n_checked = 0
+    bad: list[str] = []
+    try:
+        footer = read_footer(blob)
+    except (ValueError, json.JSONDecodeError) as exc:
+        return {"ok": False, "n_streams": 0, "n_checked": 0, "bad": [f"footer: {exc}"]}
+    groups = footer.get("chunks") or [{"columns": footer["columns"]}]
+    for ci, ch in enumerate(groups):
+        for cmeta in ch["columns"]:
+            for cpath, kind, s in _walk_stream_metas(cmeta):
+                n_streams += 1
+                want = s.get("crc32")
+                if want is None or "offset" not in s:
+                    continue
+                n_checked += 1
+                raw = blob[s["offset"] : s["offset"] + s["size"]]
+                if len(raw) != s["size"] or zlib.crc32(raw) != want:
+                    bad.append(f"chunk{ci}/{cpath}/{kind}")
+    return {"ok": not bad, "n_streams": n_streams, "n_checked": n_checked, "bad": bad}
+
+
+def validate_file(path: str) -> dict:
+    """``validate_blob`` over a local path or pyarrow.fs URI. One full
+    sequential read (an audit touches every byte by definition) — no
+    per-stream GETs."""
+    from . import io as dio
+
+    try:
+        blob = dio.read_bytes(path)
+    except OSError as exc:
+        return {"ok": False, "n_streams": 0, "n_checked": 0, "bad": [f"read: {exc}"]}
+    return validate_blob(blob)
 
 
 def read_footer_from_file(path: str, tail_guess: int = 1 << 20) -> dict:

@@ -323,3 +323,32 @@ def test_clustering_gain_on_per_key_vocabulary():
     mixed = total_encoded(t)
     clustered = total_encoded(t.sort_by([("lang", "ascending"), ("tag", "ascending")]))
     assert clustered < 0.9 * mixed  # >=10% gain from homogeneous stripes
+
+
+def test_validate_stripes_audit(corpus):
+    """Distributed corpus fsck: all-green on a fresh encode; after one
+    byte flip in one stripe, exactly that stripe is flagged with the
+    offending stream named, and the CLI exits 3."""
+    from datafusion_orc_ray import job
+    from datafusion_orc_ray.sources.stripes import validate_stripes
+
+    base, _ = corpus
+    out = f"{base}/enc_audit"
+    ep.encode_parquet(f"{base}/in", out, concurrency=2).take_all()
+    t = collect(validate_stripes(out))
+    assert t.column("ok").to_pylist() == [True] * t.num_rows
+    assert all(c > 0 for c in t.column("n_checked").to_pylist())
+    assert job.main(["validate", "--stripes", out]) == 0
+
+    victim = sorted(t.column("path").to_pylist())[0]
+    blob = bytearray(open(victim, "rb").read())
+    blob[len(blob) // 2] ^= 0xFF
+    open(victim, "wb").write(bytes(blob))
+    t2 = collect(validate_stripes(out)).sort_by("path")
+    flagged = {
+        p: ok
+        for p, ok in zip(t2.column("path").to_pylist(), t2.column("ok").to_pylist())
+    }
+    assert flagged[victim] is False
+    assert sum(1 for ok in flagged.values() if not ok) == 1
+    assert job.main(["validate", "--stripes", out]) == 3
