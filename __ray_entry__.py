@@ -1026,6 +1026,39 @@ def _c4_filter(sf_dir: str):
 
 _SAMPLE_RATES = {"en": 0.5, "de": 0.25, "fr": 0.25, "es": 0.1, "zh": 0.1}
 
+_MIX_WEIGHTS = {"src0": 2.5, "src1": 0.5, "src2": 0.0, "src3": 1.25}
+
+
+def _mixture_resample(sf_dir: str):
+    """Pre-training mixture weighting: per-source epoch factors (repeat
+    floor(w) times + deterministic-hash coin for frac(w)); same replicas
+    on every run / partitioning. One streaming expansion pass."""
+    from datafusion_orc_ray.pipelines import corpus
+
+    return corpus.mixture_resample(
+        _ds(sf_dir, "documents", ["doc_id", "source"]), _MIX_WEIGHTS
+    )
+
+
+def _mixture_oracle_sql() -> str:
+    floor_case = " ".join(
+        f"WHEN '{s}' THEN {int(w)}" for s, w in _MIX_WEIGHTS.items()
+    )
+    frac_case = " ".join(
+        f"WHEN '{s}' THEN {min(1 << 32, int((w - int(w)) * (1 << 32)))}"
+        for s, w in _MIX_WEIGHTS.items()
+    )
+    max_n = max(int(w) + 1 for w in _MIX_WEIGHTS.values())
+    return (
+        "WITH w AS (SELECT doc_id, source, "
+        f"(CASE source {floor_case} ELSE 1 END) + "
+        "(CASE WHEN (CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296 < "
+        f"(CASE source {frac_case} ELSE 0 END) THEN 1 ELSE 0 END) AS n "
+        "FROM documents) "
+        f"SELECT doc_id, source, s.r AS replica FROM w "
+        f"CROSS JOIN generate_series(0, {max_n - 1}) s(r) WHERE s.r < n"
+    )
+
 
 def _stratified_sample(sf_dir: str):
     """Deterministic multiplicative-hash stratified sample: same rows
@@ -1269,6 +1302,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "c4_filter_documents": _c4_filter,
         "boilerplate_strip_documents": _boilerplate,
         "stratified_sample_documents": _stratified_sample,
+        "mixture_resample_documents": _mixture_resample,
         "q5_revenue_nation": _q5_revenue,
         "q3_shipping": _q3_shipping,
         "normalize_documents": _normalize_documents,
@@ -1676,6 +1710,7 @@ FROM documents d LEFT JOIN cnt c USING (doc_id) WHERE d.doc_id % 37 <> 0
             "FROM exploded e WHERE e.line NOT IN (SELECT line FROM hot) "
             "GROUP BY e.doc_id"
         ),
+        "mixture_resample_documents": _mixture_oracle_sql(),
         "stratified_sample_documents": (
             # same multiplicative-hash coin both sides; HUGEINT avoids
             # BIGINT overflow for large doc_ids (numpy side wraps uint64,

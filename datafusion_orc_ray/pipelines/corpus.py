@@ -747,3 +747,56 @@ def remove_boilerplate_lines(
         return out.filter(pa.array(per_doc > 0))
 
     return ds.map_batches(strip, batch_format="pyarrow")
+
+
+# -------------------------------------- mixture resampling (source epochs)
+
+
+def mixture_resample(
+    ds: ray.data.Dataset,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    default_weight: float = 1.0,
+) -> ray.data.Dataset:
+    """Dolma/Pile-style mixture weighting: emit each document
+    ``floor(w)`` times plus one more with probability ``frac(w)``, where
+    ``w = weights[source]`` (sources absent from the map use
+    ``default_weight``). Upweighting (w > 1) repeats documents — the
+    "epochs per source" knob of a pre-training mixture; downweighting
+    (w < 1) subsamples. The fractional coin is the same deterministic
+    multiplicative hash as ``stratified_sample``, so the SAME replicas
+    come out on every run / cluster size / partitioning (resumable) and
+    the decision is SQL-expressible. Output adds a ``replica`` column
+    (0-based copy index).
+
+    One streaming map_batches: weight lookup via ``pc.index_in``,
+    row expansion via one ``np.repeat``-built take-index — no shuffle,
+    no Python rows, output size = sum(n_i) exactly.
+    """
+    srcs = list(weights)
+    if any(weights[s] < 0 for s in srcs) or default_weight < 0:
+        raise ValueError("mixture weights must be >= 0")
+    src_arr = pa.array(srcs, pa.string())
+    floors = pa.array([int(weights[s]) for s in srcs], pa.int64())
+    fracs = pa.array(
+        [min(_MOD, int((weights[s] - int(weights[s])) * _MOD)) for s in srcs],
+        pa.int64(),
+    )
+    d_floor = int(default_weight)
+    d_frac = min(_MOD, int((default_weight - d_floor) * _MOD))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        pos = pc.index_in(batch.column(source_col), value_set=src_arr)
+        base = pc.fill_null(floors.take(pos), d_floor).to_numpy(zero_copy_only=False)
+        thr = pc.fill_null(fracs.take(pos), d_frac).to_numpy(zero_copy_only=False)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.uint64)
+        coin = (ids * np.uint64(_KNUTH)) % np.uint64(_MOD)
+        n = base + (coin < thr.astype(np.uint64))
+        take = np.repeat(np.arange(batch.num_rows), n)
+        starts = np.concatenate([[0], np.cumsum(n)])[:-1]
+        replica = np.arange(int(n.sum())) - np.repeat(starts, n)
+        out = batch.take(pa.array(take, pa.int64()))
+        return out.append_column("replica", pa.array(replica, pa.int64()))
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -377,3 +377,50 @@ def test_remove_boilerplate_counts_distinct_docs(ray_session):
         "spam\nspam\nspam\nspam\nkeep",
         "other",
     ]
+
+
+def test_mixture_resample(ray_session):
+    """floor(w) repeats + deterministic fractional coin; w=0 drops the
+    source; replica indexes are 0..n-1 per doc; unknown sources use the
+    default weight; expansion is partitioning-invariant."""
+    n = 4000
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "source": pa.array(
+                ["a", "b", "zero", "other"][0:4] * (n // 4), pa.string()
+            ),
+        }
+    )
+    w = {"a": 2.5, "b": 0.5, "zero": 0.0}
+    out = rel.collect(
+        corpus.mixture_resample(ray.data.from_arrow(tbl).repartition(5), w)
+    ).sort_by([("doc_id", "ascending"), ("replica", "ascending")])
+
+    import collections
+
+    per_doc = collections.Counter(out.column("doc_id").to_pylist())
+    srcs = dict(zip(tbl.column("doc_id").to_pylist(), tbl.column("source").to_pylist()))
+    for d, c in per_doc.items():
+        s = srcs[d]
+        if s == "a":
+            assert c in (2, 3)
+        elif s == "b":
+            assert c == 1
+        elif s == "other":
+            assert c == 1  # default weight 1.0, frac 0
+    assert not any(srcs[d] == "zero" for d in per_doc)  # w=0 -> dropped
+    # fractional part realized at ~the expected rate
+    a_counts = [per_doc[d] for d in per_doc if srcs[d] == "a"]
+    frac3 = sum(1 for c in a_counts if c == 3) / len(a_counts)
+    assert 0.4 < frac3 < 0.6
+    # replica indices are contiguous from 0
+    got = {}
+    for d, r in zip(out.column("doc_id").to_pylist(), out.column("replica").to_pylist()):
+        got.setdefault(d, []).append(r)
+    assert all(rs == list(range(len(rs))) for rs in got.values())
+    # determinism across a different partitioning
+    out2 = rel.collect(
+        corpus.mixture_resample(ray.data.from_arrow(tbl).repartition(2), w)
+    ).sort_by([("doc_id", "ascending"), ("replica", "ascending")])
+    assert out.equals(out2)
