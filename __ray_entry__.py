@@ -1070,6 +1070,16 @@ def _stratified_sample(sf_dir: str):
     )
 
 
+def _tfidf_terms(sf_dir: str):
+    """Top-5 distinctive terms per language by TF-IDF (one exploded
+    pass, vocabulary-sized partials, size-gated reduce)."""
+    from datafusion_orc_ray.pipelines import corpus
+
+    return corpus.tfidf_top_terms(
+        _ds(sf_dir, "documents", ["doc_id", "lang", "text"]), k=5
+    )
+
+
 def _boilerplate(sf_dir: str):
     """CCNet-style boilerplate stripping: census of per-token document
     frequency (vectorized explode + Arrow pair-dedup groupby, size-gated
@@ -1301,6 +1311,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_per_lang_documents": _vocab_per_lang,
         "c4_filter_documents": _c4_filter,
         "boilerplate_strip_documents": _boilerplate,
+        "tfidf_terms_documents": _tfidf_terms,
         "stratified_sample_documents": _stratified_sample,
         "mixture_resample_documents": _mixture_resample,
         "q5_revenue_nation": _q5_revenue,
@@ -1694,6 +1705,23 @@ FROM documents d LEFT JOIN cnt c USING (doc_id) WHERE d.doc_id % 37 <> 0
             "AS mean_len FROM f WHERE n_tok >= 20) "
             "SELECT doc_id, lang, n_tok, round(mean_len, 4) AS mean_tok_len "
             "FROM g WHERE mean_len >= 4.0 AND mean_len <= 4.6"
+        ),
+        "tfidf_terms_documents": (
+            # same whitespace tokenization as the Ray side (empty tokens
+            # dropped); score rounded to 4 decimals BEFORE ranking so
+            # both sides rank identically; ties break on term ASC
+            "WITH toks AS (SELECT doc_id, lang, "
+            "unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) "
+            "AS term FROM documents), "
+            "tf AS (SELECT lang, term, count(*) AS tf FROM toks GROUP BY lang, term), "
+            "df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term), "
+            "n AS (SELECT count(*) AS n FROM documents), "
+            "s AS (SELECT lang, tf.term, "
+            "round(tf * ln(CAST(n.n AS DOUBLE) / df.df), 4) AS score "
+            "FROM tf JOIN df ON tf.term = df.term CROSS JOIN n) "
+            "SELECT lang, term, score FROM "
+            "(SELECT *, row_number() OVER (PARTITION BY lang "
+            "ORDER BY score DESC, term) AS rn FROM s) WHERE rn <= 5"
         ),
         "boilerplate_strip_documents": (
             # explode with ordinality (parallel unnests zip in DuckDB),

@@ -800,3 +800,89 @@ def mixture_resample(
         return out.append_column("replica", pa.array(replica, pa.int64()))
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# ---------------------------------------------- TF-IDF distinctive terms
+
+
+def tfidf_top_terms(
+    ds: ray.data.Dataset,
+    k: int = 5,
+    lang_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> pa.Table:
+    """Top-``k`` distinctive terms per language by TF-IDF:
+    ``score = tf(lang, term) * ln(N_docs / df(term))`` with whitespace
+    terms, ranked by (round(score, 4) DESC, term ASC).
+
+    One pass over the corpus: per batch, explode tokens (vectorized),
+    one Arrow groupby yields BOTH partials — term frequency per
+    (lang, term) and distinct-doc count per (lang, term) (each doc has
+    exactly one lang, so per-term df is the sum of its per-lang df —
+    no second corpus pass). Partials are (lang, term) rows, bounded by
+    vocabulary x langs per batch, through the size-gated reduce; the
+    final scoring table is vocabulary-sized, not corpus-sized. Scores
+    are rounded to 4 decimals BEFORE ranking so a double-precision SQL
+    oracle ranks identically."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col)
+        flat, offs = tk.token_strings(texts)
+        counts = np.diff(offs)
+        doc_idx = np.repeat(np.arange(len(counts)), counts)
+        langs = batch.column(lang_col)
+        if isinstance(langs, pa.ChunkedArray):
+            langs = langs.combine_chunks()
+        ids = batch.column(id_col)
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        t = pa.table(
+            {
+                "lang": langs.take(pa.array(doc_idx, pa.int64())),
+                "term": flat,
+                "__doc": ids.take(pa.array(doc_idx, pa.int64())),
+            }
+        )
+        # tf + within-batch distinct docs in one grouped pass each; the
+        # (lang, term, doc) dedup is globally exact (a doc is one row)
+        tf = pa.TableGroupBy(t, ["lang", "term"]).aggregate([("__doc", "count")])
+        dd = pa.TableGroupBy(t, ["lang", "term", "__doc"]).aggregate([])
+        df = pa.TableGroupBy(dd, ["lang", "term"]).aggregate([("__doc", "count")])
+        out = tf.rename_columns(["lang", "term", "tf"]).join(
+            df.rename_columns(["lang", "term", "df"]), keys=["lang", "term"]
+        )
+        return out
+
+    def combine(tbl: pa.Table) -> pa.Table:
+        out = pa.TableGroupBy(tbl, ["lang", "term"]).aggregate(
+            [("tf", "sum"), ("df", "sum")]
+        )
+        return out.rename_columns(["lang", "term", "tf", "df"])
+
+    n_docs = ds.count()
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    merged = _tree_or_driver(partials, combine, fanin=32)
+
+    # per-term df across langs (vocabulary-sized — driver math from here)
+    df_tot = pa.TableGroupBy(merged, ["term"]).aggregate([("df", "sum")])
+    df_tot = df_tot.rename_columns(["term", "df_total"])
+    scored = merged.join(df_tot, keys=["term"])
+    tf = scored.column("tf").to_numpy(zero_copy_only=False).astype(np.float64)
+    dfv = scored.column("df_total").to_numpy(zero_copy_only=False).astype(np.float64)
+    score = np.round(tf * np.log(float(n_docs) / dfv), 4)
+    scored = pa.table(
+        {
+            "lang": scored.column("lang"),
+            "term": scored.column("term"),
+            "score": pa.array(score, pa.float64()),
+        }
+    ).sort_by(
+        [("lang", "ascending"), ("score", "descending"), ("term", "ascending")]
+    )
+    langs = scored.column("lang").to_numpy(zero_copy_only=False)
+    new_lang = np.concatenate([[True], langs[1:] != langs[:-1]])
+    seg = np.cumsum(new_lang) - 1
+    starts = np.flatnonzero(new_lang)
+    rank = np.arange(len(langs)) - starts[seg]
+    return scored.filter(pa.array(rank < k))

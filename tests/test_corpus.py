@@ -424,3 +424,42 @@ def test_mixture_resample(ray_session):
         corpus.mixture_resample(ray.data.from_arrow(tbl).repartition(2), w)
     ).sort_by([("doc_id", "ascending"), ("replica", "ascending")])
     assert out.equals(out2)
+
+
+def test_tfidf_top_terms(ray_session):
+    """A term concentrated in one lang outranks corpus-wide terms there;
+    ubiquitous terms score ln(N/N)=0; ranking is deterministic on ties."""
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(6), pa.int64()),
+            "lang": ["en", "en", "en", "de", "de", "de"],
+            "text": [
+                "shared kitten kitten",
+                "shared kitten",
+                "shared",
+                "shared hund",
+                "shared hund",
+                "shared",
+            ],
+        }
+    )
+    out = corpus.tfidf_top_terms(
+        ray.data.from_arrow(tbl).repartition(3), k=2
+    )
+    rows = list(
+        zip(
+            out.column("lang").to_pylist(),
+            out.column("term").to_pylist(),
+            out.column("score").to_pylist(),
+        )
+    )
+    en = [r for r in rows if r[0] == "en"]
+    de = [r for r in rows if r[0] == "de"]
+    assert en[0][1] == "kitten" and en[0][2] == pytest.approx(
+        3 * np.log(6 / 2), abs=1e-4
+    )
+    assert de[0][1] == "hund" and de[0][2] == pytest.approx(
+        2 * np.log(6 / 2), abs=1e-4
+    )
+    # "shared" is in every doc -> idf 0 -> score 0, still rank 2
+    assert en[1][1] == "shared" and en[1][2] == 0.0
