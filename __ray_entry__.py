@@ -1070,6 +1070,24 @@ def _stratified_sample(sf_dir: str):
     )
 
 
+def _bpe_tokenize(sf_dir: str):
+    """Train a real BPE tokenizer on the corpus (distributed word
+    counts -> driver merge learning on the vocabulary table, Sennrich
+    2016) and apply it corpus-wide (actor pool, per-distinct-word memo,
+    numpy gather assembly). Genuinely non-SQL (iterative merge
+    learning), so no oracle — correctness is pinned by pytest
+    (hand-computed merges, reconstruction property, partitioning
+    determinism)."""
+    from datafusion_orc_ray.pipelines import bpe
+
+    ds = _ds(sf_dir, "documents", ["doc_id", "text"])
+    model = bpe.train_bpe(ds, n_merges=100)
+    out = bpe.tokenize(ds, model)
+    return out.map_batches(
+        lambda b: b.select(["doc_id", "n_bpe"]), batch_format="pyarrow"
+    )
+
+
 def _tfidf_terms(sf_dir: str):
     """Top-5 distinctive terms per language by TF-IDF (one exploded
     pass, vocabulary-sized partials, size-gated reduce)."""
@@ -1312,6 +1330,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "c4_filter_documents": _c4_filter,
         "boilerplate_strip_documents": _boilerplate,
         "tfidf_terms_documents": _tfidf_terms,
+        "bpe_tokenize_documents": _bpe_tokenize,
         "stratified_sample_documents": _stratified_sample,
         "mixture_resample_documents": _mixture_resample,
         "q5_revenue_nation": _q5_revenue,
