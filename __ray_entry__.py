@@ -1088,6 +1088,54 @@ def _bpe_tokenize(sf_dir: str):
     )
 
 
+def _moments_lineitem(sf_dir: str):
+    """Grouped stddev/variance/covariance/correlation via raw-moment
+    partials (one row per key per batch into the reduce)."""
+    from datafusion_orc_ray.pipelines import relational as rel
+
+    ds = _ds(sf_dir, "lineitem", ["l_returnflag", "l_quantity", "l_extendedprice"])
+    return rel.grouped_moments(ds, ["l_returnflag"], "l_quantity", "l_extendedprice")
+
+
+def _argmax_orders(sf_dir: str):
+    """max_by with deterministic ties: per customer, the max order price
+    and the smallest orderkey achieving it."""
+    from datafusion_orc_ray.pipelines import relational as rel
+
+    ds = _ds(sf_dir, "orders", ["o_custkey", "o_totalprice", "o_orderkey"])
+    return rel.grouped_argbest(ds, ["o_custkey"], "o_totalprice", "o_orderkey")
+
+
+def _intersect_nations(sf_dir: str):
+    """SQL INTERSECT: nation keys present among BOTH customers and
+    suppliers (distinct both sides -> semi join on packed key)."""
+    from datafusion_orc_ray.pipelines import relational as rel
+
+    return rel.intersect_distinct(
+        _ds(sf_dir, "customer", ["c_nationkey"]),
+        _ds(sf_dir, "supplier", ["s_nationkey"]),
+        ["c_nationkey"],
+        ["s_nationkey"],
+    )
+
+
+def _except_custkeys(sf_dir: str):
+    """SQL EXCEPT: customers that placed no order (distinct left anti
+    right)."""
+    from datafusion_orc_ray.pipelines import relational as rel
+
+    # collect(): set-op outputs are distinct-bounded; an empty Dataset
+    # loses its schema through to_pandas, an Arrow table does not
+    return rel.collect(
+        rel.except_distinct(
+            _ds(sf_dir, "customer", ["c_custkey"]),
+            _ds(sf_dir, "orders", ["o_custkey"]),
+            ["c_custkey"],
+            ["o_custkey"],
+        )
+    )
+
+
 def _tfidf_terms(sf_dir: str):
     """Top-5 distinctive terms per language by TF-IDF (one exploded
     pass, vocabulary-sized partials, size-gated reduce)."""
@@ -1331,6 +1379,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boilerplate_strip_documents": _boilerplate,
         "tfidf_terms_documents": _tfidf_terms,
         "bpe_tokenize_documents": _bpe_tokenize,
+        "moments_lineitem": _moments_lineitem,
+        "argmax_orders": _argmax_orders,
+        "intersect_nations": _intersect_nations,
+        "except_custkeys": _except_custkeys,
         "stratified_sample_documents": _stratified_sample,
         "mixture_resample_documents": _mixture_resample,
         "q5_revenue_nation": _q5_revenue,
@@ -1812,6 +1864,31 @@ FROM documents d LEFT JOIN cnt c USING (doc_id) WHERE d.doc_id % 37 <> 0
             f"WHERE value >= {_HIST_LO!r} AND value < {_HIST_HI!r} GROUP BY 1"
         ),
         "sort_orders": "SELECT o_orderkey, o_totalprice FROM orders",
+        "moments_lineitem": (
+            "SELECT l_returnflag, count(l_quantity) AS n, "
+            "round(avg(l_quantity), 4) AS mean_x, "
+            "round(var_samp(l_quantity), 4) AS var_x, "
+            "round(stddev_samp(l_quantity), 4) AS std_x, "
+            "round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_xy, "
+            "round(corr(l_quantity, l_extendedprice), 4) AS corr_xy "
+            "FROM lineitem GROUP BY l_returnflag"
+        ),
+        "argmax_orders": (
+            "WITH m AS (SELECT o_custkey, max(o_totalprice) AS mv "
+            "FROM orders GROUP BY o_custkey) "
+            "SELECT m.o_custkey, m.mv AS o_totalprice, "
+            "min(o.o_orderkey) AS o_orderkey "
+            "FROM orders o JOIN m ON o.o_custkey = m.o_custkey "
+            "AND o.o_totalprice = m.mv GROUP BY m.o_custkey, m.mv"
+        ),
+        "intersect_nations": (
+            "SELECT c_nationkey FROM customer "
+            "INTERSECT SELECT s_nationkey FROM supplier"
+        ),
+        "except_custkeys": (
+            "SELECT c_custkey FROM customer "
+            "EXCEPT SELECT o_custkey FROM orders"
+        ),
         "roundtrip_documents": "SELECT * FROM documents",
         "roundtrip_lineitem": "SELECT * FROM lineitem",
         "roundtrip_events": "SELECT * FROM events",

@@ -811,3 +811,222 @@ def group_mean_center(
         )
 
     return ds.map_batches(center, batch_format="pyarrow")
+
+
+# ---- statistical moments (stddev / variance / covariance / correlation)
+
+
+def grouped_moments(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    x_col: str,
+    y_col: str | None = None,
+    fanin: int = 8,
+    ndigits: int = 4,
+) -> pa.Table:
+    """Grouped second-moment statistics via the partial+final pattern:
+    each batch emits raw moment sums (n, Σx, Σx², and with ``y_col``
+    Σy, Σy², Σxy over BOTH-valid rows, SQL corr/covar semantics), the
+    exchange moves one row per (key, batch), and the derived statistics
+    are computed once on the merged moments. Mirrors DataFusion's
+    partial→final aggregate split (SURVEY §2.4) — the reference gets
+    these from DataFusion's stddev/corr aggregates; here they ride the
+    same size-gated reduce as grouped_agg.
+
+    Output per key: n, mean_x, var_x (sample), std_x (sample), and with
+    ``y_col``: covar_xy (sample), corr_xy. SQL NULL semantics: var/std
+    NULL when n < 2; corr NULL when either side is constant. Values are
+    rounded half-away-from-zero to ``ndigits`` so a double-precision SQL
+    oracle hashes identically (raw-moment vs streaming evaluation agree
+    well past 4 decimals at these magnitudes; see corpus.py tfidf for
+    the same round-before-compare convention)."""
+    pair = y_col is not None
+
+    def partial(batch: pa.Table) -> pa.Table:
+        xf = pc.cast(batch.column(x_col), pa.float64())
+        if pair:
+            yf = pc.cast(batch.column(y_col), pa.float64())
+            ok = pc.and_kleene(pc.is_valid(xf), pc.is_valid(yf))
+            x0 = pc.if_else(ok, xf, 0.0)
+            y0 = pc.if_else(ok, yf, 0.0)
+            cols = {k: batch.column(k) for k in keys}
+            cols["__n"] = pc.cast(ok, pa.int64())
+            cols["__sx"] = x0
+            cols["__sxx"] = pc.multiply(x0, x0)
+            cols["__sy"] = y0
+            cols["__syy"] = pc.multiply(y0, y0)
+            cols["__sxy"] = pc.multiply(x0, y0)
+        else:
+            ok = pc.is_valid(xf)
+            x0 = pc.if_else(ok, xf, 0.0)
+            cols = {k: batch.column(k) for k in keys}
+            cols["__n"] = pc.cast(ok, pa.int64())
+            cols["__sx"] = x0
+            cols["__sxx"] = pc.multiply(x0, x0)
+        moment_cols = [c for c in cols if c.startswith("__")]
+        res = pa.TableGroupBy(pa.table(cols), keys).aggregate(
+            [(c, "sum") for c in moment_cols]
+        )
+        return res.rename_columns(keys + moment_cols)
+
+    def combine(tbl: pa.Table) -> pa.Table:
+        moment_cols = [c for c in tbl.column_names if c.startswith("__")]
+        res = pa.TableGroupBy(tbl, keys).aggregate([(c, "sum") for c in moment_cols])
+        return res.rename_columns(keys + moment_cols)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    merged = _tree_or_driver(partials, combine, fanin)
+
+    n = merged.column("__n").to_numpy(zero_copy_only=False).astype(np.float64)
+    sx = merged.column("__sx").to_numpy(zero_copy_only=False)
+    sxx = merged.column("__sxx").to_numpy(zero_copy_only=False)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        mean_x = sx / n
+        # sample variance from raw moments; clamp tiny negative residue
+        var_x = np.maximum(sxx - sx * sx / n, 0.0) / (n - 1)
+        std_x = np.sqrt(var_x)
+
+    def rnd(v: np.ndarray, valid: np.ndarray) -> pa.Array:
+        return pc.if_else(
+            pa.array(valid),
+            pc.round(
+                pa.array(np.nan_to_num(v)), ndigits,
+                round_mode="half_towards_infinity",
+            ),
+            pa.scalar(None, pa.float64()),
+        )
+
+    out = {k: merged.column(k) for k in keys}
+    out["n"] = pa.array(n.astype(np.int64))
+    out["mean_x"] = rnd(mean_x, n >= 1)
+    out["var_x"] = rnd(var_x, n >= 2)
+    out["std_x"] = rnd(std_x, n >= 2)
+    if pair:
+        sy = merged.column("__sy").to_numpy(zero_copy_only=False)
+        syy = merged.column("__syy").to_numpy(zero_copy_only=False)
+        sxy = merged.column("__sxy").to_numpy(zero_copy_only=False)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            covar = (sxy - sx * sy / n) / (n - 1)
+            dx = np.maximum(n * sxx - sx * sx, 0.0)
+            dy = np.maximum(n * syy - sy * sy, 0.0)
+            denom = np.sqrt(dx * dy)
+            corr = (n * sxy - sx * sy) / denom
+        out["covar_xy"] = rnd(covar, n >= 2)
+        out["corr_xy"] = rnd(corr, (n >= 2) & (denom > 0))
+    return pa.table(out)
+
+
+# ---- grouped argmax / argmin (SQL max_by / min_by, deterministic ties)
+
+
+def grouped_argbest(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    val_col: str,
+    payload_col: str,
+    mode: str = "max",
+    fanin: int = 8,
+) -> pa.Table:
+    """max_by/min_by with DETERMINISTIC tie-breaking: per key, the best
+    ``val_col`` (NULLs ignored, SQL aggregate semantics) and the MINIMUM
+    ``payload_col`` among rows achieving it — unlike SQL arg_max, ties
+    cannot flip between runs or partitionings. The per-batch reducer
+    (sort + first-of-segment) is its own combiner, so the tree reduce
+    reuses it unchanged; the exchange moves one row per (key, batch)."""
+    if mode not in ("max", "min"):
+        raise ValueError(f"mode must be max|min, got {mode!r}")
+    order = [(k, "ascending") for k in keys] + [
+        (val_col, "descending" if mode == "max" else "ascending"),
+        (payload_col, "ascending"),
+    ]
+
+    def best(batch: pa.Table) -> pa.Table:
+        batch = batch.select(keys + [val_col, payload_col])
+        batch = batch.filter(pc.is_valid(batch.column(val_col)))
+        if batch.num_rows == 0:
+            return batch
+        g = batch.sort_by(order)
+        first = np.zeros(g.num_rows, dtype=bool)
+        first[0] = True
+        for k in keys:
+            col = g.column(k)
+            a, b = col.slice(1), col.slice(0, g.num_rows - 1)
+            ne = pc.fill_null(pc.not_equal(a, b), True)
+            # NULL keys group together (SQL GROUP BY): both-null == equal
+            both_null = pc.and_(pc.is_null(a), pc.is_null(b))
+            ne = pc.if_else(both_null, False, ne)
+            first[1:] |= ne.to_numpy(zero_copy_only=False)
+        return g.filter(pa.array(first))
+
+    partials = ds.map_batches(best, batch_format="pyarrow")
+    return _tree_or_driver(partials, best, fanin)
+
+
+# ---- distinct + set operations (INTERSECT / EXCEPT, DISTINCT semantics)
+
+
+def distinct_rows(ds: ray.data.Dataset, cols: list[str], fanin: int = 8) -> pa.Table:
+    """SELECT DISTINCT cols: per-batch Arrow group-dedup (combiner) ->
+    size-gated tree dedup. NULL rows are kept once (SQL DISTINCT)."""
+
+    def dedup(batch: pa.Table) -> pa.Table:
+        res = pa.TableGroupBy(batch.select(cols), cols).aggregate([([], "count_all")])
+        return res.select(cols)
+
+    partials = ds.map_batches(dedup, batch_format="pyarrow")
+    return _tree_or_driver(partials, dedup, fanin)
+
+
+def _set_op(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    left_cols: list[str],
+    right_cols: list[str],
+    join_type: str,
+) -> ray.data.Dataset:
+    """Shared body for INTERSECT/EXCEPT: distinct both sides (tiny after
+    dedup — set-op outputs are bounded by distinct cardinality), then a
+    semi/anti hash join on a packed composite key. Output columns take
+    the LEFT side's names (SQL set-op column naming)."""
+    if len(left_cols) != len(right_cols):
+        raise ValueError("set op requires equal column counts")
+
+    def pack(tbl: pa.Table, cols: list[str]) -> pa.Table:
+        parts = [
+            pc.fill_null(pc.cast(tbl.column(c), pa.string()), "\x00null") for c in cols
+        ]
+        key = parts[0] if len(parts) == 1 else pc.binary_join_element_wise(*parts, "\x1f")
+        return tbl.append_column("__setk", key)
+
+    lt = pack(distinct_rows(left, left_cols), left_cols)
+    rt = pack(distinct_rows(right, right_cols), right_cols).select(["__setk"])
+    if lt.num_rows <= _SMALL_PARTIALS and rt.num_rows <= _SMALL_PARTIALS:
+        # deduped sides are driver tables already (size-gated reduce);
+        # below the gate an Arrow join here beats a shuffle AND keeps the
+        # schema on empty results (a zero-block Dataset loses it)
+        mask = pc.is_in(lt.column("__setk"), value_set=rt.column("__setk"))
+        if join_type == "left anti":
+            mask = pc.invert(mask)
+        res = lt.filter(mask).drop_columns(["__setk"])
+        return ray.data.from_arrow(res)
+    out = hash_join(
+        ray.data.from_arrow(lt),
+        ray.data.from_arrow(rt),
+        "__setk",
+        "__setk",
+        join_type=join_type,
+    )
+    return out.map_batches(lambda b: b.drop_columns(["__setk"]), batch_format="pyarrow")
+
+
+def intersect_distinct(left, right, left_cols, right_cols) -> ray.data.Dataset:
+    """SQL INTERSECT (distinct rows present on both sides). NULL rows
+    match NULL rows — set ops use IS NOT DISTINCT FROM semantics, which
+    the packed sentinel key preserves (unlike a raw equality join)."""
+    return _set_op(left, right, left_cols, right_cols, "left semi")
+
+
+def except_distinct(left, right, left_cols, right_cols) -> ray.data.Dataset:
+    """SQL EXCEPT (distinct left rows absent from right), same NULL
+    treatment as intersect_distinct."""
+    return _set_op(left, right, left_cols, right_cols, "left anti")
