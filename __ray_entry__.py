@@ -1088,6 +1088,33 @@ def _bpe_tokenize(sf_dir: str):
     )
 
 
+def _nearest_centroid(sf_dir: str):
+    """Nearest-centroid assignment with deterministic fixed centroids
+    (the 8 smallest-vec_id embeddings): one broadcast + one matmul per
+    batch, zero shuffle. Distances round(4) before the argmin so the
+    DOUBLE-precision SQL oracle picks identical winners."""
+    from datafusion_orc_ray.pipelines import clustering as cl
+
+    ds = _ds(sf_dir, "embeddings", ["vec_id", "embedding"])
+    cent = cl._first_k_by_id(ds, 8, "vec_id", "embedding")
+    return cl.kmeans_assign(ds, cent, ndigits=4)
+
+
+def _kmeans_embeddings(sf_dir: str):
+    """Full distributed Lloyd k-means (k=8, <=5 iterations) + final
+    assignment. Iterative (non-SQL) — correctness pinned by pytest:
+    planted-cluster recovery, partitioning invariance, monotone
+    inertia."""
+    from datafusion_orc_ray.pipelines import clustering as cl
+
+    ds = _ds(sf_dir, "embeddings", ["vec_id", "embedding"])
+    model = cl.kmeans_fit(ds, k=8, n_iter=5)
+    out = cl.kmeans_assign(ds, model["centroids"], ndigits=4)
+    return out.map_batches(
+        lambda b: b.select(["vec_id", "cluster"]), batch_format="pyarrow"
+    )
+
+
 def _moments_lineitem(sf_dir: str):
     """Grouped stddev/variance/covariance/correlation via raw-moment
     partials (one row per key per batch into the reduce)."""
@@ -1380,6 +1407,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_terms_documents": _tfidf_terms,
         "bpe_tokenize_documents": _bpe_tokenize,
         "moments_lineitem": _moments_lineitem,
+        "nearest_centroid_embeddings": _nearest_centroid,
+        "kmeans_embeddings": _kmeans_embeddings,
         "argmax_orders": _argmax_orders,
         "intersect_nations": _intersect_nations,
         "except_custkeys": _except_custkeys,
@@ -1864,6 +1893,20 @@ FROM documents d LEFT JOIN cnt c USING (doc_id) WHERE d.doc_id % 37 <> 0
             f"WHERE value >= {_HIST_LO!r} AND value < {_HIST_HI!r} GROUP BY 1"
         ),
         "sort_orders": "SELECT o_orderkey, o_totalprice FROM orders",
+        "nearest_centroid_embeddings": (
+            "WITH cent AS ("
+            "  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding"
+            "  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)"
+            "), d AS ("
+            "  SELECT e.vec_id, c.cid, "
+            "round(list_distance(CAST(e.embedding AS DOUBLE[]), "
+            "CAST(c.embedding AS DOUBLE[])), 4) AS rd "
+            "  FROM embeddings e CROSS JOIN cent c"
+            ") SELECT vec_id, cluster, dist FROM ("
+            "  SELECT vec_id, cid AS cluster, rd AS dist, "
+            "row_number() OVER (PARTITION BY vec_id ORDER BY rd, cid) AS rn FROM d"
+            ") WHERE rn = 1"
+        ),
         "moments_lineitem": (
             "SELECT l_returnflag, count(l_quantity) AS n, "
             "round(avg(l_quantity), 4) AS mean_x, "
