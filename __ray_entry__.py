@@ -1088,6 +1088,18 @@ def _bpe_tokenize(sf_dir: str):
     )
 
 
+def _lm_perplexity(sf_dir: str):
+    """CCNet-shape quality signal: train a bigram LM on the corpus (one
+    keyed-count pass, vocabulary-sized reduce), broadcast it, score
+    every doc's average negative log-likelihood (add-alpha smoothing,
+    exactly SQL-expressible)."""
+    from datafusion_orc_ray.pipelines import lm
+
+    ds = _ds(sf_dir, "documents", ["doc_id", "text"])
+    model = lm.train_bigram_lm(ds)
+    return lm.score_avg_nll(ds, model, alpha=0.4)
+
+
 def _nearest_centroid(sf_dir: str):
     """Nearest-centroid assignment with deterministic fixed centroids
     (the 8 smallest-vec_id embeddings): one broadcast + one matmul per
@@ -1408,6 +1420,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_tokenize_documents": _bpe_tokenize,
         "moments_lineitem": _moments_lineitem,
         "nearest_centroid_embeddings": _nearest_centroid,
+        "lm_perplexity_documents": _lm_perplexity,
         "kmeans_embeddings": _kmeans_embeddings,
         "argmax_orders": _argmax_orders,
         "intersect_nations": _intersect_nations,
@@ -1893,6 +1906,38 @@ FROM documents d LEFT JOIN cnt c USING (doc_id) WHERE d.doc_id % 37 <> 0
             f"WHERE value >= {_HIST_LO!r} AND value < {_HIST_HI!r} GROUP BY 1"
         ),
         "sort_orders": "SELECT o_orderkey, o_totalprice FROM orders",
+        "lm_perplexity_documents": """
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(coalesce(text, ''), '\\S+') AS ts FROM documents
+),
+uni AS (
+  SELECT t AS w, CAST(count(*) AS DOUBLE) AS c
+  FROM (SELECT unnest(ts) AS t FROM tok) GROUP BY 1
+),
+v AS (SELECT CAST(count(*) AS DOUBLE) AS vocab FROM uni),
+big AS (
+  SELECT z[1] AS w1, z[2] AS w2, CAST(count(*) AS DOUBLE) AS c
+  FROM (SELECT unnest(list_zip(ts[:len(ts)-1], ts[2:])) AS z FROM tok WHERE len(ts) >= 2)
+  GROUP BY 1, 2
+),
+trans AS (
+  SELECT doc_id, unnest(list_zip(ts[:len(ts)-1], ts[2:])) AS z
+  FROM tok WHERE len(ts) >= 2
+),
+scored AS (
+  SELECT tr.doc_id, ln((coalesce(b.c, 0) + 0.4) / (u.c + 0.4 * v.vocab)) AS lp
+  FROM trans tr
+  JOIN uni u ON u.w = tr.z[1]
+  LEFT JOIN big b ON b.w1 = tr.z[1] AND b.w2 = tr.z[2]
+  CROSS JOIN v
+)
+SELECT k.doc_id, k.n_trans,
+       CASE WHEN k.n_trans = 0 THEN NULL
+            ELSE round(-sum(s.lp) / k.n_trans, 4) END AS avg_nll
+FROM (SELECT doc_id, greatest(len(ts) - 1, 0) AS n_trans FROM tok) k
+LEFT JOIN scored s USING (doc_id)
+GROUP BY k.doc_id, k.n_trans
+""",
         "nearest_centroid_embeddings": (
             "WITH cent AS ("
             "  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding"
