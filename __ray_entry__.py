@@ -1088,6 +1088,47 @@ def _bpe_tokenize(sf_dir: str):
     )
 
 
+def _json_extract_events(sf_dir: str):
+    """Vectorized flat-JSON field extraction (one RE2 pass; json.loads
+    fallback only for rows the fast path provably missed)."""
+    from datafusion_orc_ray.pipelines import jsonx
+
+    ds = _ds(sf_dir, "events", ["event_id", "props"])
+    out = jsonx.extract_json_field(ds, "props", "k", kind="number")
+    return out.map_batches(
+        lambda b: b.select(["event_id", "k"]), batch_format="pyarrow"
+    )
+
+
+def _rollup_orders(sf_dir: str):
+    """GROUP BY ROLLUP over (status, priority): one corpus pass, coarser
+    levels re-aggregated from the leaf table."""
+    import pyarrow.compute as _pc
+
+    from datafusion_orc_ray.pipelines import relational as rel
+
+    ds = _ds(sf_dir, "orders", ["o_orderstatus", "o_orderpriority", "o_totalprice"])
+    t = rel.rollup_agg(
+        ds,
+        ["o_orderstatus", "o_orderpriority"],
+        {"n": ("count", "o_orderstatus"), "sum_price": ("sum", "o_totalprice")},
+    )
+    return t.set_column(
+        t.schema.get_field_index("sum_price"),
+        "sum_price",
+        _pc.round(t.column("sum_price"), 2, round_mode="half_towards_infinity"),
+    )
+
+
+def _pivot_documents(sf_dir: str):
+    """Pivot: per-source document counts with one column per language
+    (single grouped pass + driver scatter)."""
+    from datafusion_orc_ray.pipelines import relational as rel
+
+    ds = _ds(sf_dir, "documents", ["source", "lang"])
+    return rel.pivot_agg(ds, "source", "lang", ("count", "lang"), prefix="n_")
+
+
 def _lm_perplexity(sf_dir: str):
     """CCNet-shape quality signal: train a bigram LM on the corpus (one
     keyed-count pass, vocabulary-sized reduce), broadcast it, score
@@ -1421,6 +1462,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "moments_lineitem": _moments_lineitem,
         "nearest_centroid_embeddings": _nearest_centroid,
         "lm_perplexity_documents": _lm_perplexity,
+        "json_extract_events": _json_extract_events,
+        "rollup_orders": _rollup_orders,
+        "pivot_documents": _pivot_documents,
         "kmeans_embeddings": _kmeans_embeddings,
         "argmax_orders": _argmax_orders,
         "intersect_nations": _intersect_nations,
@@ -1906,6 +1950,24 @@ FROM documents d LEFT JOIN cnt c USING (doc_id) WHERE d.doc_id % 37 <> 0
             f"WHERE value >= {_HIST_LO!r} AND value < {_HIST_HI!r} GROUP BY 1"
         ),
         "sort_orders": "SELECT o_orderkey, o_totalprice FROM orders",
+        "json_extract_events": (
+            "SELECT event_id, CAST(json_extract(props, '$.k') AS DOUBLE) AS k "
+            "FROM events"
+        ),
+        "rollup_orders": (
+            "SELECT o_orderstatus, o_orderpriority, count(*) AS n, "
+            "round(sum(o_totalprice), 2) AS sum_price "
+            "FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)"
+        ),
+        "pivot_documents": (
+            "SELECT source, "
+            "count(*) FILTER (lang = 'de') AS n_de, "
+            "count(*) FILTER (lang = 'en') AS n_en, "
+            "count(*) FILTER (lang = 'es') AS n_es, "
+            "count(*) FILTER (lang = 'fr') AS n_fr, "
+            "count(*) FILTER (lang = 'zh') AS n_zh "
+            "FROM documents GROUP BY source"
+        ),
         "lm_perplexity_documents": """
 WITH tok AS (
   SELECT doc_id, regexp_extract_all(coalesce(text, ''), '\\S+') AS ts FROM documents

@@ -1030,3 +1030,85 @@ def except_distinct(left, right, left_cols, right_cols) -> ray.data.Dataset:
     """SQL EXCEPT (distinct left rows absent from right), same NULL
     treatment as intersect_distinct."""
     return _set_op(left, right, left_cols, right_cols, "left anti")
+
+
+# ---- ROLLUP (subtotal levels derived from the leaf aggregate)
+
+
+def rollup_agg(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    exprs: dict[str, tuple[str, str]],
+    fanin: int = 8,
+) -> pa.Table:
+    """GROUP BY ROLLUP(keys): every prefix level of ``keys`` plus the
+    grand total, subtotal key columns NULL-filled. The corpus is read
+    ONCE — the leaf aggregate runs through grouped_agg's partial+tree
+    path, and every coarser level re-aggregates the LEAF table (sum/min/
+    max re-aggregate associatively; count re-aggregates as sum), which
+    is key-cardinality-sized work on the driver. Matches SQL ROLLUP on
+    non-null key data; like SQL without GROUPING(), an actual NULL key
+    value is indistinguishable from a subtotal row."""
+    leaf = grouped_agg(ds, keys, exprs)
+    refinal = {"count": "sum", "sum": "sum", "min": "min", "max": "max"}
+    levels = [leaf]
+    for depth in range(len(keys) - 1, -1, -1):
+        gkeys = keys[:depth]
+        gb = [(out, refinal[agg]) for out, (agg, _) in exprs.items()]
+        if gkeys:
+            lvl = pa.TableGroupBy(leaf, gkeys).aggregate(gb)
+            lvl = lvl.rename_columns(gkeys + [out for out, _ in exprs.items()])
+        else:
+            cols = {}
+            for out, (agg, _) in exprs.items():
+                col = leaf.column(out)
+                f = refinal[agg]
+                v = getattr(pc, f)(col)
+                cols[out] = pa.array([v.as_py()], type=col.type)
+            lvl = pa.table(cols)
+        for k in keys[depth:]:
+            lvl = lvl.append_column(k, pa.nulls(lvl.num_rows, leaf.column(k).type))
+        levels.append(lvl.select(leaf.column_names))
+    return pa.concat_tables(levels)
+
+
+# ---- pivot (wide matrix from a grouped aggregate)
+
+
+def pivot_agg(
+    ds: ray.data.Dataset,
+    row_key: str,
+    col_key: str,
+    expr: tuple[str, str],
+    prefix: str = "",
+    fanin: int = 8,
+) -> pa.Table:
+    """Pivot ``col_key``'s distinct values into columns: one grouped
+    aggregate over (row_key, col_key) — the only distributed pass —
+    then a driver-side scatter into the wide layout (pivot output is
+    |rows| x |cols|, driver-sized by construction). Column order is the
+    sorted distinct values (deterministic schema); combinations absent
+    from the data get 0 for count/sum and NULL for min/max."""
+    agg, _ = expr
+    long = grouped_agg(ds, [row_key, col_key], {"__v": expr}, fanin=fanin)
+    rows = long.column(row_key).unique().sort()
+    cols = long.column(col_key).unique().sort()
+    r_idx = pc.index_in(long.column(row_key), value_set=rows).to_numpy(zero_copy_only=False)
+    c_idx = pc.index_in(long.column(col_key), value_set=cols).to_numpy(zero_copy_only=False)
+    vals = long.column("__v").to_numpy(zero_copy_only=False)
+    fill_zero = agg in ("count", "sum")
+    out: dict = {row_key: rows}
+    for j, cv in enumerate(cols.to_pylist()):
+        col_vals = np.full(len(rows), np.nan, np.float64)
+        sel = c_idx == j
+        col_vals[r_idx[sel]] = vals[sel]
+        missing = np.isnan(col_vals)
+        if fill_zero:
+            col_vals = np.nan_to_num(col_vals)
+            arr = pa.array(col_vals)
+            if pa.types.is_integer(long.column("__v").type):
+                arr = arr.cast(long.column("__v").type)
+        else:
+            arr = pa.array(col_vals, pa.float64(), mask=missing)
+        out[f"{prefix}{cv}"] = arr
+    return pa.table(out)

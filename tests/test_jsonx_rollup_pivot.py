@@ -1,0 +1,77 @@
+"""JSON field extraction (fast-regex + loads fallback), ROLLUP levels,
+pivot layout."""
+
+import pyarrow as pa
+import ray.data
+
+from datafusion_orc_ray.pipelines import jsonx
+from datafusion_orc_ray.pipelines import relational as rel
+
+
+def _ds(tbl, nparts=2):
+    return ray.data.from_arrow(tbl).repartition(nparts)
+
+
+def test_json_number_and_fallback_rows(ray_session):
+    props = [
+        '{"k": 69, "s": "hi"}',
+        '{"k": -1.5e2}',
+        '{"s": "no k"}',
+        None,
+        '{"k": {"nested": 1}}',  # fast path misses -> loads -> non-scalar -> NULL
+        '{"k": 7, "junk": "\\""}',
+    ]
+    tbl = pa.table({"i": pa.array(range(6), pa.int64()), "props": props})
+    out = rel.collect(
+        jsonx.extract_json_field(_ds(tbl), "props", "k", kind="number")
+    ).sort_by("i")
+    assert out.column("k").to_pylist() == [69.0, -150.0, None, None, None, 7.0]
+
+
+def test_json_string_with_escape_fallback(ray_session):
+    props = ['{"name": "alice"}', '{"name": "a\\"b"}', '{"name": 5}', "{}"]
+    tbl = pa.table({"i": pa.array(range(4), pa.int64()), "props": props})
+    out = rel.collect(
+        jsonx.extract_json_field(_ds(tbl), "props", "name", kind="string")
+    ).sort_by("i")
+    # escaped quote row falls back to json.loads and gets the true value
+    assert out.column("name").to_pylist() == ["alice", 'a"b', None, None]
+
+
+def test_rollup_levels_and_totals(ray_session):
+    tbl = pa.table(
+        {
+            "a": ["x", "x", "y", "y"],
+            "b": ["p", "q", "p", "p"],
+            "v": pa.array([1, 2, 3, 4], pa.int64()),
+        }
+    )
+    out = rel.rollup_agg(
+        _ds(tbl), ["a", "b"], {"n": ("count", "a"), "s": ("sum", "v")}
+    )
+    rows = {
+        (r["a"], r["b"]): (r["n"], r["s"]) for r in out.to_pylist()
+    }
+    assert rows[("x", "p")] == (1, 1) and rows[("y", "p")] == (2, 7)
+    assert rows[("x", None)] == (2, 3) and rows[("y", None)] == (2, 7)
+    assert rows[(None, None)] == (4, 10)
+    assert len(rows) == 6  # 3 leaf + 2 subtotal + 1 grand total
+
+
+def test_pivot_counts_and_missing_combos(ray_session):
+    tbl = pa.table(
+        {"src": ["s1", "s1", "s2"], "lang": ["en", "de", "en"]}
+    )
+    out = rel.pivot_agg(_ds(tbl), "src", "lang", ("count", "lang"), prefix="n_")
+    assert out.column_names == ["src", "n_de", "n_en"]
+    d = {r["src"]: (r["n_de"], r["n_en"]) for r in out.to_pylist()}
+    assert d == {"s1": (1, 1), "s2": (0, 1)}
+
+
+def test_pivot_min_missing_is_null(ray_session):
+    tbl = pa.table(
+        {"src": ["s1", "s2"], "lang": ["en", "de"], "v": pa.array([5.0, 7.0])}
+    )
+    out = rel.pivot_agg(_ds(tbl, 1), "src", "lang", ("min", "v"))
+    d = {r["src"]: (r["de"], r["en"]) for r in out.to_pylist()}
+    assert d == {"s1": (None, 5.0), "s2": (7.0, None)}
