@@ -1088,6 +1088,15 @@ def _bpe_tokenize(sf_dir: str):
     )
 
 
+def _chunk_documents(sf_dir: str):
+    """Context-window chunking: 64-token windows, 16-token overlap,
+    vectorized fan-out (one gather + binary_join per batch)."""
+    from datafusion_orc_ray.pipelines import text as tx
+
+    ds = _ds(sf_dir, "documents", ["doc_id", "text"])
+    return tx.chunk_documents(ds, max_tokens=64, overlap=16)
+
+
 def _json_extract_events(sf_dir: str):
     """Vectorized flat-JSON field extraction (one RE2 pass; json.loads
     fallback only for rows the fast path provably missed)."""
@@ -1463,6 +1472,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nearest_centroid_embeddings": _nearest_centroid,
         "lm_perplexity_documents": _lm_perplexity,
         "json_extract_events": _json_extract_events,
+        "chunk_documents": _chunk_documents,
         "rollup_orders": _rollup_orders,
         "pivot_documents": _pivot_documents,
         "kmeans_embeddings": _kmeans_embeddings,
@@ -1954,6 +1964,17 @@ FROM documents d LEFT JOIN cnt c USING (doc_id) WHERE d.doc_id % 37 <> 0
             "SELECT event_id, CAST(json_extract(props, '$.k') AS DOUBLE) AS k "
             "FROM events"
         ),
+        "chunk_documents": """
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(coalesce(text, ''), '\\S+') AS ts FROM documents
+),
+n AS (SELECT doc_id, ts, len(ts) AS nt FROM tok WHERE len(ts) > 0),
+st AS (SELECT doc_id, ts, nt, unnest(range(0, nt, 48)) AS s FROM n)
+SELECT doc_id, CAST(s // 48 AS BIGINT) AS chunk_id,
+       least(s + 64, nt) - s AS n_tok,
+       array_to_string(ts[s + 1 : least(s + 64, nt)], ' ') AS chunk_text
+FROM st
+""",
         "rollup_orders": (
             "SELECT o_orderstatus, o_orderpriority, count(*) AS n, "
             "round(sum(o_totalprice), 2) AS sum_price "

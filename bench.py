@@ -230,7 +230,8 @@ def run_bench() -> dict:
               "vocab_per_lang_documents", "sort_orders",
               "repetition_documents", "shared_spans_documents",
               "decontam_documents", "curation_pipeline_documents",
-              "q3_shipping")
+              "q3_shipping", "lm_perplexity_documents",
+              "kmeans_embeddings", "bpe_tokenize_documents")
     )
     # best of 2: the first run pays one-off Ray dataset/actor-pool warmup
     # (~1 s) that every query in a long-lived session amortizes; the

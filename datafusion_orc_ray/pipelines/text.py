@@ -554,3 +554,79 @@ def pack_sequences(
         )
 
     return rt.map_batches(binize, batch_format="pyarrow")
+
+
+def chunk_documents(
+    ds: ray.data.Dataset,
+    max_tokens: int,
+    overlap: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Split long documents into overlapping token windows — the
+    standard pre-training context-window prep. Chunk i of a doc covers
+    tokens [i*step, i*step + max_tokens) with step = max_tokens -
+    overlap; the tail chunk may be short; empty/null docs emit nothing.
+    Output rows: (id, chunk_id, n_tok, chunk_text) where chunk_text is
+    the window's tokens joined by single spaces (whitespace-normalized
+    by construction — the contract a tokenizer downstream expects, and
+    exactly mirrorable in SQL via array_to_string).
+
+    Fully vectorized fan-out: token segmentation is one Arrow split
+    kernel, window starts come from repeat/arange arithmetic, window
+    text assembly is ONE ListArray gather + ``pc.binary_join`` for the
+    whole batch — no Python loop over docs or chunks. Each batch fans
+    out independently (zero shuffle), so this streams at any scale."""
+    if max_tokens <= 0 or overlap < 0 or overlap >= max_tokens:
+        raise ValueError(
+            f"need 0 <= overlap < max_tokens (got {max_tokens=}, {overlap=})"
+        )
+    step = max_tokens - overlap
+    from . import tokhash as tk
+
+    def chunk(batch: pa.Table) -> pa.Table:
+        flat, offs = tk.token_strings(batch.column(text_col))
+        lens = np.diff(offs)
+        nc = -(-lens // step)  # ceil; 0 chunks for empty docs
+        total = int(nc.sum())
+        ids = batch.column(id_col)
+        if total == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], ids.type),
+                    "chunk_id": pa.array([], pa.int64()),
+                    "n_tok": pa.array([], pa.int64()),
+                    "chunk_text": pa.array([], pa.string()),
+                }
+            )
+        doc_idx = np.repeat(np.arange(len(lens)), nc)
+        nc_start = np.concatenate([[0], np.cumsum(nc)])[:-1]
+        within = np.arange(total) - np.repeat(nc_start, nc)
+        s = within * step
+        abs_start = offs[:-1][doc_idx] + s
+        chunk_len = np.minimum(max_tokens, lens[doc_idx] - s)
+        tot = int(chunk_len.sum())
+        g_start = np.concatenate([[0], np.cumsum(chunk_len)])[:-1]
+        gidx = (
+            np.arange(tot)
+            - np.repeat(g_start, chunk_len)
+            + np.repeat(abs_start, chunk_len)
+        )
+        toks = pc.take(flat, pa.array(gidx))
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        if tot >= 2**31:
+            raise ValueError("chunk token volume overflows int32 list offsets; lower batch_size")
+        la = pa.ListArray.from_arrays(
+            pa.array(np.concatenate([[0], np.cumsum(chunk_len)]), pa.int32()), toks
+        )
+        return pa.table(
+            {
+                id_col: pc.take(ids, pa.array(doc_idx)),
+                "chunk_id": pa.array(within.astype(np.int64)),
+                "n_tok": pa.array(chunk_len.astype(np.int64)),
+                "chunk_text": pc.binary_join(la, " "),
+            }
+        )
+
+    return ds.map_batches(chunk, batch_format="pyarrow")

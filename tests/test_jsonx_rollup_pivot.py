@@ -75,3 +75,37 @@ def test_pivot_min_missing_is_null(ray_session):
     out = rel.pivot_agg(_ds(tbl, 1), "src", "lang", ("min", "v"))
     d = {r["src"]: (r["de"], r["en"]) for r in out.to_pylist()}
     assert d == {"s1": (None, 5.0), "s2": (7.0, None)}
+
+
+def test_chunk_documents_windows_and_edges(ray_session):
+    from datafusion_orc_ray.pipelines import text as tx
+
+    docs = [
+        " ".join(f"t{i}" for i in range(10)),  # 10 tokens -> chunks of 4/step 3
+        "one",
+        "",
+        None,
+    ]
+    tbl = pa.table({"doc_id": pa.array(range(4), pa.int64()), "text": docs})
+    out = rel.collect(
+        tx.chunk_documents(_ds(tbl, 2), max_tokens=4, overlap=1)
+    ).sort_by([("doc_id", "ascending"), ("chunk_id", "ascending")])
+    rows = out.to_pylist()
+    d0 = [r for r in rows if r["doc_id"] == 0]
+    # starts 0,3,6,9 -> lengths 4,4,4,1
+    assert [r["n_tok"] for r in d0] == [4, 4, 4, 1]
+    assert d0[0]["chunk_text"] == "t0 t1 t2 t3"
+    assert d0[1]["chunk_text"] == "t3 t4 t5 t6"
+    assert d0[3]["chunk_text"] == "t9"
+    d1 = [r for r in rows if r["doc_id"] == 1]
+    assert len(d1) == 1 and d1[0]["chunk_text"] == "one"
+    assert not any(r["doc_id"] in (2, 3) for r in rows)
+
+
+def test_chunk_documents_validation(ray_session):
+    import pytest as _pytest
+
+    from datafusion_orc_ray.pipelines import text as tx
+
+    with _pytest.raises(ValueError):
+        tx.chunk_documents(_ds(pa.table({"doc_id": [1], "text": ["x"]})), 4, overlap=4)
