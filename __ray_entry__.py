@@ -1088,6 +1088,26 @@ def _bpe_tokenize(sf_dir: str):
     )
 
 
+def _string_agg_events(sf_dir: str):
+    """Per-user ordered event-type trails (string_agg with ORDER BY):
+    one co-location shuffle, vectorized bucket assembly."""
+    from datafusion_orc_ray.pipelines import windows as w
+
+    ds = _ds(sf_dir, "events", ["user_id", "ts", "event_type", "event_id"])
+    return w.grouped_string_agg(
+        ds, "user_id", "ts", "event_type", sep=",", tiebreak="event_id", out_col="trail"
+    )
+
+
+def _sample_per_lang(sf_dir: str):
+    """Deterministic 5-docs-per-language inspection sample (hash-coin
+    ranking, same rows at any parallelism)."""
+    from datafusion_orc_ray.pipelines import corpus as co
+
+    ds = _ds(sf_dir, "documents", ["doc_id", "lang"])
+    return co.sample_n_per_group(ds, 5, "lang", "doc_id")
+
+
 def _chunk_documents(sf_dir: str):
     """Context-window chunking: 64-token windows, 16-token overlap,
     vectorized fan-out (one gather + binary_join per batch)."""
@@ -1473,6 +1493,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_perplexity_documents": _lm_perplexity,
         "json_extract_events": _json_extract_events,
         "chunk_documents": _chunk_documents,
+        "string_agg_events": _string_agg_events,
+        "sample_per_lang_documents": _sample_per_lang,
         "rollup_orders": _rollup_orders,
         "pivot_documents": _pivot_documents,
         "kmeans_embeddings": _kmeans_embeddings,
@@ -1963,6 +1985,18 @@ FROM documents d LEFT JOIN cnt c USING (doc_id) WHERE d.doc_id % 37 <> 0
         "json_extract_events": (
             "SELECT event_id, CAST(json_extract(props, '$.k') AS DOUBLE) AS k "
             "FROM events"
+        ),
+        "string_agg_events": (
+            "SELECT user_id, string_agg(event_type, ',' ORDER BY ts, event_id) "
+            "AS trail FROM events GROUP BY user_id"
+        ),
+        "sample_per_lang_documents": (
+            "SELECT lang, doc_id FROM ("
+            "  SELECT lang, doc_id, row_number() OVER ("
+            "    PARTITION BY lang "
+            "    ORDER BY (CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296, doc_id"
+            "  ) AS rn FROM documents"
+            ") WHERE rn <= 5"
         ),
         "chunk_documents": """
 WITH tok AS (

@@ -886,3 +886,35 @@ def tfidf_top_terms(
     starts = np.flatnonzero(new_lang)
     rank = np.arange(len(langs)) - starts[seg]
     return scored.filter(pa.array(rank < k))
+
+
+def sample_n_per_group(
+    ds: ray.data.Dataset,
+    n: int,
+    group_col: str,
+    id_col: str = "doc_id",
+    columns: list[str] | None = None,
+) -> pa.Table:
+    """Deterministic n-per-group sample: rank rows inside each group by
+    the multiplicative-hash coin of their id (ties by id) and keep the
+    n smallest — the same rows at any partitioning, run, or cluster
+    size (resumable inspection samples; same coin as stratified_sample,
+    so the SQL oracle mirrors it with HUGEINT arithmetic). Rides
+    grouped_topk's combiner + tree reduce: driver holds at most
+    fanin x |groups| x n rows, the corpus never shuffles."""
+    from .relational import grouped_topk
+
+    cols = columns or [group_col, id_col]
+
+    def coin(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy().astype(np.uint64)
+        c = (ids * np.uint64(_KNUTH)) % np.uint64(_MOD)
+        # grouped_topk keeps the LARGEST order values; negate to rank
+        # the smallest coins first
+        return batch.append_column("__negcoin", pa.array(-c.astype(np.int64)))
+
+    tagged = ds.map_batches(coin, batch_format="pyarrow")
+    out = grouped_topk(
+        tagged, [group_col], "__negcoin", n, cols + ["__negcoin"], tiebreak=id_col
+    )
+    return out.drop_columns(["__negcoin"])

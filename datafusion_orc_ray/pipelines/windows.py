@@ -403,3 +403,68 @@ def moving_avg(
     return ds.map_batches(tag, batch_format="pyarrow").groupby("__bucket").map_groups(
         bucket_moving, batch_format="pyarrow"
     )
+
+
+def grouped_string_agg(
+    ds: ray.data.Dataset,
+    key_col: str,
+    order_col: str,
+    val_col: str,
+    sep: str = ",",
+    tiebreak: str | None = None,
+    out_col: str = "vals",
+    n_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """string_agg(val, sep ORDER BY order [, tiebreak]) GROUP BY key:
+    one key-hash co-location shuffle, then a vectorized per-bucket pass
+    — sort, segment boundaries, ONE ListArray + ``pc.binary_join`` for
+    the whole bucket (no per-group Python). SQL semantics: NULL values
+    are skipped; a key whose values are all NULL still appears, with a
+    NULL aggregate. Exact per-key ordering needs full co-location by
+    key — the inherent cost, same as grouped_quantile."""
+    from ..util import cluster_cpus
+
+    if n_buckets is None:
+        n_buckets = max(16, 2 * cluster_cpus())
+
+    def tag(batch: pa.Table) -> pa.Table:
+        cols = [key_col, order_col, val_col] + ([tiebreak] if tiebreak else [])
+        batch = batch.select(cols)
+        b = (_stable_hash64(batch.column(key_col)) % n_buckets).astype(np.int32)
+        return batch.append_column("__bucket", pa.array(b))
+
+    sort_keys = [(key_col, "ascending"), (order_col, "ascending")] + (
+        [(tiebreak, "ascending")] if tiebreak else []
+    )
+
+    def bucket_agg(group: pa.Table) -> pa.Table:
+        g = group.drop_columns(["__bucket"]).sort_by(sort_keys)
+        key_type = g.column(key_col).type
+        if g.num_rows == 0:
+            return pa.table(
+                {key_col: pa.array([], key_type), out_col: pa.array([], pa.string())}
+            )
+        keys = g.column(key_col).to_numpy(zero_copy_only=False)
+        # nulls group together (None != None is False on object arrays),
+        # matching SQL GROUP BY null handling
+        all_first = np.concatenate([[True], keys[1:] != keys[:-1]])
+        all_keys = g.column(key_col).take(pa.array(np.flatnonzero(all_first)))
+        seg = np.cumsum(all_first) - 1
+        valid = pc.is_valid(g.column(val_col)).to_numpy(zero_copy_only=False)
+        # each segment's valid values are contiguous in the filtered view
+        # (filter preserves sort order) — map counts positionally, no
+        # key re-lookup, so NULL-key groups aggregate correctly too
+        counts = np.bincount(seg[valid], minlength=len(all_keys))
+        sv = g.filter(pa.array(valid))
+        vals = pc.cast(sv.column(val_col), pa.string())
+        if isinstance(vals, pa.ChunkedArray):
+            vals = vals.combine_chunks()
+        offsets = pa.array(np.concatenate([[0], np.cumsum(counts)]), pa.int32())
+        agg = pc.binary_join(pa.ListArray.from_arrays(offsets, vals), sep)
+        # SQL string_agg over zero non-null values is NULL, not ""
+        out_vals = pc.if_else(pa.array(counts > 0), agg, pa.scalar(None, pa.string()))
+        return pa.table({key_col: all_keys, out_col: out_vals})
+
+    return ds.map_batches(tag, batch_format="pyarrow").groupby("__bucket").map_groups(
+        bucket_agg, batch_format="pyarrow"
+    )
