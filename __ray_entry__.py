@@ -1088,6 +1088,28 @@ def _bpe_tokenize(sf_dir: str):
     )
 
 
+def _multikey_join_events(sf_dir: str):
+    """Frequency annotation via a MULTI-KEY join: per-(user, type)
+    counts (distributed partial->final) joined back onto every event on
+    the composite key."""
+    from datafusion_orc_ray.pipelines import relational as rel
+
+    ev = _ds(sf_dir, "events", ["event_id", "user_id", "event_type"])
+    g = rel.grouped_agg_ds(ev, ["user_id", "event_type"], {"cnt": ("count", "event_id")})
+    return rel.hash_join_on(
+        ev, g, ["user_id", "event_type"], ["user_id", "event_type"]
+    )
+
+
+def _mode_documents(sf_dir: str):
+    """Per-language modal source (most frequent value, ties -> smallest
+    value, deterministic unlike SQL mode())."""
+    from datafusion_orc_ray.pipelines import relational as rel
+
+    ds = _ds(sf_dir, "documents", ["lang", "source"])
+    return rel.grouped_mode(ds, ["lang"], "source")
+
+
 def _string_agg_events(sf_dir: str):
     """Per-user ordered event-type trails (string_agg with ORDER BY):
     one co-location shuffle, vectorized bucket assembly."""
@@ -1494,6 +1516,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "json_extract_events": _json_extract_events,
         "chunk_documents": _chunk_documents,
         "string_agg_events": _string_agg_events,
+        "multikey_join_events": _multikey_join_events,
+        "mode_documents": _mode_documents,
         "sample_per_lang_documents": _sample_per_lang,
         "rollup_orders": _rollup_orders,
         "pivot_documents": _pivot_documents,
@@ -1989,6 +2013,17 @@ FROM documents d LEFT JOIN cnt c USING (doc_id) WHERE d.doc_id % 37 <> 0
         "string_agg_events": (
             "SELECT user_id, string_agg(event_type, ',' ORDER BY ts, event_id) "
             "AS trail FROM events GROUP BY user_id"
+        ),
+        "multikey_join_events": (
+            "SELECT e.event_id, e.user_id, e.event_type, g.cnt "
+            "FROM events e JOIN (SELECT user_id, event_type, count(*) AS cnt "
+            "FROM events GROUP BY 1, 2) g USING (user_id, event_type)"
+        ),
+        "mode_documents": (
+            "WITH c AS (SELECT lang, source, count(*) AS n FROM documents "
+            "GROUP BY 1, 2), m AS (SELECT lang, max(n) AS mx FROM c GROUP BY 1) "
+            "SELECT c.lang, min(c.source) AS source, m.mx AS n "
+            "FROM c JOIN m ON c.lang = m.lang AND c.n = m.mx GROUP BY c.lang, m.mx"
         ),
         "sample_per_lang_documents": (
             "SELECT lang, doc_id FROM ("

@@ -1112,3 +1112,82 @@ def pivot_agg(
             arr = pa.array(col_vals, pa.float64(), mask=missing)
         out[f"{prefix}{cv}"] = arr
     return pa.table(out)
+
+
+# ---- multi-key join (composite-key wrapper over hash_join)
+
+
+def hash_join_on(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    left_keys: list[str],
+    right_keys: list[str],
+    join_type: str = "inner",
+    **kw,
+) -> ray.data.Dataset:
+    """Equi-join on MULTIPLE key columns: both sides get one packed
+    composite key (``binary_join_element_wise`` — a NULL in any
+    component nulls the whole key, so SQL semantics fall out of
+    hash_join's null handling for inner/semi/anti unchanged), then the
+    single-key skew-aware join runs as-is. Output: left columns + right
+    non-key columns (USING-style coalescing: the right key columns are
+    redundant by equality). Single-key calls delegate straight to
+    hash_join (typed keys, no packing cost)."""
+    if len(left_keys) != len(right_keys) or not left_keys:
+        raise ValueError("need equal, non-empty key lists")
+    if len(left_keys) == 1:
+        return hash_join(left, right, left_keys[0], right_keys[0], join_type=join_type, **kw)
+
+    def packer(keys: list[str], drop: bool):
+        def pack(batch: pa.Table) -> pa.Table:
+            parts = [pc.cast(batch.column(k), pa.string()) for k in keys]
+            key = pc.binary_join_element_wise(*parts, "\x1f")
+            if drop:
+                batch = batch.drop_columns(keys)
+            return batch.append_column("__jk", key)
+
+        return pack
+
+    lt = left.map_batches(packer(left_keys, drop=False), batch_format="pyarrow")
+    rt = right.map_batches(packer(right_keys, drop=True), batch_format="pyarrow")
+    out = hash_join(lt, rt, "__jk", "__jk", join_type=join_type, **kw)
+    return out.map_batches(lambda b: b.drop_columns(["__jk"]), batch_format="pyarrow")
+
+
+# ---- grouped mode (most frequent value, deterministic ties)
+
+
+def grouped_mode(
+    ds: ray.data.Dataset, keys: list[str], val_col: str, fanin: int = 8
+) -> pa.Table:
+    """Per-key modal value: grouped count over (keys, val) — one
+    corpus pass, one row per (key, val, batch) into the reduce — then
+    an argbest over the count table ON THE DRIVER (key-cardinality
+    sized). Ties break to the SMALLEST value (SQL mode() leaves ties
+    unspecified; deterministic here). NULL values are ignored, keys
+    whose values are all NULL drop (SQL-joinable formulation)."""
+    counted = grouped_agg(
+        ds.map_batches(
+            lambda b: b.filter(pc.is_valid(b.column(val_col))),
+            batch_format="pyarrow",
+        ),
+        keys + [val_col],
+        {"__n": ("count", val_col)},
+        fanin=fanin,
+    )
+    order = [(k, "ascending") for k in keys] + [
+        ("__n", "descending"),
+        (val_col, "ascending"),
+    ]
+    g = counted.sort_by(order)
+    first = np.zeros(g.num_rows, dtype=bool)
+    if g.num_rows:
+        first[0] = True
+        for k in keys:
+            col = g.column(k)
+            a, b = col.slice(1), col.slice(0, g.num_rows - 1)
+            ne = pc.fill_null(pc.not_equal(a, b), True)
+            both_null = pc.and_(pc.is_null(a), pc.is_null(b))
+            ne = pc.if_else(both_null, False, ne)
+            first[1:] |= ne.to_numpy(zero_copy_only=False)
+    return g.filter(pa.array(first)).rename_columns(keys + [val_col, "n"])
