@@ -1088,6 +1088,39 @@ def _bpe_tokenize(sf_dir: str):
     )
 
 
+def _nunique_events(sf_dir: str):
+    """Distinct event types per user (pair-dedup combiner, one tiny
+    final count)."""
+    from datafusion_orc_ray.pipelines import relational as rel
+
+    ds = _ds(sf_dir, "events", ["user_id", "event_type"])
+    return rel.grouped_nunique(ds, ["user_id"], "event_type")
+
+
+def _union_nations(sf_dir: str):
+    """SQL UNION (distinct) of customer and supplier nation keys."""
+    from datafusion_orc_ray.pipelines import relational as rel
+
+    return rel.union_distinct(
+        _ds(sf_dir, "customer", ["c_nationkey"]),
+        _ds(sf_dir, "supplier", ["s_nationkey"]),
+        ["c_nationkey"],
+        ["s_nationkey"],
+    )
+
+
+def _cross_join_region_nation(sf_dir: str):
+    """Cartesian product of two dimension tables (broadcast right,
+    repeat/tile expansion, no shuffle)."""
+    from datafusion_orc_ray.pipelines import relational as rel
+
+    out = rel.cross_join_broadcast(
+        _ds(sf_dir, "region", ["r_regionkey", "r_name"]),
+        _ds(sf_dir, "nation", ["n_nationkey", "n_name"]),
+    )
+    return rel.collect(out)
+
+
 def _multikey_join_events(sf_dir: str):
     """Frequency annotation via a MULTI-KEY join: per-(user, type)
     counts (distributed partial->final) joined back onto every event on
@@ -1517,6 +1550,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_documents": _chunk_documents,
         "string_agg_events": _string_agg_events,
         "multikey_join_events": _multikey_join_events,
+        "nunique_events": _nunique_events,
+        "union_nations": _union_nations,
+        "cross_join_region_nation": _cross_join_region_nation,
         "mode_documents": _mode_documents,
         "sample_per_lang_documents": _sample_per_lang,
         "rollup_orders": _rollup_orders,
@@ -2013,6 +2049,17 @@ FROM documents d LEFT JOIN cnt c USING (doc_id) WHERE d.doc_id % 37 <> 0
         "string_agg_events": (
             "SELECT user_id, string_agg(event_type, ',' ORDER BY ts, event_id) "
             "AS trail FROM events GROUP BY user_id"
+        ),
+        "nunique_events": (
+            "SELECT user_id, count(DISTINCT event_type) AS n_distinct "
+            "FROM events GROUP BY user_id"
+        ),
+        "union_nations": (
+            "SELECT c_nationkey FROM customer UNION SELECT s_nationkey FROM supplier"
+        ),
+        "cross_join_region_nation": (
+            "SELECT r_regionkey, r_name, n_nationkey, n_name "
+            "FROM region CROSS JOIN nation"
         ),
         "multikey_join_events": (
             "SELECT e.event_id, e.user_id, e.event_type, g.cnt "

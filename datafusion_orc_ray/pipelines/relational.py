@@ -1191,3 +1191,78 @@ def grouped_mode(
             ne = pc.if_else(both_null, False, ne)
             first[1:] |= ne.to_numpy(zero_copy_only=False)
     return g.filter(pa.array(first)).rename_columns(keys + [val_col, "n"])
+
+
+# ---- grouped distinct count, union-distinct, broadcast cross join
+
+
+def grouped_nunique(
+    ds: ray.data.Dataset, keys: list[str], val_col: str, fanin: int = 8
+) -> pa.Table:
+    """count(DISTINCT val) per key: per-batch distinct (key, val) pairs
+    (the combiner — at most |distinct pairs| rows leave any batch),
+    tree-dedup, then one count per key at the end. NULL values are not
+    counted (SQL COUNT(DISTINCT) semantics)."""
+
+    def dedup(batch: pa.Table) -> pa.Table:
+        batch = batch.select(keys + [val_col]).filter(
+            pc.is_valid(batch.column(val_col))
+        )
+        res = pa.TableGroupBy(batch, keys + [val_col]).aggregate([([], "count_all")])
+        return res.select(keys + [val_col])
+
+    pairs = _tree_or_driver(ds.map_batches(dedup, batch_format="pyarrow"), dedup, fanin)
+    out = pa.TableGroupBy(pairs, keys).aggregate([([], "count_all")])
+    return out.rename_columns(keys + ["n_distinct"])
+
+
+def union_distinct(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    left_cols: list[str],
+    right_cols: list[str],
+) -> pa.Table:
+    """SQL UNION (distinct rows from both sides, left's column names).
+    Both sides pre-dedup per batch through distinct_rows' size-gated
+    reduce; the final dedup merges two already-distinct tables."""
+    if len(left_cols) != len(right_cols):
+        raise ValueError("union requires equal column counts")
+    lt = distinct_rows(left, left_cols)
+    rt = distinct_rows(right, right_cols).rename_columns(left_cols)
+    both = pa.concat_tables([lt, rt.cast(lt.schema)])
+    res = pa.TableGroupBy(both, left_cols).aggregate([([], "count_all")])
+    return res.select(left_cols)
+
+
+def cross_join_broadcast(
+    left: ray.data.Dataset, right: ray.data.Dataset, max_right_rows: int = 100_000
+) -> ray.data.Dataset:
+    """Cartesian product with a SMALL right side: right collected once,
+    ray.put, each left batch expands via repeat/tile takes — no shuffle.
+    Refuses (loudly) a right side above ``max_right_rows``: an
+    unbounded cross join at corpus scale is always a mistake."""
+    rt = collect(right)
+    if rt.num_rows > max_right_rows:
+        raise ValueError(
+            f"cross join right side has {rt.num_rows} rows (> {max_right_rows}); "
+            "a corpus-scale cartesian product is unbounded — filter first"
+        )
+    overlap = set(left.schema().names) & set(rt.column_names)
+    if overlap:
+        raise ValueError(f"ambiguous cross join columns: {sorted(overlap)}")
+    ref = ray.put(rt)
+
+    def cross(batch: pa.Table) -> pa.Table:
+        r = ray.get(ref)
+        nl, nr = batch.num_rows, r.num_rows
+        if nl == 0 or nr == 0:
+            cols = {c: batch.column(c).take(pa.array([], pa.int64())) for c in batch.column_names}
+            cols.update({c: r.column(c).take(pa.array([], pa.int64())) for c in r.column_names})
+            return pa.table(cols)
+        li = pa.array(np.repeat(np.arange(nl), nr))
+        ri = pa.array(np.tile(np.arange(nr), nl))
+        cols = {c: batch.column(c).take(li) for c in batch.column_names}
+        cols.update({c: r.column(c).take(ri) for c in r.column_names})
+        return pa.table(cols)
+
+    return left.map_batches(cross, batch_format="pyarrow")

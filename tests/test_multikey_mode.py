@@ -68,3 +68,35 @@ def test_grouped_mode_ties_and_nulls(ray_session):
     assert out.column("g").to_pylist() == ["p", "q"]
     assert out.column("v").to_pylist() == ["a", "z"]
     assert out.column("n").to_pylist() == [2, 1]
+
+
+def test_grouped_nunique_ignores_nulls(ray_session):
+    tbl = pa.table(
+        {"k": [1, 1, 1, 2, 2], "v": ["a", "a", None, "x", "y"]}
+    )
+    out = rel.grouped_nunique(
+        ray.data.from_arrow(tbl).repartition(2), ["k"], "v"
+    ).sort_by([("k", "ascending")])
+    assert out.column("n_distinct").to_pylist() == [1, 2]
+
+
+def test_union_distinct_dedups_across_sides(ray_session):
+    a = ray.data.from_arrow(pa.table({"x": pa.array([1, 1, 2], pa.int64())}))
+    b = ray.data.from_arrow(pa.table({"y": pa.array([2, 3, None], pa.int64())}))
+    out = rel.union_distinct(a, b, ["x"], ["y"])
+    got = sorted(out.column("x").to_pylist(), key=lambda v: (v is None, v))
+    assert got == [1, 2, 3, None]
+
+
+def test_cross_join_broadcast_product_and_guard(ray_session):
+    l = ray.data.from_arrow(pa.table({"a": pa.array([1, 2], pa.int64())}))
+    r = ray.data.from_arrow(pa.table({"b": ["x", "y", "z"]}))
+    out = rel.collect(rel.cross_join_broadcast(l, r))
+    assert out.num_rows == 6
+    assert sorted(set(zip(out.column("a").to_pylist(), out.column("b").to_pylist()))) == [
+        (1, "x"), (1, "y"), (1, "z"), (2, "x"), (2, "y"), (2, "z")
+    ]
+    with pytest.raises(ValueError):
+        rel.cross_join_broadcast(l, r, max_right_rows=2)
+    with pytest.raises(ValueError):
+        rel.cross_join_broadcast(l, ray.data.from_arrow(pa.table({"a": [9]})))
