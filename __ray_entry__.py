@@ -1088,6 +1088,37 @@ def _bpe_tokenize(sf_dir: str):
     )
 
 
+def _left_outer_orders(sf_dir: str):
+    """Customers LEFT OUTER JOIN orders -> per-customer order count
+    (zero-order customers kept at 0)."""
+    import pyarrow.compute as _pc
+
+    from datafusion_orc_ray.pipelines import relational as rel
+
+    cust = _ds(sf_dir, "customer", ["c_custkey"])
+    orders = _ds(sf_dir, "orders", ["o_custkey", "o_orderkey"])
+    j = rel.hash_join(cust, orders, "c_custkey", "o_custkey", join_type="left outer")
+
+    def valid(batch):
+        return batch.append_column(
+            "__v", _pc.cast(_pc.is_valid(batch.column("o_orderkey")), "int64")
+        )
+
+    tagged = j.map_batches(valid, batch_format="pyarrow")
+    return rel.grouped_agg(tagged, ["c_custkey"], {"n_orders": ("sum", "__v")})
+
+
+def _full_outer_users(sf_dir: str):
+    """Per-user event counts FULL OUTER JOIN customer keys: unmatched
+    rows on either side survive null-padded (bucket-path-only join)."""
+    from datafusion_orc_ray.pipelines import relational as rel
+
+    ev = _ds(sf_dir, "events", ["user_id", "event_id"])
+    g = rel.grouped_agg_ds(ev, ["user_id"], {"n_ev": ("count", "event_id")})
+    cust = _ds(sf_dir, "customer", ["c_custkey"])
+    return rel.hash_join(g, cust, "user_id", "c_custkey", join_type="full outer")
+
+
 def _nunique_events(sf_dir: str):
     """Distinct event types per user (pair-dedup combiner, one tiny
     final count)."""
@@ -1551,6 +1582,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "string_agg_events": _string_agg_events,
         "multikey_join_events": _multikey_join_events,
         "nunique_events": _nunique_events,
+        "left_outer_orders": _left_outer_orders,
+        "full_outer_users": _full_outer_users,
         "union_nations": _union_nations,
         "cross_join_region_nation": _cross_join_region_nation,
         "mode_documents": _mode_documents,
@@ -2053,6 +2086,16 @@ FROM documents d LEFT JOIN cnt c USING (doc_id) WHERE d.doc_id % 37 <> 0
         "nunique_events": (
             "SELECT user_id, count(DISTINCT event_type) AS n_distinct "
             "FROM events GROUP BY user_id"
+        ),
+        "left_outer_orders": (
+            "SELECT c_custkey, count(o_orderkey) AS n_orders "
+            "FROM customer LEFT JOIN orders ON c_custkey = o_custkey "
+            "GROUP BY c_custkey"
+        ),
+        "full_outer_users": (
+            "SELECT g.user_id, g.n_ev, c.c_custkey "
+            "FROM (SELECT user_id, count(*) AS n_ev FROM events GROUP BY user_id) g "
+            "FULL OUTER JOIN customer c ON g.user_id = c.c_custkey"
         ),
         "union_nations": (
             "SELECT c_nationkey FROM customer UNION SELECT s_nationkey FROM supplier"

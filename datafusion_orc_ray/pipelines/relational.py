@@ -265,9 +265,15 @@ def hash_join(
     "Joins and lookups"). ``join_type``: "inner" (SQL semantics: NULL
     keys never join), "left semi" (left rows WITH a match, left columns
     only), "left anti" (left rows WITHOUT a match — NULL-key left rows
-    are kept, matching SQL NOT EXISTS). The hot/cold split stays correct
-    for semi/anti because it partitions BOTH sides by the same key sets,
-    and matches only ever occur within a key's own partition.
+    are kept, matching SQL NOT EXISTS), "left outer" (every left row,
+    unmatched ones null-padded — broadcast/hot/bucket paths all stay
+    valid), "full outer" (bucket path ONLY: a broadcast or hot-key
+    split would re-emit unmatched right rows once per batch, so skewed
+    keys pay the full exchange; null-key rows on BOTH sides surface
+    unmatched, exactly Acero/SQL semantics). The hot/cold split stays
+    correct for semi/anti/left-outer because it partitions BOTH sides
+    by the same key sets, and matches only ever occur within a key's
+    own partition.
 
     Fast path first: when the right side is small (≤ ``broadcast_rows``),
     it is collected once, ray.put, and every left batch joins against it
@@ -302,18 +308,27 @@ def hash_join(
     overlap = (set(l_cols) & set(r_cols)) - {left_key, right_key}
     if overlap:
         raise ValueError(f"ambiguous join columns: {sorted(overlap)}")
-    if join_type not in ("inner", "left semi", "left anti"):
+    if join_type not in ("inner", "left semi", "left anti", "left outer", "full outer"):
         raise ValueError(f"unsupported join_type {join_type!r}")
     same_key = left_key == right_key
     semi_anti = join_type in ("left semi", "left anti")
+    # outer joins: Acero's hash join already has exact SQL semantics
+    # (null keys never match; unmatched sides survive null-padded), so
+    # the per-bucket/broadcast joins stay correct as long as every path
+    # KEEPS the rows that must surface unmatched (see tag/keep below).
+    left_keep_nulls = join_type in ("left anti", "left outer", "full outer")
+    full_outer = join_type == "full outer"
+    if bloom_prefilter and join_type in ("left outer", "full outer"):
+        raise ValueError("bloom_prefilter cannot drop rows from an outer join")
     out_cols = l_cols if semi_anti else l_cols + [c for c in r_cols if c not in l_cols]
     if n_buckets is None:
         n_buckets = max(16, 2 * _cluster_cpus())
 
     def arrow_join(lt: pa.Table, rt: pa.Table) -> pa.Table:
-        if join_type != "left anti":  # anti KEEPS null-key left rows (NOT EXISTS)
+        if not left_keep_nulls:  # anti/outer KEEP null-key left rows
             lt = lt.filter(pc.is_valid(lt.column(left_key)))
-        rt = rt.filter(pc.is_valid(rt.column(right_key)))
+        if not full_outer:  # full outer keeps unmatched null-key right rows
+            rt = rt.filter(pc.is_valid(rt.column(right_key)))
         j = lt.join(
             rt, keys=[left_key], right_keys=[right_key],
             join_type=join_type, coalesce_keys=same_key or semi_anti,
@@ -325,7 +340,9 @@ def hash_join(
         right_count = right.count()
     except Exception:
         right_count = None
-    if right_count is not None and right_count <= broadcast_rows:
+    # full outer cannot broadcast: every batch-local join would re-emit
+    # the right side's unmatched rows once per batch
+    if right_count is not None and right_count <= broadcast_rows and not full_outer:
         right_tbl = collect(right)
         rt_ref = ray.put(right_tbl)
 
@@ -394,6 +411,11 @@ def hash_join(
         for v, c in zip(vc.field("values"), vc.field("counts"))
         if c.as_py() / total > hot_key_share
     ]
+    if full_outer:
+        # the hot broadcast path would also re-emit unmatched right-hot
+        # rows per batch; full outer takes the bucket exchange for all
+        # keys (documented skew caveat)
+        hot_keys = []
 
     if hot_keys:
         hot_arr = pa.array(hot_keys, type=l_schema.field(left_key).type)
@@ -422,9 +444,9 @@ def hash_join(
         def fn(batch: pa.Table) -> pa.Table:
             key_arr = batch.column(key_col)
             keep = pc.is_valid(key_arr)
-            if side == 0 and join_type == "left anti":
-                # NOT EXISTS keeps null-key left rows; they hash to a
-                # bucket and match nothing there
+            if (side == 0 and left_keep_nulls) or (side == 1 and full_outer):
+                # anti/outer must surface null-key rows unmatched; they
+                # hash to a bucket and match nothing there
                 keep = pa.array(np.ones(batch.num_rows, bool))
             if hot_set:
                 hot_arr_t = pa.array(list(hot_set), type=batch.schema.field(key_col).type)
@@ -1135,6 +1157,11 @@ def hash_join_on(
     hash_join (typed keys, no packing cost)."""
     if len(left_keys) != len(right_keys) or not left_keys:
         raise ValueError("need equal, non-empty key lists")
+    if join_type == "full outer":
+        # the wrapper drops the right key columns, so unmatched right
+        # rows would lose their key values; use hash_join on a single
+        # typed key (or pre-pack keys yourself) for full outer
+        raise ValueError("hash_join_on does not support full outer; use hash_join")
     if len(left_keys) == 1:
         return hash_join(left, right, left_keys[0], right_keys[0], join_type=join_type, **kw)
 
