@@ -1088,6 +1088,15 @@ def _bpe_tokenize(sf_dir: str):
     )
 
 
+def _entropy_documents(sf_dir: str):
+    """Per-doc byte-distribution Shannon entropy (gibberish signal):
+    one flat bincount per batch over (doc_index*256 + byte)."""
+    from datafusion_orc_ray.pipelines import text as tx
+
+    ds = _ds(sf_dir, "documents", ["doc_id", "text"])
+    return tx.byte_entropy(ds)
+
+
 def _left_outer_orders(sf_dir: str):
     """Customers LEFT OUTER JOIN orders -> per-customer order count
     (zero-order customers kept at 0)."""
@@ -1583,6 +1592,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multikey_join_events": _multikey_join_events,
         "nunique_events": _nunique_events,
         "left_outer_orders": _left_outer_orders,
+        "entropy_documents": _entropy_documents,
         "full_outer_users": _full_outer_users,
         "union_nations": _union_nations,
         "cross_join_region_nation": _cross_join_region_nation,
@@ -2087,6 +2097,23 @@ FROM documents d LEFT JOIN cnt c USING (doc_id) WHERE d.doc_id % 37 <> 0
             "SELECT user_id, count(DISTINCT event_type) AS n_distinct "
             "FROM events GROUP BY user_id"
         ),
+        "entropy_documents": """
+WITH pos AS (
+  SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i
+  FROM documents WHERE text IS NOT NULL AND length(text) > 0
+),
+cnt AS (
+  SELECT doc_id, substring(text, i, 1) AS c, count(*) AS n
+  FROM pos GROUP BY 1, 2
+),
+tot AS (SELECT doc_id, CAST(sum(n) AS DOUBLE) AS t FROM cnt GROUP BY 1),
+e AS (
+  SELECT cnt.doc_id, -sum((n / t) * ln(n / t)) AS ent
+  FROM cnt JOIN tot USING (doc_id) GROUP BY cnt.doc_id
+)
+SELECT d.doc_id, round(e.ent, 4) AS entropy
+FROM documents d LEFT JOIN e USING (doc_id)
+""",
         "left_outer_orders": (
             "SELECT c_custkey, count(o_orderkey) AS n_orders "
             "FROM customer LEFT JOIN orders ON c_custkey = o_custkey "

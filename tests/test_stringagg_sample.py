@@ -72,3 +72,18 @@ def test_sample_n_per_group_small_groups_keep_all(ray_session):
     )
     out = co.sample_n_per_group(ray.data.from_arrow(tbl), 5, "lang")
     assert out.num_rows == 3
+
+
+def test_byte_entropy_known_values(ray_session):
+    import math
+
+    from datafusion_orc_ray.pipelines import text as tx
+
+    docs = ["aaaa", "ab", "", None, "abcd"]
+    tbl = pa.table({"doc_id": pa.array(range(5), pa.int64()), "text": docs})
+    out = collect(tx.byte_entropy(ray.data.from_arrow(tbl).repartition(2))).sort_by("doc_id")
+    got = out.column("entropy").to_pylist()
+    assert got[0] == 0.0                      # single symbol
+    assert got[1] == round(math.log(2), 4)    # two equiprobable
+    assert got[2] is None and got[3] is None  # empty / null -> NULL
+    assert got[4] == round(math.log(4), 4)
