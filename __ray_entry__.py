@@ -1088,6 +1088,30 @@ def _bpe_tokenize(sf_dir: str):
     )
 
 
+def _asof_partitioned_events(sf_dir: str):
+    """Large-large LEFT ASOF self-join: every event annotated with the
+    same user's most recent prior-or-equal click time. One shared
+    key-hash exchange, composite searchsorted per bucket — no broadcast,
+    no per-key loop."""
+    from datafusion_orc_ray.pipelines import relational as rel
+    from datafusion_orc_ray.pipelines import windows as w
+
+    ev = _ds(sf_dir, "events", ["event_id", "user_id", "ts"])
+    import pyarrow.compute as _pc
+
+    clicks = _ds(sf_dir, "events", ["user_id", "ts", "event_type"]).map_batches(
+        lambda b: b.filter(_pc.equal(b.column("event_type"), "click")),
+        batch_format="pyarrow",
+    )
+    out = w.asof_join_partitioned(
+        ev, clicks, "user_id", "ts", "ts", payload={"last_click_ts": "ts"}
+    )
+    return out.map_batches(
+        lambda b: b.select(["event_id", "user_id", "last_click_ts"]),
+        batch_format="pyarrow",
+    )
+
+
 def _entropy_documents(sf_dir: str):
     """Per-doc byte-distribution Shannon entropy (gibberish signal):
     one flat bincount per batch over (doc_index*256 + byte)."""
@@ -1593,6 +1617,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nunique_events": _nunique_events,
         "left_outer_orders": _left_outer_orders,
         "entropy_documents": _entropy_documents,
+        "asof_partitioned_events": _asof_partitioned_events,
         "full_outer_users": _full_outer_users,
         "union_nations": _union_nations,
         "cross_join_region_nation": _cross_join_region_nation,
@@ -2096,6 +2121,12 @@ FROM documents d LEFT JOIN cnt c USING (doc_id) WHERE d.doc_id % 37 <> 0
         "nunique_events": (
             "SELECT user_id, count(DISTINCT event_type) AS n_distinct "
             "FROM events GROUP BY user_id"
+        ),
+        "asof_partitioned_events": (
+            "SELECT l.event_id, l.user_id, r.ts AS last_click_ts "
+            "FROM events l ASOF LEFT JOIN "
+            "(SELECT user_id, ts FROM events WHERE event_type = 'click') r "
+            "ON l.user_id = r.user_id AND l.ts >= r.ts"
         ),
         "entropy_documents": """
 WITH pos AS (

@@ -468,3 +468,151 @@ def grouped_string_agg(
     return ds.map_batches(tag, batch_format="pyarrow").groupby("__bucket").map_groups(
         bucket_agg, batch_format="pyarrow"
     )
+
+
+def asof_join_partitioned(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    key_col: str,
+    left_ts: str,
+    right_ts: str,
+    payload: dict[str, str],
+    n_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """LEFT ASOF join for two LARGE sides (the broadcast variant's
+    scale-out sibling): for every left row, the LATEST right row of the
+    same key with right_ts <= left_ts, null-padded when none exists.
+    ``payload`` maps output names to right columns (names must not
+    clash with left's — self-joins rename here).
+
+    One shared key-hash exchange co-locates both sides (union + tagged
+    sides, same shape as hash_join's bucket path); each bucket then
+    resolves every left row with ONE composite searchsorted — key codes
+    and time offsets packed into int64, so there is no per-key Python
+    loop. Guarded: the packing raises loudly if |keys/bucket| x
+    time-span overflows int64 (raise n_buckets). Left rows with NULL
+    key or ts match nothing (SQL ASOF LEFT JOIN); right rows with NULL
+    key or ts are ignored."""
+    from ..util import cluster_cpus
+
+    if n_buckets is None:
+        n_buckets = max(16, 2 * cluster_cpus())
+    l_schema = getattr(left.schema(), "base_schema", left.schema())
+    r_schema = getattr(right.schema(), "base_schema", right.schema())
+    l_cols = list(l_schema.names)
+    clash = set(payload) & set(l_cols)
+    if clash:
+        raise ValueError(f"payload output names clash with left columns: {sorted(clash)}")
+    ltt, rtt = l_schema.field(left_ts).type, r_schema.field(right_ts).type
+    if pa.types.is_temporal(ltt) or pa.types.is_temporal(rtt):
+        if ltt != rtt:  # unit mismatch would compare raw int64 wrongly
+            raise TypeError(f"asof ts type mismatch: left {ltt} vs right {rtt}")
+    elif not (pa.types.is_integer(ltt) and pa.types.is_integer(rtt)):
+        raise TypeError(f"asof ts must be temporal or integer, got {ltt}/{rtt}")
+    r_proj = list(dict.fromkeys([key_col, right_ts, *payload.values()]))
+
+    out_key, out_rts = "__rk", "__rts"
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        b = (_stable_hash64(batch.column(key_col)) % n_buckets).astype(np.int32)
+        batch = batch.append_column("__bucket", pa.array(b))
+        return batch.append_column("__side", pa.array(np.zeros(batch.num_rows, np.int8)))
+
+    def tag_right(batch: pa.Table) -> pa.Table:
+        batch = batch.select(r_proj)
+        keep = pc.and_(
+            pc.is_valid(batch.column(key_col)), pc.is_valid(batch.column(right_ts))
+        )
+        batch = batch.filter(keep)
+        b = (_stable_hash64(batch.column(key_col)) % n_buckets).astype(np.int32)
+        cols = {out_key: batch.column(key_col), out_rts: batch.column(right_ts)}
+        for out, src in payload.items():
+            cols[out] = batch.column(src)
+        t = pa.table(cols)
+        t = t.append_column("__bucket", pa.array(b))
+        return t.append_column("__side", pa.array(np.ones(t.num_rows, np.int8)))
+
+    # union needs one schema: null-pad each side's missing columns
+    def widen(to_schema: pa.Schema):
+        def fn(batch: pa.Table) -> pa.Table:
+            cols = []
+            for f in to_schema:
+                if f.name in batch.column_names:
+                    cols.append(batch.column(f.name).cast(f.type))
+                else:
+                    cols.append(pa.nulls(batch.num_rows, f.type))
+            return pa.Table.from_arrays(cols, schema=to_schema)
+
+        return fn
+
+    lt_tagged = left.map_batches(tag_left, batch_format="pyarrow")
+    rt_tagged = right.map_batches(tag_right, batch_format="pyarrow")
+    l_tag_schema = getattr(lt_tagged.schema(), "base_schema", lt_tagged.schema())
+    r_tag_schema = getattr(rt_tagged.schema(), "base_schema", rt_tagged.schema())
+    merged = pa.unify_schemas([l_tag_schema, r_tag_schema])
+    both = lt_tagged.map_batches(widen(merged), batch_format="pyarrow").union(
+        rt_tagged.map_batches(widen(merged), batch_format="pyarrow")
+    )
+    out_names = l_cols + list(payload)
+
+    def bucket_asof(g: pa.Table) -> pa.Table:
+        side = g.column("__side")
+        lt = g.filter(pc.equal(side, 0))
+        rt = g.filter(pc.equal(side, 1))
+        lt = lt.select(l_cols)
+        if lt.num_rows == 0:
+            cols = {c: pa.array([], merged.field(c).type) for c in l_cols}
+            cols.update({o: pa.array([], merged.field(o).type) for o in payload})
+            return pa.table(cols)
+        if rt.num_rows == 0:
+            out = lt
+            for o in payload:
+                out = out.append_column(o, pa.nulls(lt.num_rows, merged.field(o).type))
+            return out
+        rt = rt.sort_by([(out_key, "ascending"), (out_rts, "ascending")])
+        rkeys = rt.column(out_key)
+        rts_i = pc.cast(rt.column(out_rts), pa.int64()).to_numpy(zero_copy_only=False)
+        rk_np = rkeys.to_numpy(zero_copy_only=False)
+        new_k = np.concatenate([[True], rk_np[1:] != rk_np[:-1]])
+        rcode = np.cumsum(new_k) - 1
+        uniq_keys = rkeys.take(pa.array(np.flatnonzero(new_k)))
+        lts_col = lt.column(left_ts)
+        l_valid = pc.and_(
+            pc.is_valid(lt.column(key_col)), pc.is_valid(lts_col)
+        ).to_numpy(zero_copy_only=False)
+        lcode_arr = pc.index_in(lt.column(key_col), value_set=uniq_keys)
+        lcode = lcode_arr.to_numpy(zero_copy_only=False).astype(np.float64)
+        lts_i = pc.cast(pc.fill_null(lts_col, 0), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        rmin = int(rts_i.min())
+        span = int(rts_i.max()) - rmin + 2
+        n_codes = int(rcode[-1]) + 1
+        if n_codes * span >= 2**62:
+            raise ValueError(
+                "asof composite key overflows int64; raise n_buckets to "
+                "shrink keys-per-bucket or normalize timestamps"
+            )
+        rcomp = rcode * span + (rts_i - rmin)
+        has_code = ~np.isnan(lcode) & l_valid
+        lc = np.nan_to_num(lcode).astype(np.int64)
+        l_off = np.clip(lts_i - rmin, 0, span - 1)
+        lcomp = lc * span + l_off
+        pos = np.searchsorted(rcomp, lcomp, side="right") - 1
+        pos_c = np.clip(pos, 0, len(rcomp) - 1)
+        matched = (
+            has_code
+            & (pos >= 0)
+            & (rcode[pos_c] == lc)
+            & (rts_i[pos_c] <= lts_i)
+        )
+        take_idx = pa.array(
+            np.where(matched, pos_c, -1), pa.int64()
+        )
+        take_idx = pc.if_else(pa.array(matched), take_idx, pa.scalar(None, pa.int64()))
+        out = lt
+        for o in payload:
+            out = out.append_column(o, rt.column(o).take(take_idx))
+        return out.select(out_names)
+
+    return both.groupby("__bucket").map_groups(bucket_asof, batch_format="pyarrow")

@@ -100,3 +100,45 @@ def test_bloom_prefilter_rejected_for_outer(ray_session):
         rel.hash_join(_l(), _r(), "k", "rk", join_type="left outer", bloom_prefilter=True)
     with pytest.raises(ValueError):
         rel.hash_join_on(_l(), _r(), ["k", "k"], ["rk", "rk"], join_type="full outer")
+
+
+def test_asof_partitioned_matches_semantics(ray_session):
+    from datafusion_orc_ray.pipelines import windows as w
+
+    left = ray.data.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([1, 1, 1, 2, 3, None], pa.int64()),
+                "ts": pa.array([5, 15, 25, 7, 9, 9], pa.int64()),
+                "lv": pa.array(range(6), pa.int64()),
+            }
+        )
+    ).repartition(3)
+    right = ray.data.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([1, 1, 2, None], pa.int64()),
+                "rts": pa.array([10, 20, 7, 1], pa.int64()),
+                "mark": ["a", "b", "c", "x"],
+            }
+        )
+    ).repartition(2)
+    out = rel.collect(
+        w.asof_join_partitioned(left, right, "k", "ts", "rts", {"mark": "mark"})
+    ).sort_by("lv")
+    # k=1: ts5 -> none, ts15 -> a(10), ts25 -> b(20); k=2: ts7 -> c (<=);
+    # k=3 no right; null key -> no match
+    assert out.column("mark").to_pylist() == [None, "a", "b", "c", None, None]
+
+
+def test_asof_partitioned_type_mismatch_raises(ray_session):
+    from datafusion_orc_ray.pipelines import windows as w
+
+    l = ray.data.from_arrow(
+        pa.table({"k": [1], "ts": pa.array([1], pa.timestamp("us")), "lv": [1]})
+    )
+    r = ray.data.from_arrow(
+        pa.table({"k": [1], "rts": pa.array([1], pa.timestamp("ms")), "m": ["a"]})
+    )
+    with pytest.raises(TypeError):
+        w.asof_join_partitioned(l, r, "k", "ts", "rts", {"m": "m"})
