@@ -1088,6 +1088,25 @@ def _bpe_tokenize(sf_dir: str):
     )
 
 
+def _daily_rollup_events(sf_dir: str):
+    """Events per day (date_trunc rollup): floor_temporal + the standard
+    partial->tree grouped aggregate."""
+    import pyarrow.compute as _pc
+
+    from datafusion_orc_ray.pipelines import relational as rel
+
+    ds = _ds(sf_dir, "events", ["ts", "value"])
+    t = rel.temporal_rollup(
+        ds, "ts", "day", {"n": ("count", "ts"), "sum_value": ("sum", "value")},
+        out_col="day_ts",
+    )
+    return t.set_column(
+        t.schema.get_field_index("sum_value"),
+        "sum_value",
+        _pc.round(t.column("sum_value"), 4, round_mode="half_towards_infinity"),
+    )
+
+
 def _asof_partitioned_events(sf_dir: str):
     """Large-large LEFT ASOF self-join: every event annotated with the
     same user's most recent prior-or-equal click time. One shared
@@ -1618,6 +1637,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "left_outer_orders": _left_outer_orders,
         "entropy_documents": _entropy_documents,
         "asof_partitioned_events": _asof_partitioned_events,
+        "daily_rollup_events": _daily_rollup_events,
         "full_outer_users": _full_outer_users,
         "union_nations": _union_nations,
         "cross_join_region_nation": _cross_join_region_nation,
@@ -2121,6 +2141,11 @@ FROM documents d LEFT JOIN cnt c USING (doc_id) WHERE d.doc_id % 37 <> 0
         "nunique_events": (
             "SELECT user_id, count(DISTINCT event_type) AS n_distinct "
             "FROM events GROUP BY user_id"
+        ),
+        "daily_rollup_events": (
+            "SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_ts, "
+            "count(*) AS n, round(sum(value), 4) AS sum_value "
+            "FROM events GROUP BY 1"
         ),
         "asof_partitioned_events": (
             "SELECT l.event_id, l.user_id, r.ts AS last_click_ts "

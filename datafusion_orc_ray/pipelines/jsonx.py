@@ -57,6 +57,8 @@ def extract_json_field(
         s = batch.column(col)
         if isinstance(s, pa.ChunkedArray):
             s = s.combine_chunks()
+        if pa.types.is_null(s.type):  # all-null block infers null type
+            s = s.cast(pa.string())
         m = pc.extract_regex(s, pattern)
         vals = pc.struct_field(m, "v")
         has_key = pc.match_substring_regex(s, key_pattern)

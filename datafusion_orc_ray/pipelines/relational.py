@@ -1293,3 +1293,26 @@ def cross_join_broadcast(
         return pa.table(cols)
 
     return left.map_batches(cross, batch_format="pyarrow")
+
+
+def temporal_rollup(
+    ds: ray.data.Dataset,
+    ts_col: str,
+    unit: str,
+    exprs: dict[str, tuple[str, str]],
+    out_col: str = "bucket_ts",
+    fanin: int = 8,
+) -> pa.Table:
+    """Aggregate by truncated event time (SQL date_trunc): one Arrow
+    ``floor_temporal`` per batch, then the standard partial+tree grouped
+    aggregate keyed on the bucket timestamp. ``unit``: any
+    floor_temporal unit ("day", "hour", "week", ...)."""
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            out_col, pc.floor_temporal(batch.column(ts_col), unit=unit)
+        )
+
+    return grouped_agg(
+        ds.map_batches(bucket, batch_format="pyarrow"), [out_col], exprs, fanin=fanin
+    )

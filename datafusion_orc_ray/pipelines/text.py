@@ -653,6 +653,8 @@ def byte_entropy(
         s = batch.column(text_col)
         if isinstance(s, pa.ChunkedArray):
             s = s.combine_chunks()
+        if pa.types.is_null(s.type):  # all-null block infers null type
+            s = s.cast(pa.string())
         filled = pc.fill_null(s, "").cast(pa.binary())
         n = len(filled)
         out = batch.select([id_col])

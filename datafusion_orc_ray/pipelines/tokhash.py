@@ -95,6 +95,10 @@ def token_strings(texts: pa.Array | pa.ChunkedArray) -> tuple[pa.Array, np.ndarr
         texts = texts.combine_chunks()
     if len(texts) == 0:
         return pa.array([], pa.string()), np.zeros(1, np.int64)
+    if pa.types.is_null(texts.type):
+        # an all-null block infers a null-typed column; fill_null cannot
+        # make a string scalar of null type (hypothesis-found edge)
+        texts = texts.cast(pa.string())
     toks = pc.utf8_split_whitespace(pc.fill_null(texts, ""))
     if isinstance(toks, pa.ChunkedArray):
         toks = toks.combine_chunks()
