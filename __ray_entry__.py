@@ -710,6 +710,19 @@ def _shared_spans_documents(sf_dir: str):
     return dedup.shared_span_counts(_ds(sf_dir, "documents", ["doc_id", "text"]), k=8)
 
 
+def _excise_spans_documents(sf_dir: str):
+    """Substring-dedup EXCISION (Lee et al. 2022): rewrite each doc so
+    every 8-token window shared with another doc survives only in its
+    owner (min doc_id); output is whitespace-normalized surviving
+    tokens. One h-bucket shuffle + driver-gated rejoin (broadcast below
+    the gate, bucket left-outer join above — text never shuffles)."""
+    from datafusion_orc_ray.pipelines import dedup
+
+    return dedup.excise_shared_spans(
+        _ds(sf_dir, "documents", ["doc_id", "text"]), k=8
+    )
+
+
 def _decontam_documents(sf_dir: str):
     """Benchmark decontamination (GPT-3 appendix-C shape): per training
     doc, 8-token window positions overlapping a held-out eval slice
@@ -1661,6 +1674,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_documents": _repetition_documents,
         "point_lookup_orders": _point_lookup_orders,
         "shared_spans_documents": _shared_spans_documents,
+        "excise_spans_documents": _excise_spans_documents,
         "decontam_documents": _decontam_documents,
         "quantile_filter_documents": _quantile_filter_documents,
         "dedup_incremental_documents": _dedup_incremental_documents,
@@ -1911,6 +1925,39 @@ cnt AS (SELECT x.doc_id, count(*) AS n FROM wins x JOIN shared USING (w)
 SELECT d.doc_id,
   CASE WHEN d.text IS NULL THEN NULL ELSE coalesce(c.n, 0) END AS n_shared_windows
 FROM documents d LEFT JOIN cnt c USING (doc_id)
+""",
+        "excise_spans_documents": """
+WITH tl AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS ts
+            FROM documents WHERE text IS NOT NULL),
+wins AS (
+  SELECT doc_id,
+         unnest(generate_series(1, len(ts) - 7)) AS start,
+         unnest(list_transform(generate_series(1, len(ts) - 7),
+                               i -> array_to_string(ts[i:i+7], ' '))) AS w
+  FROM tl
+),
+owners AS (SELECT w, min(doc_id) AS owner FROM wins
+           GROUP BY w HAVING count(DISTINCT doc_id) >= 2),
+ex AS (SELECT DISTINCT wins.doc_id, start FROM wins JOIN owners USING (w)
+       WHERE wins.doc_id <> owners.owner),
+cov AS (SELECT DISTINCT doc_id,
+               unnest(generate_series(start, start + 7)) AS pos FROM ex),
+toks AS (SELECT doc_id, unnest(ts) AS tok, generate_subscripts(ts, 1) AS pos
+         FROM tl),
+kept AS (
+  SELECT t.doc_id,
+         coalesce(string_agg(t.tok, ' ' ORDER BY t.pos)
+                  FILTER (WHERE cov.pos IS NULL), '') AS text_excised,
+         count(cov.pos) AS n_removed
+  FROM toks t LEFT JOIN cov ON cov.doc_id = t.doc_id AND cov.pos = t.pos
+  GROUP BY t.doc_id
+)
+SELECT d.doc_id,
+       CASE WHEN d.text IS NULL THEN NULL
+            ELSE coalesce(k.text_excised, '') END AS text_excised,
+       CASE WHEN d.text IS NULL THEN 0
+            ELSE coalesce(k.n_removed, 0) END AS n_removed
+FROM documents d LEFT JOIN kept k USING (doc_id)
 """,
         "curation_pipeline_documents": """
 WITH train AS (SELECT * FROM documents WHERE doc_id % 37 <> 0),

@@ -1093,3 +1093,252 @@ def dedup_against(
     return joined.map_batches(
         lambda b: pa.table({"doc_id": b.column("doc_id")}), batch_format="pyarrow"
     )
+
+
+# ------------------------------------------------- shared-span excision
+
+
+def _excise_rewrite(
+    ids: pa.Array,
+    texts: pa.Array,
+    doc_idx: np.ndarray,
+    starts: np.ndarray,
+    k: int,
+    id_col: str,
+) -> pa.Table:
+    """Vectorized batch rewrite: remove every token position covered by
+    an excised window [start, start+k) and re-join the survivors with
+    single spaces. ``doc_idx`` indexes batch rows; ``starts`` are 0-based
+    token positions within each doc. One coverage delta + cumsum for the
+    whole batch (window spans never cross doc boundaries, so coverage
+    returns to zero at each boundary by construction)."""
+    flat, offs = tk.token_strings(texts)
+    n_tok = int(offs[-1])
+    if n_tok >= 2**31:
+        raise ValueError("token volume overflows int32 list offsets; lower batch_size")
+    delta = np.zeros(n_tok + 1, np.int64)
+    if doc_idx.size:
+        a = offs[:-1][doc_idx] + starts
+        np.add.at(delta, a, 1)
+        np.add.at(delta, a + k, -1)
+    cov = np.cumsum(delta[:-1]) > 0
+    kept_pos = np.flatnonzero(~cov)
+    kept = flat if kept_pos.size == n_tok else flat.take(pa.array(kept_pos, pa.int64()))
+    new_offs = np.searchsorted(kept_pos, offs)
+    la = pa.ListArray.from_arrays(pa.array(new_offs, pa.int32()), kept)
+    text_out = pc.binary_join(la, " ")
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    text_out = pc.if_else(pc.is_valid(texts), text_out, pa.scalar(None, pa.string()))
+    n_removed = (np.diff(offs) - np.diff(new_offs)).astype(np.int64)
+    return pa.table(
+        {id_col: ids, "text_excised": text_out, "n_removed": pa.array(n_removed)}
+    )
+
+
+def excise_shared_spans(
+    ds: ray.data.Dataset,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_gate: int | None = None,
+) -> ray.data.Dataset:
+    """(doc_id, text_excised, n_removed): REWRITE each document so that
+    every k-token window that also occurs in at least one OTHER document
+    is removed from every document except the window's owner (the MIN
+    doc_id carrying it) — the excision step of substring dedup
+    ("Deduplicating Training Data Makes Language Models Better", Lee et
+    al. 2022), where ``shared_span_counts`` only reports the evidence.
+    Output text is the surviving tokens joined with single spaces
+    (tokenization is whitespace-based, so the rewrite is
+    whitespace-normalizing by construction); ``n_removed`` counts the
+    excised token POSITIONS. NULL text -> NULL text_excised / 0 removed;
+    docs with <k tokens are normalized, never excised; the owner keeps
+    ALL its occurrences (within-doc repeats of an unshared window are
+    not duplication evidence).
+
+    Distributed shape (ONE mandatory all-to-all; text never shuffles):
+      1. per batch, one rolling-hash pass emits (h, doc_id, start) per
+         window occurrence — ~24 B/token — into a bucket groupby on h;
+      2. per bucket, hash runs with >=2 DISTINCT docs pick owner =
+         min(doc_id) and emit their non-owner (doc_id, start) rows: the
+         excise list, sized by cross-doc duplication volume only;
+      3. the list rejoins the corpus driver-gated: BELOW the gate the
+         sorted (doc_id, start) arrays are ray.put once and a second
+         streaming pass rewrites every batch with zero further shuffle;
+         ABOVE it nothing broadcasts — per-doc start lists roll up in
+         one doc-bucket groupby and bucket-join (left outer) back to the
+         corpus (the minhash_dedup_corpus anti-join discipline, VERDICT
+         r2 #5), then the same vectorized rewrite runs per joined batch.
+    """
+    from .relational import _SMALL_PARTIALS, _cluster_cpus, _stable_hash64
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    gate = _SMALL_PARTIALS if broadcast_gate is None else broadcast_gate
+    n_buckets = max(16, 2 * _cluster_cpus())
+    empty_occ = pa.table(
+        {
+            "h": pa.array([], pa.int64()),
+            "doc_id": pa.array([], pa.int64()),
+            "start": pa.array([], pa.int64()),
+            "__bucket": pa.array([], pa.int32()),
+        }
+    )
+
+    def occ_rows(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col)
+        th, offs = tk.token_hashes(texts)
+        wh, woffs = tk.rolling_shingles(th, offs, k, pad_short=False)
+        if not wh.size:
+            return empty_occ
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        counts = np.diff(woffs)
+        wdoc = np.repeat(ids, counts).astype(np.int64)
+        starts = (np.arange(wh.size) - np.repeat(woffs[:-1], counts)).astype(np.int64)
+        hi = pa.array(wh.view(np.int64))
+        return pa.table(
+            {
+                "h": hi,
+                "doc_id": pa.array(wdoc),
+                "start": pa.array(starts),
+                "__bucket": pa.array(
+                    (_stable_hash64(hi) % n_buckets).astype(np.int32)
+                ),
+            }
+        )
+
+    def pick_excise(g: pa.Table) -> pa.Table:
+        h = g.column("h").to_numpy(zero_copy_only=False)
+        d = g.column("doc_id").to_numpy(zero_copy_only=False)
+        s = g.column("start").to_numpy(zero_copy_only=False)
+        o = np.lexsort((s, d, h))
+        h, d, s = h[o], d[o], s[o]
+        new_h = np.concatenate([[True], h[1:] != h[:-1]])
+        run = np.cumsum(new_h) - 1
+        new_doc = new_h | np.concatenate([[True], d[1:] != d[:-1]])
+        n_docs_per_run = np.bincount(run[new_doc])
+        shared = (n_docs_per_run >= 2)[run]
+        owner = d[np.flatnonzero(new_h)][run]
+        keep = shared & (d != owner)
+        return pa.table(
+            {
+                "doc_id": pa.array(d[keep], pa.int64()),
+                "start": pa.array(s[keep], pa.int64()),
+            }
+        )
+
+    wins = ds.map_batches(occ_rows, batch_format="pyarrow")
+    ex = (
+        wins.groupby("__bucket")
+        .map_groups(pick_excise, batch_format="pyarrow")
+        .materialize()
+    )
+    base = ds.map_batches(
+        lambda b: b.select([id_col, text_col]), batch_format="pyarrow"
+    )
+
+    n_ex = ex.count()
+    if n_ex == 0 or n_ex <= gate:
+        if n_ex == 0:
+            # nothing shared: pure whitespace-normalizing rewrite (an
+            # empty Dataset's collect() has no schema to select from)
+            d = s = np.zeros(0, np.int64)
+        else:
+            ex_tbl = collect(ex)
+            d = ex_tbl.column("doc_id").to_numpy(zero_copy_only=False)
+            s = ex_tbl.column("start").to_numpy(zero_copy_only=False)
+        o = np.lexsort((s, d))
+        ref = ray.put((d[o], s[o]))
+
+        def rewrite_bcast(batch: pa.Table) -> pa.Table:
+            ex_d, ex_s = ray.get(ref)
+            ids_np = batch.column(id_col).to_numpy(zero_copy_only=False)
+            lo = np.searchsorted(ex_d, ids_np, "left")
+            hi = np.searchsorted(ex_d, ids_np, "right")
+            counts = hi - lo
+            total = int(counts.sum())
+            doc_idx = np.repeat(np.arange(len(ids_np)), counts)
+            base_off = np.concatenate([[0], np.cumsum(counts)])[:-1]
+            pos = np.arange(total) - np.repeat(base_off, counts) + np.repeat(lo, counts)
+            return _excise_rewrite(
+                batch.column(id_col),
+                batch.column(text_col),
+                doc_idx,
+                ex_s[pos],
+                k,
+                id_col,
+            )
+
+        return base.map_batches(rewrite_bcast, batch_format="pyarrow")
+
+    # above the gate: no broadcast — roll starts up per doc (packed as
+    # int64-LE binary blobs: Acero joins reject list payload columns)
+    # and bucket-join back to the corpus
+    def roll_lists(g: pa.Table) -> pa.Table:
+        d = g.column("doc_id").to_numpy(zero_copy_only=False)
+        s = g.column("start").to_numpy(zero_copy_only=False)
+        o = np.lexsort((s, d))
+        d, s = d[o], s[o]
+        new = np.concatenate([[True], d[1:] != d[:-1]])
+        firsts = np.flatnonzero(new)
+        counts = np.diff(np.append(firsts, d.size))
+        boffs = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64) * 8
+        blobs = pa.Array.from_buffers(
+            pa.large_binary(),
+            len(firsts),
+            [None, pa.py_buffer(boffs.tobytes()), pa.py_buffer(s.astype("<i8").tobytes())],
+        )
+        return pa.table({id_col: pa.array(d[firsts], pa.int64()), "__ex_blob": blobs})
+
+    def doc_bucket(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "__dbucket",
+            pa.array(
+                (
+                    _stable_hash64(b.column("doc_id").cast(pa.int64())) % n_buckets
+                ).astype(np.int32)
+            ),
+        )
+
+    lists = (
+        ex.map_batches(doc_bucket, batch_format="pyarrow")
+        .groupby("__dbucket")
+        .map_groups(
+            lambda g: roll_lists(g.drop_columns(["__dbucket"])),
+            batch_format="pyarrow",
+        )
+    )
+    joined = hash_join(base, lists, id_col, id_col, join_type="left outer")
+
+    def rewrite_joined(batch: pa.Table) -> pa.Table:
+        arr = batch.column("__ex_blob")
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        bo = np.frombuffer(arr.buffers()[1], np.int64)[
+            arr.offset : arr.offset + len(arr) + 1
+        ]
+        data = (
+            np.frombuffer(arr.buffers()[2], np.int64)
+            if arr.buffers()[2] is not None
+            else np.zeros(0, np.int64)
+        )
+        valid = (
+            pc.is_valid(arr).to_numpy(zero_copy_only=False)
+            if arr.null_count
+            else np.ones(len(arr), bool)
+        )
+        counts = np.where(valid, np.diff(bo) // 8, 0)
+        total = int(counts.sum())
+        doc_idx = np.repeat(np.arange(batch.num_rows), counts)
+        base_off = np.concatenate([[0], np.cumsum(counts)])[:-1]
+        pos = (
+            np.arange(total)
+            - np.repeat(base_off, counts)
+            + np.repeat(bo[:-1] // 8, counts)
+        )
+        return _excise_rewrite(
+            batch.column(id_col), batch.column(text_col), doc_idx, data[pos], k, id_col
+        )
+
+    return joined.map_batches(rewrite_joined, batch_format="pyarrow")
