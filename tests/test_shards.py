@@ -1,0 +1,76 @@
+"""Training-shard writer (corpus.make_training_shards): deterministic
+assignment across parallelism, hive layout as the resume unit, epoch
+reshuffle via seed, and the read-back stats contract (the sf0.01-scale
+assignment+stats math is pinned by the `training_shards_documents`
+DuckDB oracle)."""
+
+import glob
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+import ray.data
+
+from datafusion_orc_ray.pipelines.corpus import _KNUTH, _MOD, make_training_shards
+
+
+def _docs(n=200):
+    rng = np.random.default_rng(7)
+    texts = [" ".join(f"t{v}" for v in rng.integers(0, 50, rng.integers(1, 12))) for _ in range(n)]
+    if n > 5:
+        texts[5] = None
+    return pa.table({"doc_id": pa.array(range(n), pa.int64()), "text": texts})
+
+
+def test_assignment_matches_contract_and_layout(ray_session, tmp_path):
+    docs = _docs()
+    out = str(tmp_path / "shards")
+    stats = make_training_shards(
+        ray.data.from_arrow(docs).repartition(4), out, n_shards=8, seed=0
+    )
+    # hive layout: one dir per shard present in the stats
+    dirs = sorted(glob.glob(os.path.join(out, "shard=*")))
+    assert len(dirs) == stats.num_rows
+    # every written row obeys the published hash contract
+    back = pq.read_table(out, columns=["doc_id", "shard", "__order"])
+    ids = back.column("doc_id").to_numpy().astype(np.uint64)
+    h = (ids * np.uint64(_KNUTH)) % np.uint64(_MOD)
+    assert (back.column("shard").to_numpy().astype(np.int64) == (h % 8).astype(np.int64)).all()
+    assert (back.column("__order").to_numpy() == h.astype(np.int64)).all()
+    # stats cover every doc exactly once
+    assert int(pa.compute.sum(stats.column("n_docs")).as_py()) == docs.num_rows
+
+
+def test_deterministic_across_parallelism(ray_session, tmp_path):
+    docs = _docs()
+    outs = []
+    for i, parts in enumerate((1, 7)):
+        out = str(tmp_path / f"s{i}")
+        stats = make_training_shards(
+            ray.data.from_arrow(docs).repartition(parts), out, n_shards=8, seed=3
+        )
+        outs.append(stats.sort_by("shard"))
+    assert outs[0].equals(outs[1])
+
+
+def test_seed_changes_epoch_permutation(ray_session, tmp_path):
+    docs = _docs()
+    a = make_training_shards(
+        ray.data.from_arrow(docs), str(tmp_path / "a"), n_shards=8, seed=0
+    ).sort_by("shard")
+    b = make_training_shards(
+        ray.data.from_arrow(docs), str(tmp_path / "b"), n_shards=8, seed=1
+    ).sort_by("shard")
+    assert not a.equals(b)  # different epoch -> different assignment
+    # but both partitions cover the full corpus
+    for t in (a, b):
+        assert int(pa.compute.sum(t.column("n_docs")).as_py()) == docs.num_rows
+
+
+def test_validation(ray_session, tmp_path):
+    with pytest.raises(ValueError):
+        make_training_shards(ray.data.from_arrow(_docs(4)), str(tmp_path / "x"), n_shards=0)
+    with pytest.raises(ValueError):
+        make_training_shards(ray.data.from_arrow(_docs(4)), str(tmp_path / "y"), seed=-1)
