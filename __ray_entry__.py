@@ -730,6 +730,22 @@ def _training_shards_documents(sf_dir: str):
         shutil.rmtree(out, ignore_errors=True)
 
 
+def _pack_blocks_documents(sf_dir: str):
+    """GPT-style concat-and-chunk: per deterministic shard, concatenate
+    doc token streams (+<eod> per doc) in epoch order and cut fixed
+    512-token blocks — sequences cross document boundaries (the
+    pretraining data format; pack_sequences is the no-split variant).
+    One shard exchange total."""
+    from datafusion_orc_ray.pipelines import corpus
+
+    return corpus.pack_blocks(
+        _ds(sf_dir, "documents", ["doc_id", "text"]),
+        block_tokens=512,
+        n_shards=16,
+        seed=0,
+    )
+
+
 def _excise_spans_documents(sf_dir: str):
     """Substring-dedup EXCISION (Lee et al. 2022): rewrite each doc so
     every 8-token window shared with another doc survives only in its
@@ -1696,6 +1712,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shared_spans_documents": _shared_spans_documents,
         "excise_spans_documents": _excise_spans_documents,
         "training_shards_documents": _training_shards_documents,
+        "pack_blocks_documents": _pack_blocks_documents,
         "decontam_documents": _decontam_documents,
         "quantile_filter_documents": _quantile_filter_documents,
         "dedup_incremental_documents": _dedup_incremental_documents,
@@ -1955,6 +1972,29 @@ FROM documents d LEFT JOIN cnt c USING (doc_id)
             "CAST(sum(len(regexp_extract_all(text, '\\S+'))) AS BIGINT) AS n_tokens "
             "FROM documents GROUP BY 1"
         ),
+        "pack_blocks_documents": """
+WITH d AS (
+  SELECT doc_id,
+         (CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296 AS h,
+         list_append(regexp_extract_all(text, '\\S+'), '<eod>') AS ts
+  FROM documents WHERE text IS NOT NULL
+),
+s AS (
+  SELECT CAST(h % 16 AS BIGINT) AS shard,
+         flatten(list(ts ORDER BY h, doc_id)) AS toks
+  FROM d GROUP BY 1
+),
+b AS (
+  SELECT shard,
+         unnest(generate_series(0, CAST(ceil(len(toks) / 512.0) AS BIGINT) - 1)) AS block_id,
+         unnest(list_transform(generate_series(0, CAST(ceil(len(toks) / 512.0) AS BIGINT) - 1),
+                i -> array_to_string(toks[i*512+1 : least((i+1)*512, len(toks))], ' '))) AS block_text,
+         unnest(list_transform(generate_series(0, CAST(ceil(len(toks) / 512.0) AS BIGINT) - 1),
+                i -> least((i+1)*512, len(toks)) - i*512)) AS n_tok
+  FROM s
+)
+SELECT shard, block_id, block_text, CAST(n_tok AS BIGINT) AS n_tok FROM b
+""",
         "excise_spans_documents": """
 WITH tl AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS ts
             FROM documents WHERE text IS NOT NULL),

@@ -995,3 +995,92 @@ def make_training_shards(
         ["shard"],
         {"n_docs": ("count", "shard"), "n_tokens": ("sum", "n_tok")},
     )
+
+
+def pack_blocks(
+    ds: ray.data.Dataset,
+    block_tokens: int = 512,
+    n_shards: int = 16,
+    seed: int = 0,
+    eod: str = "<eod>",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """GPT-style concat-and-chunk: per shard, concatenate every
+    document's whitespace tokens (each non-null doc followed by one
+    ``eod`` separator token, even when empty) in the deterministic
+    epoch order (Knuth h, doc_id), then cut the stream into fixed
+    ``block_tokens``-token blocks — sequences CROSS document boundaries,
+    the standard pretraining data format (``text.pack_sequences`` is the
+    no-split variant). Output rows: (shard, block_id, block_text,
+    n_tok); every block has exactly ``block_tokens`` tokens except each
+    shard's last. NULL-text docs contribute nothing.
+
+    Scale shape: ONE shard exchange (groupby shard) — inherent, since a
+    block interleaves tokens from many docs; within a shard everything
+    is one sort + two Arrow gathers. Shard count bounds per-group
+    memory: size n_shards so corpus_tokens/n_shards fits a worker
+    (at 100 TB that is ~10k shards, far above any skew concern since
+    shard hash is uniform by construction)."""
+    if block_tokens < 1:
+        raise ValueError(f"block_tokens must be >= 1, got {block_tokens}")
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+
+    def assign(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.is_valid(batch.column(text_col)))
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = ((ids + np.uint64(seed)) * np.uint64(_KNUTH)) % np.uint64(_MOD)
+        return pa.table(
+            {
+                "shard": pa.array((h % n_shards).astype(np.int64)),
+                "__h": pa.array(h.astype(np.int64)),
+                id_col: t.column(id_col),
+                text_col: t.column(text_col),
+            }
+        )
+
+    def chunk_shard(g: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            g, sort_keys=[("__h", "ascending"), (id_col, "ascending")]
+        )
+        g = g.take(order)
+        flat, offs = tk.token_strings(g.column(text_col))
+        n_docs = len(offs) - 1
+        counts = np.diff(offs)
+        # interleave one eod after each doc: output slot -> source index,
+        # where index len(flat) is the eod sentinel appended to the pool
+        new_counts = counts + 1
+        new_offs = np.concatenate([[0], np.cumsum(new_counts)])
+        total = int(new_offs[-1])
+        gather = np.empty(total, np.int64)
+        doc_of = np.repeat(np.arange(n_docs), new_counts)
+        within = np.arange(total) - new_offs[:-1][doc_of]
+        is_eod = within == counts[doc_of]
+        gather[~is_eod] = (offs[:-1][doc_of] + within)[~is_eod]
+        gather[is_eod] = len(flat)
+        pool = pa.concat_arrays(
+            [flat.combine_chunks() if isinstance(flat, pa.ChunkedArray) else flat,
+             pa.array([eod], pa.string())]
+        )
+        stream = pool.take(pa.array(gather, pa.int64()))
+        if total >= 2**31:
+            raise ValueError("shard token volume overflows int32 list offsets; raise n_shards")
+        n_blocks = -(-total // block_tokens)
+        cuts = np.minimum(np.arange(n_blocks + 1) * block_tokens, total)
+        la = pa.ListArray.from_arrays(pa.array(cuts, pa.int32()), stream)
+        shard = g.column("shard")[0].as_py() if g.num_rows else 0
+        return pa.table(
+            {
+                "shard": pa.array(np.full(n_blocks, shard, np.int64)),
+                "block_id": pa.array(np.arange(n_blocks, dtype=np.int64)),
+                "block_text": pc.binary_join(la, " "),
+                "n_tok": pa.array(np.diff(cuts).astype(np.int64)),
+            }
+        )
+
+    return (
+        ds.map_batches(assign, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(chunk_shard, batch_format="pyarrow")
+    )

@@ -74,3 +74,63 @@ def test_validation(ray_session, tmp_path):
         make_training_shards(ray.data.from_arrow(_docs(4)), str(tmp_path / "x"), n_shards=0)
     with pytest.raises(ValueError):
         make_training_shards(ray.data.from_arrow(_docs(4)), str(tmp_path / "y"), seed=-1)
+
+
+# ----------------------------------------------- concat-and-chunk blocks
+
+
+def test_pack_blocks_stream_and_boundaries(ray_session):
+    from datafusion_orc_ray.pipelines.corpus import pack_blocks
+    from datafusion_orc_ray.pipelines.relational import collect
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": ["a b c", "d e", None, ""],
+        }
+    )
+    out = collect(
+        pack_blocks(
+            ray.data.from_arrow(docs).repartition(2), block_tokens=4, n_shards=1
+        )
+    ).sort_by("block_id")
+    rows = out.to_pylist()
+    # epoch order is (knuth h, doc_id): 0 < 1 < 3 here; null doc 2 skipped
+    ids = [0, 1, 3]
+    h = (np.array(ids, np.uint64) * np.uint64(_KNUTH)) % np.uint64(_MOD)
+    order = [ids[i] for i in np.lexsort((ids, h))]
+    stream = []
+    texts = {0: "a b c", 1: "d e", 3: ""}
+    for d in order:
+        stream += texts[d].split() + ["<eod>"]
+    want = [" ".join(stream[i : i + 4]) for i in range(0, len(stream), 4)]
+    assert [r["block_text"] for r in rows] == want
+    assert [r["n_tok"] for r in rows] == [min(4, len(stream) - 4 * i) for i in range(len(want))]
+
+
+def test_pack_blocks_parallelism_invariant(ray_session):
+    from datafusion_orc_ray.pipelines.corpus import pack_blocks
+    from datafusion_orc_ray.pipelines.relational import collect
+
+    docs = _docs(150)
+    outs = []
+    for parts in (1, 8):
+        outs.append(
+            collect(
+                pack_blocks(
+                    ray.data.from_arrow(docs).repartition(parts),
+                    block_tokens=32,
+                    n_shards=4,
+                )
+            ).sort_by([("shard", "ascending"), ("block_id", "ascending")])
+        )
+    assert outs[0].equals(outs[1])
+
+
+def test_pack_blocks_validation(ray_session):
+    from datafusion_orc_ray.pipelines.corpus import pack_blocks
+
+    with pytest.raises(ValueError):
+        pack_blocks(ray.data.from_arrow(_docs(4)), block_tokens=0)
+    with pytest.raises(ValueError):
+        pack_blocks(ray.data.from_arrow(_docs(4)), n_shards=0)
