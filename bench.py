@@ -231,7 +231,9 @@ def run_bench() -> dict:
               "repetition_documents", "shared_spans_documents",
               "decontam_documents", "curation_pipeline_documents",
               "q3_shipping", "lm_perplexity_documents",
-              "kmeans_embeddings", "bpe_tokenize_documents")
+              "kmeans_embeddings", "bpe_tokenize_documents",
+              "excise_spans_documents", "pack_blocks_documents",
+              "training_shards_documents")
     )
     # best of 2: the first run pays one-off Ray dataset/actor-pool warmup
     # (~1 s) that every query in a long-lived session amortizes; the
