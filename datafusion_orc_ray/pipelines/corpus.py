@@ -305,6 +305,19 @@ _KNUTH = 2654435761  # Knuth multiplicative hash constant
 _MOD = 1 << 32
 
 
+def _knuth_coin(ids: np.ndarray, seed: int = 0) -> np.ndarray:
+    """The corpus-wide deterministic coin: ``((id + seed) * KNUTH) mod
+    2^32`` over uint64 (overflow wraps identically to the HUGEINT SQL
+    mirror). Every sampling / sharding / epoch decision in this module
+    derives from this ONE function so the loader-facing contract lives
+    in one place. ``seed`` must be >= 0 (numpy uint64 would wrap a
+    negative seed differently from SQL)."""
+    if seed < 0:
+        raise ValueError(f"seed must be >= 0, got {seed}")
+    with np.errstate(over="ignore"):
+        return ((ids.astype(np.uint64) + np.uint64(seed)) * np.uint64(_KNUTH)) % np.uint64(_MOD)
+
+
 def stratified_sample(
     ds: ray.data.Dataset,
     rates: dict[str, float],
@@ -330,7 +343,7 @@ def stratified_sample(
         # so (id * K) % 2^32 is overflow-safe for any int64 id (the SQL
         # mirror needs HUGEINT for the same reason)
         ids = batch.column(id_col).to_numpy().astype(np.uint64)
-        coin = (ids * np.uint64(_KNUTH)) % np.uint64(_MOD)
+        coin = _knuth_coin(ids)
         pos = pc.index_in(batch.column(strata_col), value_set=lang_arr)
         thr = pc.fill_null(thresholds.take(pos), default_thr).to_numpy(
             zero_copy_only=False
@@ -791,7 +804,7 @@ def mixture_resample(
         base = pc.fill_null(floors.take(pos), d_floor).to_numpy(zero_copy_only=False)
         thr = pc.fill_null(fracs.take(pos), d_frac).to_numpy(zero_copy_only=False)
         ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.uint64)
-        coin = (ids * np.uint64(_KNUTH)) % np.uint64(_MOD)
+        coin = _knuth_coin(ids)
         n = base + (coin < thr.astype(np.uint64))
         take = np.repeat(np.arange(batch.num_rows), n)
         starts = np.concatenate([[0], np.cumsum(n)])[:-1]
@@ -908,7 +921,7 @@ def sample_n_per_group(
 
     def coin(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_numpy().astype(np.uint64)
-        c = (ids * np.uint64(_KNUTH)) % np.uint64(_MOD)
+        c = _knuth_coin(ids)
         # grouped_topk keeps the LARGEST order values; negate to rank
         # the smallest coins first
         return batch.append_column("__negcoin", pa.array(-c.astype(np.int64)))
@@ -942,18 +955,25 @@ def make_training_shards(
       order = h (within-shard pseudo-random read order)
 
     Every run / parallelism / partitioning produces the SAME assignment
-    (resume + reproducibility); a new seed is a new epoch permutation.
-    Output layout is one hive directory per shard (``shard=<i>/``) so a
-    failed run resumes by re-writing only missing shards and a trainer
+    (reproducibility); a new seed is a new epoch permutation. Output
+    layout is one hive directory per shard (``shard=<i>/``); a trainer
     reads shard i with ``read_parquet(out/shard=<i>)``. Rows inside each
     written block are sorted by (h, doc_id); a loader wanting exact
     global within-shard order sorts its shard by ``__order`` — kept as
     a column for that purpose (per-shard global sort here would be an
     avoidable all-to-all; trainer shuffle buffers make it unnecessary).
 
+    Resume/overwrite contract: a COMPLETED run leaves a ``_DONE`` marker
+    and a re-invocation skips straight to the stats pass (idempotent
+    restart); an INTERRUPTED run (our ``_IN_PROGRESS`` marker present)
+    is discarded and rewritten — determinism makes the rewrite
+    bit-identical; a non-empty ``out_dir`` this function did NOT write
+    raises instead of being deleted.
+
     One streaming pass writes; one column-pruned pass aggregates stats
     (shard, n_docs, n_tokens) via the size-gated reduce.
     """
+    import os
     import shutil
 
     from .relational import grouped_agg
@@ -966,16 +986,29 @@ def make_training_shards(
 
     def assign(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.uint64)
-        h = ((ids + np.uint64(seed)) * np.uint64(_KNUTH)) % np.uint64(_MOD)
+        h = _knuth_coin(ids, seed)
         out = batch.append_column("shard", pa.array((h % n_shards).astype(np.int64)))
         out = out.append_column("__order", pa.array(h.astype(np.int64)))
         o = np.lexsort((ids, h))
         return out.take(pa.array(o, pa.int64()))
 
-    shutil.rmtree(out_dir, ignore_errors=True)
-    ds.map_batches(assign, batch_format="pyarrow").write_parquet(
-        out_dir, partition_cols=["shard"]
-    )
+    done_marker = os.path.join(out_dir, "_DONE")
+    wip_marker = os.path.join(out_dir, "_IN_PROGRESS")
+    if not os.path.exists(done_marker):
+        if os.path.isdir(out_dir) and os.listdir(out_dir) and not os.path.exists(
+            wip_marker
+        ):
+            raise FileExistsError(
+                f"{out_dir} is non-empty and was not written by "
+                "make_training_shards; refusing to delete it"
+            )
+        shutil.rmtree(out_dir, ignore_errors=True)
+        os.makedirs(out_dir, exist_ok=True)
+        open(wip_marker, "w").close()
+        ds.map_batches(assign, batch_format="pyarrow").write_parquet(
+            out_dir, partition_cols=["shard"]
+        )
+        os.replace(wip_marker, done_marker)
 
     back = ray.data.read_parquet(out_dir, columns=["shard", text_col])
 
@@ -1026,11 +1059,13 @@ def pack_blocks(
         raise ValueError(f"block_tokens must be >= 1, got {block_tokens}")
     if n_shards < 1:
         raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    if seed < 0:
+        raise ValueError(f"seed must be >= 0, got {seed}")
 
     def assign(batch: pa.Table) -> pa.Table:
         t = batch.filter(pc.is_valid(batch.column(text_col)))
         ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.uint64)
-        h = ((ids + np.uint64(seed)) * np.uint64(_KNUTH)) % np.uint64(_MOD)
+        h = _knuth_coin(ids, seed)
         return pa.table(
             {
                 "shard": pa.array((h % n_shards).astype(np.int64)),
@@ -1059,22 +1094,27 @@ def pack_blocks(
         is_eod = within == counts[doc_of]
         gather[~is_eod] = (offs[:-1][doc_of] + within)[~is_eod]
         gather[is_eod] = len(flat)
+        # large_* throughout: a shard's concatenated text routinely
+        # exceeds the 2 GiB int32 offset cap long before its token
+        # COUNT does (e.g. ~10 GB/shard at the docstring's 100-TB
+        # sizing), and take/binary_join overflow on string BYTES first
         pool = pa.concat_arrays(
             [flat.combine_chunks() if isinstance(flat, pa.ChunkedArray) else flat,
              pa.array([eod], pa.string())]
-        )
+        ).cast(pa.large_string())
         stream = pool.take(pa.array(gather, pa.int64()))
-        if total >= 2**31:
-            raise ValueError("shard token volume overflows int32 list offsets; raise n_shards")
         n_blocks = -(-total // block_tokens)
         cuts = np.minimum(np.arange(n_blocks + 1) * block_tokens, total)
-        la = pa.ListArray.from_arrays(pa.array(cuts, pa.int32()), stream)
+        la = pa.LargeListArray.from_arrays(pa.array(cuts, pa.int64()), stream)
         shard = g.column("shard")[0].as_py() if g.num_rows else 0
         return pa.table(
             {
                 "shard": pa.array(np.full(n_blocks, shard, np.int64)),
                 "block_id": pa.array(np.arange(n_blocks, dtype=np.int64)),
-                "block_text": pc.binary_join(la, " "),
+                # stays large_string: a group's output text is as big as
+                # its input text, so casting back to string would just
+                # reintroduce the 2 GiB cap at the table boundary
+                "block_text": pc.binary_join(la, pa.scalar(" ", pa.large_string())),
                 "n_tok": pa.array(np.diff(cuts).astype(np.int64)),
             }
         )

@@ -1312,6 +1312,12 @@ def excise_shared_spans(
     joined = hash_join(base, lists, id_col, id_col, join_type="left outer")
 
     def rewrite_joined(batch: pa.Table) -> pa.Table:
+        # raw offset/data extraction rather than stripe._binary_parts:
+        # that helper drops null slots (losing row alignment with the
+        # batch), while this mapping needs per-ROW spans — null rows'
+        # counts are masked to 0 below and each row's positions derive
+        # from its OWN absolute offsets, so null slots owning bytes
+        # cannot shift later rows
         arr = batch.column("__ex_blob")
         if isinstance(arr, pa.ChunkedArray):
             arr = arr.combine_chunks()

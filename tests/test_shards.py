@@ -134,3 +134,39 @@ def test_pack_blocks_validation(ray_session):
         pack_blocks(ray.data.from_arrow(_docs(4)), block_tokens=0)
     with pytest.raises(ValueError):
         pack_blocks(ray.data.from_arrow(_docs(4)), n_shards=0)
+
+
+def test_resume_contract(ray_session, tmp_path):
+    from datafusion_orc_ray.pipelines.corpus import make_training_shards
+
+    docs = _docs(60)
+    out = str(tmp_path / "shards")
+    a = make_training_shards(ray.data.from_arrow(docs), out, n_shards=4).sort_by("shard")
+    assert os.path.exists(os.path.join(out, "_DONE"))
+    # completed run: re-invocation skips the write (mtimes untouched)
+    mtimes = {p: os.path.getmtime(p) for p in glob.glob(os.path.join(out, "shard=*/*"))}
+    b = make_training_shards(ray.data.from_arrow(docs), out, n_shards=4).sort_by("shard")
+    assert a.equals(b)
+    assert mtimes == {
+        p: os.path.getmtime(p) for p in glob.glob(os.path.join(out, "shard=*/*"))
+    }
+    # interrupted run (wip marker, no done): discarded and rewritten
+    os.remove(os.path.join(out, "_DONE"))
+    open(os.path.join(out, "_IN_PROGRESS"), "w").close()
+    c = make_training_shards(ray.data.from_arrow(docs), out, n_shards=4).sort_by("shard")
+    assert a.equals(c)
+    assert os.path.exists(os.path.join(out, "_DONE"))
+    # foreign non-empty dir: refused, contents intact
+    foreign = tmp_path / "foreign"
+    foreign.mkdir()
+    (foreign / "precious.txt").write_text("do not delete")
+    with pytest.raises(FileExistsError):
+        make_training_shards(ray.data.from_arrow(docs), str(foreign), n_shards=4)
+    assert (foreign / "precious.txt").read_text() == "do not delete"
+
+
+def test_pack_blocks_negative_seed(ray_session):
+    from datafusion_orc_ray.pipelines.corpus import pack_blocks
+
+    with pytest.raises(ValueError):
+        pack_blocks(ray.data.from_arrow(_docs(4)), seed=-1)
