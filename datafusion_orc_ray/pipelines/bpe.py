@@ -52,13 +52,18 @@ def word_frequencies(
     return merged
 
 
-def learn_merges(word_freq: pa.Table, n_merges: int = 200) -> list[tuple[str, str]]:
+def learn_merges(
+    word_freq: pa.Table, n_merges: int = 200, end_of_word: str | None = None
+) -> list[tuple[str, str]]:
     """Sennrich-style merge learning over the word-frequency table.
     Deterministic: the best pair is (max total freq, then lexicographic
     smallest), so the same corpus always yields the same merge list.
     Cost is |vocab| x n_merges driver-side — vocabulary-sized, never
     corpus-sized (the distributed work already happened in
-    ``word_frequencies``)."""
+    ``word_frequencies``). ``end_of_word`` appends the canonical
+    Sennrich word-final marker symbol to every word before learning
+    (enables lossless detokenization; off by default to keep the
+    legacy char-only alphabet)."""
     words = [
         (tuple(w), f)
         for w, f in zip(
@@ -66,6 +71,8 @@ def learn_merges(word_freq: pa.Table, n_merges: int = 200) -> list[tuple[str, st
             word_freq.column("freq").to_pylist(),
         )
     ]
+    if end_of_word:
+        words = [(syms + (end_of_word,), f) for syms, f in words]
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
         counts: dict[tuple[str, str], int] = {}
@@ -106,22 +113,31 @@ def train_bpe(
     n_merges: int = 200,
     text_col: str = "text",
     max_words: int = 100_000,
+    end_of_word: str | None = None,
 ) -> dict:
     """End-to-end training: distributed word counts -> driver merge
-    learning. Returns {"merges": [...], "vocab": [...]} where vocab is
-    every base character plus each merged symbol, id = position."""
+    learning. Returns {"merges": [...], "vocab": [...], "end_of_word":
+    ...} where vocab is every base character (plus the end-of-word
+    marker when set) plus each merged symbol, id = position. Training
+    with ``end_of_word`` (e.g. "</w>") makes token-id streams losslessly
+    detokenizable via ``detokenize`` — word boundaries live in the
+    symbols themselves."""
     wf = word_frequencies(ds, text_col=text_col, max_words=max_words)
-    merges = learn_merges(wf, n_merges=n_merges)
+    merges = learn_merges(wf, n_merges=n_merges, end_of_word=end_of_word)
     chars = sorted({c for w in wf.column("word").to_pylist() for c in w})
+    if end_of_word:
+        chars.append(end_of_word)
     vocab = chars + [a + b for a, b in merges]
-    return {"merges": merges, "vocab": vocab}
+    return {"merges": merges, "vocab": vocab, "end_of_word": end_of_word}
 
 
-def _encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+def _encode_word(
+    word: str, ranks: dict[tuple[str, str], int], end_of_word: str | None = None
+) -> list[str]:
     """Greedy lowest-rank-first merge application (the canonical BPE
     inference loop). Runs once per DISTINCT word per actor — the memo
     cache in BpeTokenizer amortizes it to ~zero on Zipfian text."""
-    syms = list(word)
+    syms = list(word) + ([end_of_word] if end_of_word and word else [])
     while len(syms) > 1:
         best_rank = None
         best_i = -1
@@ -148,13 +164,17 @@ class BpeTokenizer:
     def __init__(self, model: dict) -> None:
         self.ranks = {tuple(p): i for i, p in enumerate(model["merges"])}
         self.ids = {s: i for i, s in enumerate(model["vocab"])}
+        self.eow = model.get("end_of_word")
         self.cache: dict[str, np.ndarray] = {}
 
     def _word_ids(self, word: str) -> np.ndarray:
         got = self.cache.get(word)
         if got is None:
             got = np.array(
-                [self.ids.get(s, -1) for s in _encode_word(word, self.ranks)],
+                [
+                    self.ids.get(s, -1)
+                    for s in _encode_word(word, self.ranks, self.eow)
+                ],
                 dtype=np.int32,
             )
             self.cache[word] = got
@@ -218,3 +238,56 @@ def tokenize(
         batch_format="pyarrow",
         concurrency=concurrency or default_concurrency(),
     )
+
+
+def detokenize(
+    ds: ray.data.Dataset,
+    model: dict,
+    ids_col: str = "token_ids",
+    out_col: str = "text_detok",
+    unk: str = "�",
+) -> ray.data.Dataset:
+    """token_ids -> text, the exact inverse of ``tokenize`` for models
+    trained with ``end_of_word`` (word boundaries live in the marker
+    symbol, so the output is the whitespace-normalized original text;
+    UNK ids (-1) render as ``unk``). Raises for marker-less models —
+    their id streams do not carry word boundaries.
+
+    Vectorized per batch: ONE vocab-table take over the flattened id
+    stream (UNK ids redirected to an appended slot), one list
+    ``binary_join`` with the empty separator, one ``replace_substring``
+    turning markers into spaces + trailing-space trim. No shuffle."""
+    eow = model.get("end_of_word")
+    if not eow:
+        raise ValueError(
+            "detokenize requires a model trained with end_of_word= (the "
+            "marker is what makes word boundaries recoverable)"
+        )
+    vocab = pa.array(list(model["vocab"]) + [unk], pa.large_string())
+    unk_slot = len(model["vocab"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        la = batch.column(ids_col)
+        if isinstance(la, pa.ChunkedArray):
+            la = la.combine_chunks()
+        flat = la.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = np.where((flat < 0) | (flat >= unk_slot), unk_slot, flat)
+        syms = vocab.take(pa.array(flat, pa.int64()))
+        offs = la.offsets
+        if isinstance(offs, pa.ChunkedArray):
+            offs = offs.combine_chunks()
+        offs_np = offs.to_numpy(zero_copy_only=False).astype(np.int64)
+        out_la = pa.LargeListArray.from_arrays(
+            pa.array(offs_np - offs_np[0], pa.int64()), syms
+        )
+        joined = pc.binary_join(out_la, pa.scalar("", pa.large_string()))
+        text = pc.utf8_rtrim(
+            pc.replace_substring(joined, pattern=eow, replacement=" "), " "
+        )
+        return pa.table({c: batch.column(c) for c in batch.column_names if c != ids_col}).append_column(
+            out_col, text
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -85,3 +85,36 @@ def test_word_frequencies_truncation(ray_session):
     wf = bpe.word_frequencies(ray.data.from_arrow(tbl), max_words=2)
     assert wf.column("word").to_pylist() == ["a", "b"]
     assert wf.column("freq").to_pylist() == [4, 3]
+
+
+def test_eow_roundtrip_detokenize(ray_session):
+    """Models trained with end_of_word= are losslessly detokenizable
+    (modulo whitespace normalization); marker-less models refuse."""
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(4), pa.int64()),
+            "text": ["low low lower", "newer  newest\tnew", "", None],
+        }
+    )
+    ds = ray.data.from_arrow(tbl).repartition(2)
+    model = bpe.train_bpe(ds, n_merges=10, end_of_word="</w>")
+    assert "</w>" in model["vocab"]
+    out = collect(bpe.detokenize(bpe.tokenize(ds, model), model)).sort_by("doc_id")
+    got = out.column("text_detok").to_pylist()
+    assert got[0] == "low low lower"
+    assert got[1] == "newer newest new"  # whitespace-normalized
+    assert got[2] == "" and got[3] == ""  # empty/null -> zero tokens
+    with pytest.raises(ValueError):
+        bpe.detokenize(bpe.tokenize(ds, model), bpe.train_bpe(ds, n_merges=2))
+
+
+def test_eow_unknown_char_renders_unk(ray_session):
+    base = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array([0], pa.int64()), "text": ["low"]})
+    )
+    model = bpe.train_bpe(base, n_merges=5, end_of_word="</w>")
+    unk_ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array([0], pa.int64()), "text": ["law"]})
+    )
+    out = collect(bpe.detokenize(bpe.tokenize(unk_ds, model), model))
+    assert out.column("text_detok").to_pylist() == ["l\N{REPLACEMENT CHARACTER}w"]
