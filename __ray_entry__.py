@@ -1345,6 +1345,29 @@ def _pivot_documents(sf_dir: str):
     return rel.pivot_agg(ds, "source", "lang", ("count", "lang"), prefix="n_")
 
 
+def _nb_quality_documents(sf_dir: str):
+    """fasttext/CCNet-shape quality classifier: multinomial-NB log-odds
+    trained in ONE corpus pass (sources src0-src9 stand in for the
+    curated positive class), scored via broadcast model + one index_in
+    gather per batch. score > 0 = looks curated."""
+    import pyarrow.compute as _pc
+
+    from datafusion_orc_ray.pipelines import lm
+
+    pos_sources = pa.array([f"src{i}" for i in range(10)], pa.string())
+
+    def label(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "label", _pc.is_in(batch.column("source"), value_set=pos_sources)
+        )
+
+    ds = _ds(sf_dir, "documents", ["doc_id", "source", "text"]).map_batches(
+        label, batch_format="pyarrow"
+    )
+    model = lm.train_token_classifier(ds)
+    return lm.score_log_odds(ds, model)
+
+
 def _lm_perplexity(sf_dir: str):
     """CCNet-shape quality signal: train a bigram LM on the corpus (one
     keyed-count pass, vocabulary-sized reduce), broadcast it, score
@@ -1713,6 +1736,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "excise_spans_documents": _excise_spans_documents,
         "training_shards_documents": _training_shards_documents,
         "pack_blocks_documents": _pack_blocks_documents,
+        "nb_quality_documents": _nb_quality_documents,
         "decontam_documents": _decontam_documents,
         "quantile_filter_documents": _quantile_filter_documents,
         "dedup_incremental_documents": _dedup_incremental_documents,
@@ -1972,6 +1996,28 @@ FROM documents d LEFT JOIN cnt c USING (doc_id)
             "CAST(sum(len(regexp_extract_all(text, '\\S+'))) AS BIGINT) AS n_tokens "
             "FROM documents GROUP BY 1"
         ),
+        "nb_quality_documents": """
+WITH lab AS (
+  SELECT doc_id, source IN ('src0','src1','src2','src3','src4',
+                            'src5','src6','src7','src8','src9') AS pos, text
+  FROM documents
+),
+toks AS (SELECT doc_id, pos, unnest(regexp_extract_all(text, '\\S+')) AS w
+         FROM lab WHERE text IS NOT NULL),
+cnt AS (SELECT w, sum(CASE WHEN pos THEN 1 ELSE 0 END) AS cp,
+               sum(CASE WHEN pos THEN 0 ELSE 1 END) AS cn
+        FROM toks GROUP BY w),
+tot AS (SELECT sum(cp) AS P, sum(cn) AS N, count(*) AS V FROM cnt),
+sc AS (
+  SELECT t.doc_id, count(*) AS n_tok,
+         round(sum( ln((c.cp + 0.5) / (tot.P + 0.5 * tot.V))
+                  - ln((c.cn + 0.5) / (tot.N + 0.5 * tot.V)) ), 4) AS score
+  FROM toks t JOIN cnt c USING (w) CROSS JOIN tot
+  GROUP BY t.doc_id
+)
+SELECT d.doc_id, coalesce(sc.n_tok, 0) AS n_tok, sc.score
+FROM documents d LEFT JOIN sc USING (doc_id)
+""",
         "pack_blocks_documents": """
 WITH d AS (
   SELECT doc_id,

@@ -153,3 +153,116 @@ def score_avg_nll(
         return out.append_column("avg_nll", vals)
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+# ------------------------------- Naive-Bayes token quality classifier
+
+
+def train_token_classifier(
+    ds: ray.data.Dataset,
+    label_col: str = "label",
+    text_col: str = "text",
+    fanin: int = 8,
+) -> dict:
+    """Multinomial-NB training for the fasttext/CCNet-style quality
+    filter: ONE streaming pass emits per-batch (token, pos_count,
+    neg_count) partials (vocabulary-sized) through the size-gated tree
+    reduce; the driver keeps the vocabulary-sized model. ``label_col``
+    is a boolean column (True = positive class, e.g. curated sources).
+    NULL-text docs contribute nothing; NULL labels count as negative
+    (cast semantics) — pre-filter if that is not wanted."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flat, offs = tk.token_strings(batch.column(text_col))
+        lab = (
+            pc.fill_null(batch.column(label_col), False)
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        rep = np.repeat(lab, np.diff(offs))
+        t = pa.table(
+            {
+                "w": flat,
+                "cp": pa.array(rep),
+                "cn": pa.array(1 - rep),
+            }
+        )
+        out = pa.TableGroupBy(t, ["w"]).aggregate([("cp", "sum"), ("cn", "sum")])
+        return out.rename_columns(["w", "cp", "cn"])
+
+    def combine(tbl: pa.Table) -> pa.Table:
+        out = pa.TableGroupBy(tbl, ["w"]).aggregate([("cp", "sum"), ("cn", "sum")])
+        return out.rename_columns(["w", "cp", "cn"])
+
+    merged = _tree_or_driver(
+        ds.map_batches(partial, batch_format="pyarrow"), combine, fanin
+    ).sort_by([("w", "ascending")])
+    cp = merged.column("cp").to_numpy(zero_copy_only=False).astype(np.float64)
+    cn = merged.column("cn").to_numpy(zero_copy_only=False).astype(np.float64)
+    w = merged.column("w")
+    return {
+        "words": w.combine_chunks() if isinstance(w, pa.ChunkedArray) else w,
+        "cp": cp,
+        "cn": cn,
+        "P": float(cp.sum()),
+        "N": float(cn.sum()),
+        "V": int(len(cp)),
+    }
+
+
+def score_log_odds(
+    ds: ray.data.Dataset,
+    model: dict,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.5,
+    ndigits: int = 4,
+) -> ray.data.Dataset:
+    """Per-document NB log-odds quality score:
+
+        score(doc) = sum_t [ ln((cp_t+a)/(P+aV)) - ln((cn_t+a)/(N+aV)) ]
+
+    (> 0: looks like the positive class). Tokens unseen at train time
+    get the cp=cn=0 smoothed weight. Docs with zero tokens (empty or
+    NULL text) score NULL. Model broadcast once (ray.put); per batch one
+    ``pc.index_in`` + one weight gather + one segmented reduceat — zero
+    shuffle. Rounded half-away to ``ndigits`` (the SQL-oracle rounding
+    contract, same as score_avg_nll)."""
+    v = float(model["V"])
+    weights = np.log((model["cp"] + alpha) / (model["P"] + alpha * v)) - np.log(
+        (model["cn"] + alpha) / (model["N"] + alpha * v)
+    )
+    w_unseen = float(
+        np.log(alpha / (model["P"] + alpha * v))
+        - np.log(alpha / (model["N"] + alpha * v))
+    )
+    ref = ray.put({"words": model["words"], "weights": weights})
+
+    def score(batch: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        flat, offs = tk.token_strings(batch.column(text_col))
+        nt = np.diff(offs).astype(np.int64)
+        out = batch.select([id_col])
+        if len(flat) == 0:
+            out = out.append_column("n_tok", pa.array(nt))
+            return out.append_column(
+                "score", pa.array([None] * batch.num_rows, pa.float64())
+            )
+        idx = pc.index_in(flat, value_set=m["words"]).to_numpy(zero_copy_only=False)
+        miss = np.isnan(idx.astype(np.float64))
+        lw = np.where(
+            miss, w_unseen, m["weights"][np.nan_to_num(idx).astype(np.int64)]
+        )
+        sums = np.zeros(len(nt), np.float64)
+        nz = nt > 0
+        if nz.any():
+            sums[nz] = np.add.reduceat(lw, offs[:-1][nz])
+        rd = (
+            np.floor(np.abs(sums) * 10.0**ndigits + 0.5)
+            / 10.0**ndigits
+            * np.sign(sums)
+        )
+        out = out.append_column("n_tok", pa.array(nt))
+        return out.append_column("score", pa.array(rd, pa.float64(), mask=(nt == 0)))
+
+    return ds.map_batches(score, batch_format="pyarrow")

@@ -69,3 +69,83 @@ def test_partitioning_invariance(ray_session):
     assert m1["vocab"] == m9["vocab"]
     assert np.allclose(m1["big_counts"], m9["big_counts"])
     assert o1.equals(o9)
+
+
+# -------------------------- Naive-Bayes token quality classifier
+
+
+def test_nb_classifier_hand_math(ray_session):
+    """2-doc corpus, hand-computed log-odds: pos doc 'a a b', neg doc
+    'a c'. cp: a=2,b=1,c=0; cn: a=1,b=0,c=1; P=3, N=2, V=3."""
+    import math
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "label": [True, False],
+            "text": ["a a b", "a c"],
+        }
+    )
+    ds = ray.data.from_arrow(tbl)
+    model = lm.train_token_classifier(ds)
+    assert model["P"] == 3.0 and model["N"] == 2.0 and model["V"] == 3
+    out = collect(lm.score_log_odds(ds, model)).sort_by("doc_id")
+    a = 0.5
+
+    def w(cp, cn):
+        return math.log((cp + a) / (3 + a * 3)) - math.log((cn + a) / (2 + a * 3))
+
+    want0 = round(2 * w(2, 1) + w(1, 0), 4)
+    want1 = round(w(2, 1) + w(0, 1), 4)
+    got = out.column("score").to_pylist()
+    assert abs(got[0] - want0) < 1e-9 and abs(got[1] - want1) < 1e-9
+    # the positive doc scores higher than the negative one
+    assert got[0] > 0 > got[1]
+
+
+def test_nb_classifier_unseen_null_empty(ray_session):
+    train = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1], pa.int64()),
+                "label": [True, False],
+                "text": ["good words", "bad stuff"],
+            }
+        )
+    )
+    model = lm.train_token_classifier(train)
+    test = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2], pa.int64()),
+                "text": ["never seen tokens", None, ""],
+            }
+        )
+    )
+    out = collect(lm.score_log_odds(test, model)).sort_by("doc_id")
+    rows = out.to_pylist()
+    # unseen tokens get the cp=cn=0 smoothed weight (finite, not NaN)
+    assert rows[0]["score"] is not None
+    assert rows[1]["score"] is None and rows[1]["n_tok"] == 0
+    assert rows[2]["score"] is None and rows[2]["n_tok"] == 0
+
+
+def test_nb_classifier_partitioning_invariant(ray_session):
+    rng = np.random.default_rng(3)
+    words = ["alpha", "beta", "gamma", "delta"]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(100), pa.int64()),
+            "label": [bool(i % 2) for i in range(100)],
+            "text": [" ".join(rng.choice(words, 6)) for _ in range(100)],
+        }
+    )
+    a = None
+    for parts in (1, 9):
+        ds = ray.data.from_arrow(tbl).repartition(parts)
+        model = lm.train_token_classifier(ds)
+        out = collect(lm.score_log_odds(ds, model)).sort_by("doc_id")
+        if a is None:
+            a = out
+        else:
+            assert a.equals(out)
