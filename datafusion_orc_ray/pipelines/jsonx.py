@@ -62,7 +62,18 @@ def extract_json_field(
         m = pc.extract_regex(s, pattern)
         vals = pc.struct_field(m, "v")
         has_key = pc.match_substring_regex(s, key_pattern)
-        missed = pc.and_kleene(has_key, pc.is_null(vals))
+        # the regex scans RAW text, so two shapes can make it match the
+        # wrong occurrence even though it captured something: a nested
+        # object carrying the same key ({"a": {"k": 1}, "k": 2} — the
+        # nested "k": 1 matches first), and an escaped-quote string
+        # value containing '"k":' text. Both are detectable cheaply
+        # (>1 '{', or any backslash) and routed to json.loads; flat
+        # escape-free documents — the common shape — never pay it.
+        risky = pc.or_kleene(
+            pc.greater(pc.count_substring(s, "{"), 1),
+            pc.match_substring(s, "\\"),
+        )
+        missed = pc.and_kleene(has_key, pc.or_kleene(pc.is_null(vals), risky))
         if pc.any(missed).as_py():
             idx = np.flatnonzero(
                 pc.fill_null(missed, False).to_numpy(zero_copy_only=False)

@@ -393,11 +393,17 @@ def hash_join(
                 parts.append(left.map_batches(bloom_miss, batch_format="pyarrow"))
             left = left.map_batches(bloom_keep, batch_format="pyarrow")
 
-    # ---- hot-key split (sampled from the left side)
+    # ---- hot-key split (sampled from the left side). A contiguous
+    # head sample would see ONE block's keys on time/source-clustered
+    # corpora and miss late skew entirely; slicing <=256 rows per block
+    # spreads the same budget over >= sample_rows/256 blocks (limit()
+    # still short-circuits, so this stays a partial scan — raise
+    # sample_rows if skew can appear deep in a clustered corpus)
     sample_batches = list(
-        left.select_columns([left_key]).limit(sample_rows).iter_batches(
-            batch_format="pyarrow", batch_size=sample_rows
-        )
+        left.select_columns([left_key])
+        .map_batches(lambda b: b.slice(0, 256), batch_format="pyarrow")
+        .limit(sample_rows)
+        .iter_batches(batch_format="pyarrow", batch_size=sample_rows)
     )
     sample = (
         pa.concat_tables(sample_batches)
@@ -654,8 +660,16 @@ def grouped_quantile(
 
     def bucket_quantile(group: pa.Table) -> pa.Table:
         if group.num_rows == 0:
+            # typed from the group schema: pa.array([]) infers null type,
+            # giving this block a schema that conflicts with real groups
             return pa.table(
-                {**{kc: pa.array([]) for kc in keys}, out_col: pa.array([], pa.float64())}
+                {
+                    **{
+                        kc: pa.array([], group.schema.field(kc).type)
+                        for kc in keys
+                    },
+                    out_col: pa.array([], pa.float64()),
+                }
             )
         s = group.sort_by([(kc, "ascending") for kc in keys] + [(val_col, "ascending")])
         rank = _rank_within_groups(s, keys)
@@ -1113,10 +1127,29 @@ def pivot_agg(
     from the data get 0 for count/sum and NULL for min/max."""
     agg, _ = expr
     long = grouped_agg(ds, [row_key, col_key], {"__v": expr}, fanin=fanin)
+    ck = long.column(col_key)
+    if ck.null_count:
+        # the SQL mirror (FILTER (WHERE col = 'x')) never matches a NULL
+        # col key — drop those groups rather than emit a "None" column
+        # that never receives its aggregates
+        long = long.filter(pc.is_valid(ck))
     rows = long.column(row_key).unique().sort()
     cols = long.column(col_key).unique().sort()
-    r_idx = pc.index_in(long.column(row_key), value_set=rows).to_numpy(zero_copy_only=False)
-    c_idx = pc.index_in(long.column(col_key), value_set=cols).to_numpy(zero_copy_only=False)
+    rk = long.column(row_key)
+    r_idx_a = pc.index_in(rk, value_set=rows)
+    if rk.null_count:
+        # NULL row_key IS a group (SQL GROUP BY semantics) but index_in
+        # maps null inputs to null, which widens the index array to
+        # float64 and crashes the scatter — route them to the null row
+        null_pos = int(pc.index(pc.is_null(rows), True).as_py())
+        r_idx = np.nan_to_num(
+            r_idx_a.to_numpy(zero_copy_only=False).astype(np.float64), nan=null_pos
+        ).astype(np.int64)
+    else:
+        r_idx = r_idx_a.to_numpy(zero_copy_only=False).astype(np.int64)
+    c_idx = pc.index_in(long.column(col_key), value_set=cols).to_numpy(
+        zero_copy_only=False
+    ).astype(np.int64)
     vals = long.column("__v").to_numpy(zero_copy_only=False)
     fill_zero = agg in ("count", "sum")
     out: dict = {row_key: rows}

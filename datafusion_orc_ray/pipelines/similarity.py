@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 
@@ -39,10 +40,23 @@ def _emb_to_bin(arr: pa.Array | pa.ChunkedArray) -> pa.Array:
     carry binary payloads; they reject list columns)."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
+    if arr.null_count:
+        # flatten() skips null rows' values while n counts them — the
+        # fixed-stride offsets below would then slice the WRONG bytes
+        # for every subsequent row, silently scrambling vectors
+        raise ValueError(
+            "null embeddings are not supported; drop or impute them first"
+        )
     flat = arr.flatten()
     vals = flat.to_numpy(zero_copy_only=False)
     n = len(arr)
     dim = len(vals) // n if n else 0
+    if n:
+        lens = pc.list_value_length(arr)
+        if pc.min(lens).as_py() != pc.max(lens).as_py():
+            raise ValueError(
+                "ragged embedding lists: all vectors must share one dim"
+            )
     offs = np.arange(n + 1, dtype=np.int64) * dim * vals.dtype.itemsize
     return pa.Array.from_buffers(
         pa.large_binary(),

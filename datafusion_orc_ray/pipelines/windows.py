@@ -102,12 +102,15 @@ def sessionize(
 
     def bucket_sessions(group: pa.Table) -> pa.Table:
         if group.num_rows == 0:
+            # derive key/ts types from the group schema: hardcoded
+            # int64/timestamp[us] would give this block a schema that
+            # conflicts with non-empty groups for other key types
             return pa.table(
                 {
-                    user_col: pa.array([], pa.int64()),
+                    user_col: pa.array([], group.schema.field(user_col).type),
                     "sid": pa.array([], pa.int64()),
                     "n_events": pa.array([], pa.int64()),
-                    "session_start": pa.array([], pa.timestamp("us")),
+                    "session_start": pa.array([], group.schema.field(ts_col).type),
                 }
             )
         g = group.sort_by([(user_col, "ascending"), (ts_col, "ascending")])
@@ -167,19 +170,30 @@ def asof_join_broadcast(
     right_tbl = right_tbl.sort_by(right_on)
     keys = right_tbl.column(right_on).cast(pa.int64()).to_numpy(zero_copy_only=False)
     take_cols = right_cols or [c for c in right_tbl.column_names]
+    lcols = set(getattr(lschema, "base_schema", lschema).names)
+    clash = sorted(set(take_cols) & lcols)
+    if clash:
+        # silently skipping a clashing right column would let the caller
+        # read the LEFT column believing it is the joined as-of value
+        raise ValueError(f"ambiguous as-of join columns: {clash}")
     rt_ref = ray.put((keys, right_tbl.select(take_cols)))
 
     def join(batch: pa.Table) -> pa.Table:
         rkeys, rtbl = ray.get(rt_ref)
-        lv = batch.column(left_on).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        col = batch.column(left_on)
+        lv = col.cast(pa.int64()).to_numpy(zero_copy_only=False)
         idx = np.searchsorted(rkeys, lv, side="right") - 1
         keep = idx >= 0
+        if col.null_count:
+            # a NULL key becomes NaN through to_numpy and searchsorted
+            # sends NaN past the END — without this mask the null row
+            # would join to the greatest right row (SQL: never matches)
+            keep &= pc.is_valid(col).to_numpy(zero_copy_only=False)
         batch = batch.filter(pa.array(keep))
-        picked = rtbl.take(pa.array(idx[keep], pa.int64()))
+        picked = rtbl.take(pa.array(idx[keep].astype(np.int64), pa.int64()))
         out = batch
         for c in picked.column_names:
-            if c not in out.column_names:
-                out = out.append_column(c, picked.column(c))
+            out = out.append_column(c, picked.column(c))
         return out
 
     return left.map_batches(join, batch_format="pyarrow")
@@ -205,10 +219,21 @@ def range_join_broadcast(
     small-side-broadcast shape as asof_join_broadcast above; overlapping
     intervals need a banded expansion and are rejected loudly)."""
     right_tbl = right_tbl.sort_by(lo_col)
-    lo = right_tbl.column(lo_col).to_numpy(zero_copy_only=False).astype(np.float64)
-    hi = right_tbl.column(hi_col).to_numpy(zero_copy_only=False).astype(np.float64)
-    if np.isnan(lo).any() or np.isnan(hi).any():
+    # integer edges keep an EXACT int64 path: casting 64-bit ids or
+    # nanosecond epochs through float64 rounds above 2^53 and silently
+    # misassigns probes near interval boundaries
+    int_mode = pa.types.is_integer(
+        right_tbl.schema.field(lo_col).type
+    ) and pa.types.is_integer(right_tbl.schema.field(hi_col).type)
+    edge_np = np.int64 if int_mode else np.float64
+    lo_c = right_tbl.column(lo_col)
+    hi_c = right_tbl.column(hi_col)
+    if lo_c.null_count or hi_c.null_count:
         raise ValueError("range_join: NULL interval edges")
+    lo = lo_c.to_numpy(zero_copy_only=False).astype(edge_np)
+    hi = hi_c.to_numpy(zero_copy_only=False).astype(edge_np)
+    if not int_mode and (np.isnan(lo).any() or np.isnan(hi).any()):
+        raise ValueError("range_join: NaN interval edges")
     if (hi < lo).any():
         raise ValueError("range_join: interval with hi < lo")
     if len(lo) > 1 and (lo[1:] < hi[:-1]).any():
@@ -217,22 +242,42 @@ def range_join_broadcast(
             "(banded expansion for overlapping ranges is not implemented)"
         )
     take_cols = right_cols or list(right_tbl.column_names)
+    lschema = left.schema()
+    clash = sorted(
+        set(take_cols) & set(getattr(lschema, "base_schema", lschema).names)
+    )
+    if clash:
+        raise ValueError(f"ambiguous range join columns: {clash}")
     rt_ref = ray.put((lo, hi, right_tbl.select(take_cols)))
 
     def join(batch: pa.Table) -> pa.Table:
         rlo, rhi, rtbl = ray.get(rt_ref)
         col = batch.column(left_on)
-        lv = col.to_numpy(zero_copy_only=False).astype(np.float64)
+        valid = (
+            pc.is_valid(col).to_numpy(zero_copy_only=False)
+            if col.null_count
+            else np.ones(len(col), bool)
+        )
+        if int_mode and pa.types.is_integer(col.type):
+            raw = col.to_numpy(zero_copy_only=False)
+            lv = (
+                np.where(valid, np.nan_to_num(raw), 0).astype(np.int64)
+                if col.null_count
+                else raw.astype(np.int64)
+            )
+        else:
+            lv = col.to_numpy(zero_copy_only=False).astype(np.float64)
+            with np.errstate(invalid="ignore"):
+                valid &= ~np.isnan(lv)
+            lv = np.nan_to_num(lv)
         idx = np.searchsorted(rlo, lv, side="right") - 1
-        with np.errstate(invalid="ignore"):
-            keep = (idx >= 0) & ~np.isnan(lv)
-            keep[keep] &= lv[keep] < rhi[idx[keep]]
+        keep = (idx >= 0) & valid
+        keep[keep] &= lv[keep] < rhi[idx[keep]]
         batch = batch.filter(pa.array(keep))
         picked = rtbl.take(pa.array(idx[keep], pa.int64()))
         out = batch
         for c in picked.column_names:
-            if c not in out.column_names:
-                out = out.append_column(c, picked.column(c))
+            out = out.append_column(c, picked.column(c))
         return out
 
     return left.map_batches(join, batch_format="pyarrow")
@@ -268,7 +313,18 @@ def running_total(
         if g.num_rows == 0:
             return g.append_column(out_col, pa.array([], pa.float64()))
         keys = g.column(key_col).to_numpy(zero_copy_only=False)
-        v = g.column(val_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        vcol = g.column(val_col)
+        valid = (
+            pc.is_valid(vcol).to_numpy(zero_copy_only=False)
+            if vcol.null_count
+            else None
+        )
+        v = vcol.to_numpy(zero_copy_only=False).astype(np.float64)
+        if valid is not None:
+            # SQL SUM() OVER ignores NULL values; an un-filled NaN would
+            # poison every later row's cumsum (and later SEGMENTS via the
+            # base subtraction)
+            v = np.where(valid, v, 0.0)
         cs = np.cumsum(v)
         new_key = np.concatenate([[True], keys[1:] != keys[:-1]])
         # subtract the cumsum just before each segment start; propagate the
@@ -277,7 +333,16 @@ def running_total(
         starts = np.flatnonzero(new_key)
         seg = np.cumsum(new_key) - 1
         base = (cs[starts] - v[starts])[seg]
-        return g.append_column(out_col, pa.array(cs - base, pa.float64()))
+        running = cs - base
+        if valid is None:
+            return g.append_column(out_col, pa.array(running, pa.float64()))
+        # rows before their segment's first NON-NULL value: SQL sum over
+        # an empty window frame is NULL, not 0
+        cnt = np.cumsum(valid.astype(np.int64))
+        cbase = (cnt[starts] - valid[starts].astype(np.int64))[seg]
+        return g.append_column(
+            out_col, pa.array(running, pa.float64(), mask=(cnt - cbase) == 0)
+        )
 
     return ds.map_batches(tag, batch_format="pyarrow").groupby("__bucket").map_groups(
         bucket_cumsum, batch_format="pyarrow"

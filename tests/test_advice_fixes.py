@@ -13,6 +13,10 @@ from datafusion_orc_ray.pipelines import encode as ep
 from datafusion_orc_ray.pipelines.relational import collect, manifest_column_stats
 from datafusion_orc_ray.sources.stripes import _stats_may_match, read_stripes
 from datafusion_orc_ray.state import manifest as man
+import ray.data
+
+from datafusion_orc_ray.pipelines import relational as rel
+from datafusion_orc_ray.pipelines import windows as w
 
 
 def _encode_one_table(tbl: pa.Table, base: str) -> str:
@@ -317,3 +321,133 @@ def test_datasource_splits_oversized_stripe(ray_session, tmp_path):
     src2 = StripeDatasource(out, columns=["a"], split_bytes=t.nbytes // 4)
     got2 = pa.Table.from_pylist(ray.data.read_datasource(src2).take_all())
     assert got2.column_names == ["a"] and got2.num_rows == n
+
+
+# ---------------- round-3 final-session review fixes (self-review)
+
+
+def test_asof_null_left_key_drops(ray_session):
+    """A NULL left key must never match (SQL): pre-fix it joined to the
+    GREATEST right row via NaN searchsorted."""
+    left = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3], pa.int64()),
+            "k": pa.array([15, None, 25], pa.int64()),
+        }
+    )
+    right = pa.table(
+        {"rk": pa.array([10, 20], pa.int64()), "mark": pa.array([100, 200], pa.int64())}
+    )
+    out = rel.collect(
+        w.asof_join_broadcast(ray.data.from_arrow(left), right, "k", "rk")
+    ).sort_by("event_id")
+    assert out.column("event_id").to_pylist() == [1, 3]
+    assert out.column("mark").to_pylist() == [100, 200]
+
+
+def test_asof_and_range_reject_clashing_columns(ray_session):
+    left = pa.table({"k": pa.array([1], pa.int64()), "mark": pa.array([0], pa.int64())})
+    right = pa.table({"rk": pa.array([1], pa.int64()), "mark": pa.array([9], pa.int64())})
+    with pytest.raises(ValueError, match="ambiguous"):
+        w.asof_join_broadcast(ray.data.from_arrow(left), right, "k", "rk")
+    tiers = pa.table(
+        {"lo": pa.array([0], pa.int64()), "hi": pa.array([10], pa.int64()),
+         "mark": pa.array([7], pa.int64())}
+    )
+    with pytest.raises(ValueError, match="ambiguous"):
+        w.range_join_broadcast(ray.data.from_arrow(left), tiers, "k", "lo", "hi")
+
+
+def test_range_join_int64_exact_above_2_53(ray_session):
+    """Integer edges/keys beyond 2^53 must not round through float64."""
+    base = 1 << 60
+    tiers = pa.table(
+        {
+            "tier_id": pa.array([0, 1], pa.int64()),
+            "lo": pa.array([base, base + 2], pa.int64()),
+            "hi": pa.array([base + 2, base + 4], pa.int64()),
+        }
+    )
+    left = pa.table(
+        {"k": pa.array([base, base + 1, base + 2, base + 3, base + 4], pa.int64())}
+    )
+    out = rel.collect(
+        w.range_join_broadcast(ray.data.from_arrow(left), tiers, "k", "lo", "hi")
+    ).sort_by("k")
+    # float64 rounds all five keys to the same value; exact int64 keeps
+    # the half-open boundaries: base+4 is outside every interval
+    assert out.column("k").to_pylist() == [base, base + 1, base + 2, base + 3]
+    assert out.column("tier_id").to_pylist() == [0, 0, 1, 1]
+
+
+def test_running_total_null_values_sql_semantics(ray_session):
+    """SUM() OVER ignores NULL values; pre-fix one NULL poisoned every
+    later row (and every later KEY) in the bucket with NaN."""
+    tbl = pa.table(
+        {
+            "u": pa.array([1, 1, 1, 2], pa.int64()),
+            "ts": pa.array([1, 2, 3, 1], pa.int64()),
+            "v": pa.array([1.0, None, 2.0, 5.0]),
+        }
+    )
+    out = rel.collect(
+        w.running_total(ray.data.from_arrow(tbl).repartition(2), "u", "ts", "v")
+    ).sort_by([("u", "ascending"), ("ts", "ascending")])
+    assert out.column("running").to_pylist() == [1.0, 1.0, 3.0, 5.0]
+    # a key whose window frame has seen ONLY nulls so far is NULL, not 0
+    tbl2 = pa.table(
+        {
+            "u": pa.array([1, 1], pa.int64()),
+            "ts": pa.array([1, 2], pa.int64()),
+            "v": pa.array([None, 4.0]),
+        }
+    )
+    out2 = rel.collect(
+        w.running_total(ray.data.from_arrow(tbl2), "u", "ts", "v")
+    ).sort_by("ts")
+    assert out2.column("running").to_pylist() == [None, 4.0]
+
+
+def test_pivot_null_keys(ray_session):
+    """NULL row_key is a GROUP BY group (pre-fix: IndexError); NULL
+    col_key groups are dropped (the SQL FILTER mirror never matches)."""
+    tbl = pa.table(
+        {
+            "r": pa.array(["a", None, "a", None], pa.string()),
+            "c": pa.array(["x", "x", None, "y"], pa.string()),
+            "v": pa.array([1.0, 2.0, 3.0, 4.0]),
+        }
+    )
+    out = rel.pivot_agg(ray.data.from_arrow(tbl), "r", "c", ("sum", "v"))
+    rows = {r["r"]: r for r in out.to_pylist()}
+    assert rows["a"]["x"] == 1.0 and rows[None]["x"] == 2.0
+    assert rows[None]["y"] == 4.0 and rows["a"]["y"] == 0.0
+
+
+def test_emb_to_bin_rejects_nulls_and_ragged(ray_session):
+    from datafusion_orc_ray.pipelines.similarity import _emb_to_bin
+
+    with pytest.raises(ValueError, match="null embeddings"):
+        _emb_to_bin(pa.array([[1.0, 2.0], None], pa.list_(pa.float32())))
+    with pytest.raises(ValueError, match="ragged"):
+        _emb_to_bin(pa.array([[1.0, 2.0], [1.0, 2.0, 3.0]], pa.list_(pa.float32())))
+
+
+def test_json_extract_nested_and_escaped_fall_back(ray_session):
+    from datafusion_orc_ray.pipelines.jsonx import extract_json_field
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(4), pa.int64()),
+            "props": [
+                '{"a": {"k": 1}, "k": 2}',   # nested same-named key
+                '{"outer": {"k": 1}}',        # key ONLY nested -> NULL
+                '{"msg": "a \\"k\\": 7 b", "k": 3}',  # escaped-quote trap
+                '{"k": 9}',                   # flat fast path
+            ],
+        }
+    )
+    out = rel.collect(
+        extract_json_field(ray.data.from_arrow(tbl), "props", "k", kind="number")
+    ).sort_by("doc_id")
+    assert out.column("k").to_pylist() == [2.0, None, 3.0, 9.0]
