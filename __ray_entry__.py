@@ -1101,7 +1101,9 @@ def _mixture_oracle_sql() -> str:
     return (
         "WITH w AS (SELECT doc_id, source, "
         f"(CASE source {floor_case} ELSE 1 END) + "
-        "(CASE WHEN (CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296 < "
+        # mixture's own multiplier (corpus._MULT_MIXTURE): the coin must
+        # be independent of stratified_sample's keep decision
+        "(CASE WHEN (CAST(doc_id AS HUGEINT) * 3266489909) % 4294967296 < "
         f"(CASE source {frac_case} ELSE 0 END) THEN 1 ELSE 0 END) AS n "
         "FROM documents) "
         f"SELECT doc_id, source, s.r AS replica FROM w "
@@ -2235,7 +2237,11 @@ FROM documents d LEFT JOIN cnt c USING (doc_id) WHERE d.doc_id % 37 <> 0
             "HAVING count(DISTINCT doc_id) >= 100) "
             "SELECT e.doc_id, string_agg(e.line, ' ' ORDER BY e.ord) AS text "
             "FROM exploded e WHERE e.line NOT IN (SELECT line FROM hot) "
-            "GROUP BY e.doc_id"
+            "GROUP BY e.doc_id "
+            # NULL passthrough: a null-text doc has no lines and is not
+            # "all boilerplate" — it keeps its row and its NULL
+            "UNION ALL SELECT doc_id, NULL AS text FROM documents "
+            "WHERE text IS NULL"
         ),
         "mixture_resample_documents": _mixture_oracle_sql(),
         "stratified_sample_documents": (
@@ -2364,7 +2370,7 @@ FROM documents d LEFT JOIN e USING (doc_id)
             "SELECT lang, doc_id FROM ("
             "  SELECT lang, doc_id, row_number() OVER ("
             "    PARTITION BY lang "
-            "    ORDER BY (CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296, doc_id"
+            "    ORDER BY (CAST(doc_id AS HUGEINT) * 2246822519) % 4294967296, doc_id"
             "  ) AS rn FROM documents"
             ") WHERE rn <= 5"
         ),
@@ -2373,7 +2379,11 @@ WITH tok AS (
   SELECT doc_id, regexp_extract_all(coalesce(text, ''), '\\S+') AS ts FROM documents
 ),
 n AS (SELECT doc_id, ts, len(ts) AS nt FROM tok WHERE len(ts) > 0),
-st AS (SELECT doc_id, ts, nt, unnest(range(0, nt, 48)) AS s FROM n)
+-- windowing stops once a chunk reaches the doc end: last start is
+-- step*ceil((nt-max)/step), not the ceil(nt/step) grid
+st AS (SELECT doc_id, ts, nt,
+       unnest(range(0, greatest(CAST(ceil((nt - 64.0) / 48) AS BIGINT), 0) * 48 + 1, 48)) AS s
+       FROM n)
 SELECT doc_id, CAST(s // 48 AS BIGINT) AS chunk_id,
        least(s + 64, nt) - s AS n_tok,
        array_to_string(ts[s + 1 : least(s + 64, nt)], ' ') AS chunk_text

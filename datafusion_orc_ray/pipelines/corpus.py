@@ -100,10 +100,8 @@ def _lang_token_hash_partial(lang_col: str, text_col: str):
         flat, offs = tk.token_strings(batch.column(text_col))
         flat_np = flat.to_numpy(zero_copy_only=False).astype(object)
         h1 = tk.hash_strings(flat_np) if len(flat_np) else np.zeros(0, np.uint64)
-        import pandas as pd
-
         h2 = (
-            pd.util.hash_array(flat_np, hash_key="1b2c3d4e5f607182", categorize=False)
+            tk.hash_strings_secondary(flat_np)
             if len(flat_np)
             else np.zeros(0, np.uint64)
         )
@@ -224,8 +222,13 @@ def hll_vocab_per_lang(
         langs, blobs = [], []
         lang_np = batch.column(lang_col).to_numpy(zero_copy_only=False)
         regs_col = batch.column("regs")
-        for lv in np.unique(lang_np):
-            rows = np.flatnonzero(lang_np == lv)
+        # dict grouping, not np.unique: a NULL lang (None in the object
+        # array) makes np.unique raise TypeError on the None<str sort
+        groups: dict = {}
+        for i, lv in enumerate(lang_np):
+            groups.setdefault(lv, []).append(i)
+        for lv in sorted(groups, key=lambda x: (x is None, x or "")):
+            rows = groups[lv]
             acc = np.zeros(1 << _HLL_P, np.uint8)
             for r in rows:
                 np.maximum(acc, np.frombuffer(regs_col[r].as_py(), np.uint8), out=acc)
@@ -305,17 +308,30 @@ _KNUTH = 2654435761  # Knuth multiplicative hash constant
 _MOD = 1 << 32
 
 
-def _knuth_coin(ids: np.ndarray, seed: int = 0) -> np.ndarray:
-    """The corpus-wide deterministic coin: ``((id + seed) * KNUTH) mod
+# distinct odd multipliers per DECISION FAMILY: two coins that are
+# affine shifts of each other (same multiplier, different seed) are
+# interval-correlated — composing stratified_sample with
+# mixture_resample would give P(extra replica | kept) = 0 or 1, not the
+# fractional weight. Different multipliers equidistribute the pair.
+_MULT_MIXTURE = 3266489909  # NOT K+8 etc: near multipliers stay correlated (measured)
+_MULT_NPG = 2246822519
+
+
+def _knuth_coin(
+    ids: np.ndarray, seed: int = 0, mult: int = _KNUTH
+) -> np.ndarray:
+    """The corpus-wide deterministic coin: ``((id + seed) * mult) mod
     2^32`` over uint64 (overflow wraps identically to the HUGEINT SQL
     mirror). Every sampling / sharding / epoch decision in this module
     derives from this ONE function so the loader-facing contract lives
     in one place. ``seed`` must be >= 0 (numpy uint64 would wrap a
-    negative seed differently from SQL)."""
+    negative seed differently from SQL); ops making INDEPENDENT
+    decisions must use different ``mult`` constants, not different
+    seeds (see above)."""
     if seed < 0:
         raise ValueError(f"seed must be >= 0, got {seed}")
     with np.errstate(over="ignore"):
-        return ((ids.astype(np.uint64) + np.uint64(seed)) * np.uint64(_KNUTH)) % np.uint64(_MOD)
+        return ((ids.astype(np.uint64) + np.uint64(seed)) * np.uint64(mult)) % np.uint64(_MOD)
 
 
 def stratified_sample(
@@ -718,6 +734,9 @@ def remove_boilerplate_lines(
         return pc.split_pattern(txt, delimiter)
 
     def census(batch: pa.Table) -> pa.Table:
+        # NULL docs have no lines — fill_null would count an "" line
+        # for them and skew the blank-line census
+        batch = batch.filter(pc.is_valid(batch.column(text_col)))
         lists = _lines(batch.column(text_col))
         flat = pc.list_flatten(lists)
         doc = pc.list_parent_indices(lists)
@@ -755,9 +774,18 @@ def remove_boilerplate_lines(
             pa.array(offsets, pa.int64()), kept_flat
         )
         new_text = pc.binary_join(new_lists, delimiter)
+        # NULL passthrough (module convention): a null-text doc is not
+        # "all boilerplate" — it keeps its NULL and its row
+        vcol = batch.column(text_col)
+        if isinstance(vcol, pa.ChunkedArray):
+            vcol = vcol.combine_chunks()
+        valid = pc.is_valid(vcol)
+        new_text = pc.if_else(valid, new_text, pa.scalar(None, pa.string()))
         i = batch.schema.get_field_index(text_col)
         out = batch.set_column(i, text_col, new_text)
-        return out.filter(pa.array(per_doc > 0))
+        return out.filter(
+            pa.array((per_doc > 0) | ~valid.to_numpy(zero_copy_only=False))
+        )
 
     return ds.map_batches(strip, batch_format="pyarrow")
 
@@ -804,7 +832,7 @@ def mixture_resample(
         base = pc.fill_null(floors.take(pos), d_floor).to_numpy(zero_copy_only=False)
         thr = pc.fill_null(fracs.take(pos), d_frac).to_numpy(zero_copy_only=False)
         ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.uint64)
-        coin = _knuth_coin(ids)
+        coin = _knuth_coin(ids, mult=_MULT_MIXTURE)
         n = base + (coin < thr.astype(np.uint64))
         take = np.repeat(np.arange(batch.num_rows), n)
         starts = np.concatenate([[0], np.cumsum(n)])[:-1]
@@ -883,7 +911,11 @@ def tfidf_top_terms(
     scored = merged.join(df_tot, keys=["term"])
     tf = scored.column("tf").to_numpy(zero_copy_only=False).astype(np.float64)
     dfv = scored.column("df_total").to_numpy(zero_copy_only=False).astype(np.float64)
-    score = np.round(tf * np.log(float(n_docs) / dfv), 4)
+    raw = tf * np.log(float(n_docs) / dfv)
+    # half-away-from-zero like SQL round() — np.round is half-to-even
+    # and an exact .xxxx5 tie would flip the (score DESC, term ASC)
+    # rank vs the DuckDB oracle
+    score = np.floor(np.abs(raw) * 1e4 + 0.5) / 1e4 * np.sign(raw)
     scored = pa.table(
         {
             "lang": scored.column("lang"),
@@ -921,7 +953,7 @@ def sample_n_per_group(
 
     def coin(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_numpy().astype(np.uint64)
-        c = _knuth_coin(ids)
+        c = _knuth_coin(ids, mult=_MULT_NPG)
         # grouped_topk keeps the LARGEST order values; negate to rank
         # the smallest coins first
         return batch.append_column("__negcoin", pa.array(-c.astype(np.int64)))

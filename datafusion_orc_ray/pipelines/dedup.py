@@ -401,9 +401,13 @@ def verify_pairs_jaccard(
         # stage launches for milliseconds of work — join + score on the
         # driver with the same Arrow kernels
         sht = collect(sh)
+        # inner joins, matching the distributed hash_join path: a pair
+        # whose doc has no shingle row (absent id / null text) DROPS on
+        # both paths — pa.Table.join defaults to LEFT OUTER, whose null
+        # blob would crash _binary_parts' row alignment in score()
         j = pairs_tbl.join(
-            sht.rename_columns(["doc_id_a", "sh_a"]), "doc_id_a"
-        ).join(sht.rename_columns(["doc_id_b", "sh_b"]), "doc_id_b")
+            sht.rename_columns(["doc_id_a", "sh_a"]), "doc_id_a", join_type="inner"
+        ).join(sht.rename_columns(["doc_id_b", "sh_b"]), "doc_id_b", join_type="inner")
         out = score(j.combine_chunks())
     else:
         sh_a = sh.map_batches(

@@ -566,7 +566,11 @@ def chunk_documents(
     """Split long documents into overlapping token windows — the
     standard pre-training context-window prep. Chunk i of a doc covers
     tokens [i*step, i*step + max_tokens) with step = max_tokens -
-    overlap; the tail chunk may be short; empty/null docs emit nothing.
+    overlap; windowing STOPS once a chunk reaches the document end (so
+    the one tail chunk may be short, but no chunk is ever a strict
+    subset of its predecessor — ceil(len/step) windows would emit up to
+    ceil(overlap/step) degenerate suffix chunks that duplicate training
+    content); empty/null docs emit nothing.
     Output rows: (id, chunk_id, n_tok, chunk_text) where chunk_text is
     the window's tokens joined by single spaces (whitespace-normalized
     by construction — the contract a tokenizer downstream expects, and
@@ -587,7 +591,13 @@ def chunk_documents(
     def chunk(batch: pa.Table) -> pa.Table:
         flat, offs = tk.token_strings(batch.column(text_col))
         lens = np.diff(offs)
-        nc = -(-lens // step)  # ceil; 0 chunks for empty docs
+        # 1 + ceil((len - max)/step) windows; 0 for empty docs — the
+        # last window is the FIRST one whose span reaches the doc end
+        nc = np.where(
+            lens == 0,
+            0,
+            np.maximum(0, -(-(lens - max_tokens) // step)) + 1,
+        )
         total = int(nc.sum())
         ids = batch.column(id_col)
         if total == 0:
@@ -676,4 +686,7 @@ def byte_entropy(
         empty = (lens == 0) | ~pc.is_valid(s).to_numpy(zero_copy_only=False)
         return out.append_column(out_col, pa.array(rd, pa.float64(), mask=empty))
 
-    return ds.map_batches(fn, batch_format="pyarrow")
+    # explicit batch_size: the histogram + p-matrix cost ~4 KB/row
+    # regardless of text length, so the bound must come from the row
+    # count, not block bytes (8192 rows -> ~32 MB transient)
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=8192)

@@ -17,12 +17,20 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 _FNV = np.uint64(1099511628211)
-_EMPTY_TOKEN_HASH = None  # computed lazily (hash of "")
+_H2_KEY = "1b2c3d4e5f607182"  # secondary siphash key for 128-bit content keys
 
 
 def hash_strings(values: np.ndarray) -> np.ndarray:
     """Stable uint64 hash of an object ndarray of strings (one C pass)."""
     return pd.util.hash_array(values, categorize=False)
+
+
+def hash_strings_secondary(values: np.ndarray) -> np.ndarray:
+    """The independent second hash of the 128-bit content-key
+    convention (hash_strings128's h2) — use this, never an inline
+    hash_key literal, so every 128-bit key in the repo stays one
+    convention."""
+    return pd.util.hash_array(values, hash_key=_H2_KEY, categorize=False)
 
 
 def hash_strings128(arr: pa.Array | pa.ChunkedArray) -> tuple[np.ndarray, np.ndarray]:
@@ -32,9 +40,15 @@ def hash_strings128(arr: pa.Array | pa.ChunkedArray) -> tuple[np.ndarray, np.nda
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     vals = arr.to_numpy(zero_copy_only=False)
-    vals = np.where(pd.isna(vals), "", vals.astype(object))
+    nulls = pd.isna(vals)
+    vals = np.where(nulls, "", vals.astype(object))
     h1 = pd.util.hash_array(vals, categorize=False)
-    h2 = pd.util.hash_array(vals, hash_key="1b2c3d4e5f607182", categorize=False)
+    h2 = hash_strings_secondary(vals)
+    if nulls.any():
+        # SQL GROUP BY keeps NULL and '' as DISTINCT groups (all NULLs
+        # together); un-perturbed, both would hash as "" and exact dedup
+        # would conflate a null-text doc with an empty-text doc
+        h1 = np.where(nulls, h1 ^ np.uint64(0xA5A5A5A5A5A5A5A5), h1)
     return h1, h2
 
 
@@ -104,7 +118,11 @@ def token_strings(texts: pa.Array | pa.ChunkedArray) -> tuple[pa.Array, np.ndarr
         toks = toks.combine_chunks()
     # utf8_split_whitespace("") yields [""]; drop those empties via lengths
     flat = toks.flatten()
-    offs = np.frombuffer(toks.buffers()[1], dtype=np.int32)[
+    # large_string input (e.g. pack_blocks output) splits to large_list
+    # with int64 offsets; reading those as int32 would scramble every
+    # doc boundary silently
+    off_dtype = np.int64 if pa.types.is_large_list(toks.type) else np.int32
+    offs = np.frombuffer(toks.buffers()[1], dtype=off_dtype)[
         toks.offset : toks.offset + len(toks) + 1
     ].astype(np.int64)
     offs = offs - offs[0]

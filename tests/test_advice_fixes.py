@@ -451,3 +451,104 @@ def test_json_extract_nested_and_escaped_fall_back(ray_session):
         extract_json_field(ray.data.from_arrow(tbl), "props", "k", kind="number")
     ).sort_by("doc_id")
     assert out.column("k").to_pylist() == [2.0, None, 3.0, 9.0]
+
+
+def test_sampling_coins_decorrelated():
+    """stratified keep and mixture extra-replica must be independent
+    decisions: with ONE shared coin, P(extra | kept) was exactly 1."""
+    import numpy as np
+
+    from datafusion_orc_ray.pipelines.corpus import (
+        _KNUTH,
+        _MOD,
+        _MULT_MIXTURE,
+        _MULT_NPG,
+        _knuth_coin,
+    )
+
+    assert len({_KNUTH, _MULT_MIXTURE, _MULT_NPG}) == 3
+    ids = np.arange(100_000, dtype=np.uint64)
+    keep = _knuth_coin(ids) < np.uint64(int(0.5 * _MOD))
+    extra = _knuth_coin(ids, mult=_MULT_MIXTURE) < np.uint64(int(0.5 * _MOD))
+    p_joint = float((keep & extra).mean())
+    assert abs(p_joint - 0.25) < 0.02  # ~independent, not 0.5 or 0.0
+
+
+def test_hll_vocab_null_lang(ray_session):
+    from datafusion_orc_ray.pipelines.corpus import hll_vocab_per_lang
+
+    tbl = pa.table(
+        {
+            "lang": pa.array(["en", None, "en"], pa.string()),
+            "text": ["a b", "c d e", "b f"],
+        }
+    )
+    out = hll_vocab_per_lang(ray.data.from_arrow(tbl).repartition(2))
+    got = {r["lang"]: r["n_approx"] for r in out.to_pylist()}
+    assert got["en"] == 3 and got[None] == 3  # HLL exact at tiny n
+
+
+def test_boilerplate_null_passthrough(ray_session):
+    from datafusion_orc_ray.pipelines.corpus import remove_boilerplate_lines
+
+    texts = [f"unique{i}\nhot line" for i in range(6)] + [None]
+    tbl = pa.table(
+        {"doc_id": pa.array(range(7), pa.int64()), "text": texts}
+    )
+    out = collect(
+        remove_boilerplate_lines(
+            ray.data.from_arrow(tbl).repartition(2), min_docs=5
+        )
+    ).sort_by("doc_id")
+    rows = {r["doc_id"]: r["text"] for r in out.to_pylist()}
+    assert rows[0] == "unique0"  # hot line stripped
+    assert rows[6] is None  # NULL doc survives with NULL, not "" / dropped
+
+
+def test_exact_dedup_null_vs_empty(ray_session):
+    """SQL GROUP BY text: all NULLs one group, '' another — they must
+    not conflate (pre-fix both hashed as '')."""
+    from datafusion_orc_ray.pipelines.dedup import exact_dedup_ids
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": [None, "", None, ""],
+        }
+    )
+    out = collect(
+        exact_dedup_ids(ray.data.from_arrow(tbl).repartition(2))
+    )
+    assert sorted(out.column("doc_id").to_pylist()) == [1, 2]
+
+
+def test_token_strings_large_string():
+    from datafusion_orc_ray.pipelines import tokhash as tk
+
+    flat, offs = tk.token_strings(pa.array(["a b c", "d e"], pa.large_string()))
+    assert flat.to_pylist() == ["a", "b", "c", "d", "e"]
+    assert list(offs) == [0, 3, 5]
+
+
+def test_verify_pairs_missing_doc_consistent(ray_session):
+    """A candidate pair referencing an id with no shingle row (absent
+    or null text) drops on BOTH the driver and distributed paths
+    (driver path used LEFT OUTER joins and crashed pre-fix)."""
+    from datafusion_orc_ray.pipelines.dedup import verify_pairs_jaccard
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": ["a b c d", "a b c d", None],
+        }
+    )
+    pairs = pa.table(
+        {
+            "doc_id_a": pa.array([1, 1, 99], pa.int64()),
+            "doc_id_b": pa.array([2, 3, 2], pa.int64()),
+        }
+    )
+    out = verify_pairs_jaccard(
+        ray.data.from_arrow(docs), pairs, threshold=0.5, shingle=2
+    )
+    assert out.to_pylist() == [{"doc_id_a": 1, "doc_id_b": 2, "jaccard": 1.0}]

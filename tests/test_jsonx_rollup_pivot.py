@@ -92,11 +92,12 @@ def test_chunk_documents_windows_and_edges(ray_session):
     ).sort_by([("doc_id", "ascending"), ("chunk_id", "ascending")])
     rows = out.to_pylist()
     d0 = [r for r in rows if r["doc_id"] == 0]
-    # starts 0,3,6,9 -> lengths 4,4,4,1
-    assert [r["n_tok"] for r in d0] == [4, 4, 4, 1]
+    # starts 0,3,6 -> lengths 4,4,4; the window at 6 reaches the doc
+    # end, so no degenerate suffix chunk at start 9 is emitted
+    assert [r["n_tok"] for r in d0] == [4, 4, 4]
     assert d0[0]["chunk_text"] == "t0 t1 t2 t3"
     assert d0[1]["chunk_text"] == "t3 t4 t5 t6"
-    assert d0[3]["chunk_text"] == "t9"
+    assert d0[2]["chunk_text"] == "t6 t7 t8 t9"
     d1 = [r for r in rows if r["doc_id"] == 1]
     assert len(d1) == 1 and d1[0]["chunk_text"] == "one"
     assert not any(r["doc_id"] in (2, 3) for r in rows)
