@@ -171,7 +171,15 @@ def salt_plan(
 
     if target_share is None:
         target_share = _default_target_share()
-    sample = ds.select_columns([key]).limit(sample_rows)
+    # per-block head slices, not a contiguous head: input already sorted
+    # by the key (common after a prior clustering run) would make a head
+    # sample see ONE key, leave every other hot key unsplit, and
+    # over-split the first — exactly the skew the salt exists to prevent
+    sample = (
+        ds.select_columns([key])
+        .map_batches(lambda b: b.slice(0, 256), batch_format="pyarrow")
+        .limit(sample_rows)
+    )
     tbl = pa.concat_tables(
         sample.iter_batches(batch_format="pyarrow", batch_size=sample_rows)
     )
@@ -289,11 +297,19 @@ def encode_clustered(
         )
     if mode != "global":
         raise ValueError(f"mode must be 'local' or 'global', got {mode!r}")
-    import shutil
+    from .. import io as dio
 
     sharded = add_shard_column(ds, key, salt_col, target_share)
     spill = os.path.join(out_dir, "_spill")
-    shutil.rmtree(spill, ignore_errors=True)
+    # delete via the filesystem layer, not shutil: shutil.rmtree is a
+    # no-op on object-store URIs (errors swallowed), so a stale _spill
+    # from a previous run would be merged into this run's hive read-back
+    # as ghost rows
+    fs, spill_path = dio.resolve(spill)
+    try:
+        fs.delete_dir(spill_path)
+    except FileNotFoundError:
+        pass
 
     # partition col must not start with "_": hive discovery treats
     # underscore-prefixed paths as hidden and would read back 0 rows

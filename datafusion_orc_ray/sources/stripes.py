@@ -17,20 +17,36 @@ from ..stages.decode import make_stripe_decoder
 from ..state import manifest
 
 
+# (stripe-path fingerprint, merged schema) per out_dir: one Catalog.sql
+# call otherwise re-derives the schema 3x (projection resolution, filter
+# pushdown, StripeDatasource.__init__) — each a TAIL-RANGED FOOTER READ
+# PER STRIPE, i.e. ~3N metadata GETs per interactive query at N stripes.
+# The fingerprint is the sorted stripe path list (one manifest listing,
+# no footer IO), so appends/compactions invalidate correctly.
+_SCHEMA_CACHE: dict[str, tuple[tuple, object]] = {}
+
+
 def stripes_schema(out_dir: str):
     """Merged Arrow schema across all stripes (S3: deterministic — footers
     read in sorted-path order, merged with pa.unify_schemas, mirroring
     the reference's sort-for-determinism + Schema::try_merge at
-    src/file_format.rs:90-103)."""
+    src/file_format.rs:90-103). Cached per out_dir against the stripe
+    path list, so repeated metadata calls in one process do footer IO
+    once."""
     import base64
 
     import pyarrow as pa
 
     from .. import stripe as stripe_mod
 
+    entries = sorted(manifest.load_manifest(out_dir), key=lambda e: e["path"])
+    fp = tuple(e["path"] for e in entries)
+    got = _SCHEMA_CACHE.get(out_dir)
+    if got is not None and got[0] == fp:
+        return got[1]
     schemas = []
     seen: set[str] = set()
-    for e in sorted(manifest.load_manifest(out_dir), key=lambda e: e["path"]):
+    for e in entries:
         footer = stripe_mod.read_footer_from_file(e["path"])  # tail read only
         b64 = footer["schema_b64"]
         if b64 not in seen:
@@ -38,7 +54,9 @@ def stripes_schema(out_dir: str):
             schemas.append(pa.ipc.read_schema(pa.py_buffer(base64.b64decode(b64))))
     if not schemas:
         raise FileNotFoundError(f"no manifest entries under {out_dir}")
-    return pa.unify_schemas(schemas)
+    merged = pa.unify_schemas(schemas)
+    _SCHEMA_CACHE[out_dir] = (fp, merged)
+    return merged
 
 
 class Catalog:
@@ -143,6 +161,12 @@ class Catalog:
         q = query
         wheres = re.findall(r"(?i)\bwhere\b", q)
         if len(wheres) != 1:
+            return none
+        # exactly one SELECT: with a derived table / CTE the single WHERE
+        # can sit ABOVE an aggregate (SELECT * FROM (SELECT sum(x) AS x
+        # FROM t) WHERE x > 5) — pushing it below the aggregation changes
+        # the answer, violating the reduce-IO-only contract
+        if len(re.findall(r"(?i)\bselect\b", q)) != 1:
             return none
         if re.search(
             r"(?i)\b(or|not|between|union|except|intersect|left|right|full|outer)\b", q
@@ -327,12 +351,11 @@ def validate_stripes(out_dir: str, concurrency: int | None = None) -> ray.data.D
         oks, n_streams, n_checked, n_rows, bads = [], [], [], [], []
         for p, wr in zip(paths, want_rows):
             r = stripe_mod.validate_file(p)
-            rows = -1
+            # validate_file already parsed the footer from the full read
+            # — re-opening the file for a tail footer read would double
+            # the metadata IO of a 100-TB audit
+            rows = int(r.get("n_rows", -1))
             if r["ok"]:
-                try:
-                    rows = int(stripe_mod.read_footer_from_file(p)["n_rows"])
-                except (ValueError, OSError) as exc:
-                    r = {**r, "ok": False, "bad": r["bad"] + [f"footer: {exc}"]}
                 if rows != wr and wr >= 0 and rows >= 0:
                     r = {
                         **r,

@@ -65,6 +65,14 @@ class StripeEncoder:
         lineage: str = "",
         extra_entry: dict | None = None,
     ) -> dict:
+        if stripe_id is not None:
+            # deterministic (fragment-addressed) ids are known BEFORE
+            # encoding: a chunk made durable by an interrupted attempt
+            # skips the whole re-encode on resume (content-addressed ids
+            # genuinely need encode-first to learn their id)
+            got = manifest.existing_entry(self.out_dir, stripe_id)
+            if got is not None:
+                return got
         blob = stripe.encode_table(batch, state=self.state, outer_codec=self.outer_codec)
         if stripe_id is None:
             stripe_id = _content_id(blob)  # content-addressed -> idempotent rewrite

@@ -38,6 +38,18 @@ def ensure_dirs(out_dir: str) -> None:
     dio.makedirs(dio.join(out_dir, MANIFEST_DIR))
 
 
+def existing_entry(out_dir: str, stripe_id: str) -> dict | None:
+    """The manifest entry for ``stripe_id`` if that stripe is already
+    durable, else None — lets deterministic-id encoders skip the whole
+    encode on resume instead of re-compressing just to have
+    write_stripe discard the result."""
+    _, man_path = stripe_paths(out_dir, stripe_id)
+    try:
+        return json.loads(dio.read_bytes(man_path))
+    except (FileNotFoundError, OSError):
+        return None
+
+
 def write_stripe(out_dir: str, stripe_id: str, blob: bytes, entry: dict) -> dict:
     """Durably write blob then manifest row; returns the manifest entry.
 

@@ -392,8 +392,6 @@ def encode_column(
     ):
         data, offs = _binary_parts(arr)
         lengths = np.diff(offs)
-        len_buf = encode_ints(lengths)
-        _add(meta, blobs, LENGTHS, {"codec": codec_name(len_buf[0])}, len_buf)
         n_valid = lengths.size
         # dictionary trial (E9): sample distinct ratio. Long values never
         # pay for a dictionary and hashing them is the trial's whole cost,
@@ -431,7 +429,12 @@ def encode_column(
             meta["children"] = [child_meta]
             blobs.extend(child_blobs)
             return meta, blobs
-        # plain: RAW vs FSST by sampled trial (E8/E16/E17)
+        # plain: RAW vs FSST by sampled trial (E8/E16/E17). LENGTHS is
+        # written only here — a dict column's lengths are recomputed
+        # from the gathered dictionary values at decode, so persisting
+        # them wasted stream bytes and a decode pass per dict chunk
+        len_buf = encode_ints(lengths)
+        _add(meta, blobs, LENGTHS, {"codec": codec_name(len_buf[0])}, len_buf)
         if state is not None:
             codec_id, table, est_ratio = state.choose_bytes(path, data, offs)
         else:
@@ -588,6 +591,11 @@ def encode_table(
     if chunk_bytes and table.nbytes > chunk_bytes and n_rows > 1:
         n_chunks = min(-(-table.nbytes // chunk_bytes), n_rows)
     rows_per = -(-n_rows // n_chunks) if n_chunks > 1 else n_rows
+    # derive chunk starts from the actual stride: with very wide rows
+    # (n_chunks > ~sqrt(n_rows)) the ceil stride overshoots and the
+    # fixed-count loop would compute a NEGATIVE final slice length
+    starts = list(range(0, n_rows, rows_per)) if n_rows and rows_per else [0]
+    n_chunks = len(starts) if n_chunks > 1 else 1
 
     # densify dictionary input once (dict encoding is re-chosen per stripe
     # by the E9 trial); footer schema records the value type
@@ -606,7 +614,7 @@ def encode_table(
     pos = len(MAGIC)
     chunks_meta = []
     for ci in range(n_chunks):
-        row_start = ci * rows_per
+        row_start = starts[ci] if n_chunks > 1 else 0
         n_c = min(rows_per, n_rows - row_start) if n_chunks > 1 else n_rows
         columns_meta = []
         for name in table.column_names:
@@ -683,7 +691,13 @@ def validate_blob(blob: bytes) -> dict:
     try:
         footer = read_footer(blob)
     except (ValueError, json.JSONDecodeError) as exc:
-        return {"ok": False, "n_streams": 0, "n_checked": 0, "bad": [f"footer: {exc}"]}
+        return {
+            "ok": False,
+            "n_streams": 0,
+            "n_checked": 0,
+            "n_rows": -1,
+            "bad": [f"footer: {exc}"],
+        }
     groups = footer.get("chunks") or [{"columns": footer["columns"]}]
     for ci, ch in enumerate(groups):
         for cmeta in ch["columns"]:
@@ -696,7 +710,15 @@ def validate_blob(blob: bytes) -> dict:
                 raw = blob[s["offset"] : s["offset"] + s["size"]]
                 if len(raw) != s["size"] or zlib.crc32(raw) != want:
                     bad.append(f"chunk{ci}/{cpath}/{kind}")
-    return {"ok": not bad, "n_streams": n_streams, "n_checked": n_checked, "bad": bad}
+    return {
+        "ok": not bad,
+        "n_streams": n_streams,
+        "n_checked": n_checked,
+        # the audit already parsed the footer — surfacing n_rows here
+        # saves callers a second (tail-ranged) footer read per stripe
+        "n_rows": int(footer.get("n_rows", -1)),
+        "bad": bad,
+    }
 
 
 def validate_file(path: str) -> dict:
@@ -708,7 +730,13 @@ def validate_file(path: str) -> dict:
     try:
         blob = dio.read_bytes(path)
     except OSError as exc:
-        return {"ok": False, "n_streams": 0, "n_checked": 0, "bad": [f"read: {exc}"]}
+        return {
+            "ok": False,
+            "n_streams": 0,
+            "n_checked": 0,
+            "n_rows": -1,
+            "bad": [f"read: {exc}"],
+        }
     return validate_blob(blob)
 
 
@@ -847,8 +875,11 @@ def decode_column(blob: bytes, cmeta: dict, dtype: pa.DataType) -> pa.Array:
         )
 
     if enc in ("plain", "dict"):
-        lengths = decode_ints(_get_stream(blob, cmeta, LENGTHS), n_valid)
         if enc == "dict":
+            # no LENGTHS stream for dict columns: lengths are recomputed
+            # from the gathered dictionary values below (older blobs that
+            # still carry one are simply not read — ranged decode never
+            # touches unread streams)
             idx = decode_ints(_get_stream(blob, cmeta, DATA), n_valid)
             child_meta = cmeta["children"][0]
             dict_vals = decode_column(blob, child_meta, _value_type(dtype))
@@ -857,6 +888,7 @@ def decode_column(blob: bytes, cmeta: dict, dtype: pa.DataType) -> pa.Array:
             gdata, goffs = _binary_parts(gathered)
             values_bytes, lengths = gdata, np.diff(goffs)
         else:
+            lengths = decode_ints(_get_stream(blob, cmeta, LENGTHS), n_valid)
             values_bytes = bytes_codec.decode(
                 _get_stream(blob, cmeta, DATA), cmeta["streams"][DATA]["codec"]
             )

@@ -552,3 +552,86 @@ def test_verify_pairs_missing_doc_consistent(ray_session):
         ray.data.from_arrow(docs), pairs, threshold=0.5, shingle=2
     )
     assert out.to_pylist() == [{"doc_id_a": 1, "doc_id_b": 2, "jaccard": 1.0}]
+
+
+# ---------------- core-stack review fixes (third self-review pass)
+
+
+def test_encode_table_wide_rows_many_chunks():
+    """n_chunks > sqrt(n_rows): the ceil stride overshoots n_rows and
+    pre-fix the final slice length went negative (ValueError)."""
+    rows = [b"x" * 1_000_000 for _ in range(7)]
+    t = pa.table(
+        {"b": pa.array(rows, pa.binary()), "i": pa.array(range(7), pa.int64())}
+    )
+    blob = stripe_mod.encode_table(t, chunk_bytes=1_400_000)
+    assert stripe_mod.decode_table(blob).equals(t)
+
+
+def test_sql_pushdown_not_below_aggregate(ray_session, tmp_path):
+    """WHERE above an aggregate in a derived table must NOT push below
+    the aggregation (pre-fix: sum over pre-filtered rows, wrong value)."""
+    import ray.data as rdata
+
+    from datafusion_orc_ray.sources.stripes import Catalog
+
+    out = str(tmp_path / "t")
+    ep.encode_dataset(
+        rdata.from_arrow(pa.table({"x": pa.array([1, 10], pa.int64())})), out
+    ).materialize()
+    cat = Catalog()
+    cat.register_stripes("t", out)
+    got = cat.sql("SELECT * FROM (SELECT sum(x) AS x FROM t) WHERE x > 5")
+    assert [int(v) for v in got.column("x").to_pylist()] == [11]
+    # plain single-select pushdown still prunes and answers correctly
+    got2 = cat.sql("SELECT x FROM t WHERE x > 5")
+    assert got2.column("x").to_pylist() == [10]
+
+
+def test_dict_columns_have_no_lengths_stream():
+    """Dict decode recomputes lengths from the gathered dictionary, so
+    persisting a LENGTHS stream wasted bytes + a decode pass."""
+    import json as _json
+
+    t = pa.table({"lang": pa.array(["en", "de", "en", "de", "en"] * 100, pa.string())})
+    blob = stripe_mod.encode_table(t)
+    foot = stripe_mod.read_footer(blob)
+    col = foot["columns"][0]
+    assert col["enc"] == "dict"
+    assert "lengths" not in col["streams"]
+    assert stripe_mod.decode_table(blob).equals(t)
+
+
+def test_resume_skips_reencode(ray_session, tmp_path):
+    """A durable fragment-addressed stripe short-circuits BEFORE the
+    encode on resume (write_stripe only discarded the result after)."""
+    from datafusion_orc_ray.stages.encode import StripeEncoder
+
+    out = str(tmp_path / "s")
+    enc = StripeEncoder.__new__(StripeEncoder)
+    enc.out_dir = out
+    enc.outer_codec = stripe_mod.outer.ZSTD if hasattr(stripe_mod, "outer") else 1
+    enc.lineage = ""
+    enc.state = stripe_mod.EncoderState()
+    man.ensure_dirs(out)
+    t = pa.table({"x": pa.array(range(100), pa.int64())})
+    first = enc.encode_one(t, stripe_id="frag0")
+    calls = {"n": 0}
+    real = stripe_mod.encode_table
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return real(*a, **k)
+
+    stripe_mod.encode_table = counting
+    try:
+        again = enc.encode_one(t, stripe_id="frag0")
+    finally:
+        stripe_mod.encode_table = real
+    assert calls["n"] == 0 and again == first
+
+
+def test_validate_blob_reports_n_rows():
+    t = pa.table({"x": pa.array(range(7), pa.int64())})
+    r = stripe_mod.validate_blob(stripe_mod.encode_table(t))
+    assert r["ok"] and r["n_rows"] == 7
