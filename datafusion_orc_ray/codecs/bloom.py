@@ -57,6 +57,22 @@ def _hash_values(vals: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return h1, h2
 
 
+def _insert_probes(bits: np.ndarray, m: int, h1: np.ndarray, h2: np.ndarray) -> None:
+    """Set the K double-hash probe bits for every key — the ONE insert
+    loop shared by footer blooms (build) and join-prefilter partials
+    (build_bits); a drifted copy would make filters and probes silently
+    incompatible."""
+    mask = np.uint64(m - 1)
+    for i in range(K):
+        with np.errstate(over="ignore"):
+            pos = (h1 + np.uint64(i) * h2) & mask
+        np.bitwise_or.at(
+            bits,
+            (pos >> np.uint64(3)).astype(np.int64),
+            np.uint8(1) << (pos & np.uint64(7)).astype(np.uint8),
+        )
+
+
 def _normalize(arr: pa.Array) -> np.ndarray | None:
     """Column/probe values -> the exact representation that gets hashed
     (int64 for every integer width, object strings). None = ineligible."""
@@ -95,17 +111,10 @@ def build(arr: pa.Array) -> dict | None:
     vals = _normalize(distinct)
     if vals is None:
         return None
-    m = MIN_BITS
-    while m < len(distinct) * BITS_PER_KEY and m < MAX_BITS:
-        m <<= 1
+    m = bits_for(len(distinct), MAX_BITS)
     h1, h2 = _hash_values(vals)
     bits = np.zeros(m >> 3, np.uint8)
-    mask = np.uint64(m - 1)
-    for i in range(K):
-        with np.errstate(over="ignore"):
-            pos = (h1 + np.uint64(i) * h2) & mask
-        np.bitwise_or.at(bits, (pos >> np.uint64(3)).astype(np.int64),
-                         np.uint8(1) << (pos & np.uint64(7)).astype(np.uint8))
+    _insert_probes(bits, m, h1, h2)
     return {
         "m": m,
         "k": K,
@@ -146,15 +155,7 @@ def build_bits(arr: pa.Array | pa.ChunkedArray, m: int) -> np.ndarray | None:
     if not len(vals):
         return bits
     h1, h2 = _hash_values(vals)
-    mask = np.uint64(m - 1)
-    for i in range(K):
-        with np.errstate(over="ignore"):
-            pos = (h1 + np.uint64(i) * h2) & mask
-        np.bitwise_or.at(
-            bits,
-            (pos >> np.uint64(3)).astype(np.int64),
-            np.uint8(1) << (pos & np.uint64(7)).astype(np.uint8),
-        )
+    _insert_probes(bits, m, h1, h2)
     return bits
 
 
@@ -167,7 +168,14 @@ def contains_many(bits: np.ndarray, m: int, arr: pa.Array | pa.ChunkedArray) -> 
     out = np.zeros(len(arr), bool)
     valid = pc.is_valid(arr).to_numpy(zero_copy_only=False)
     vals = _normalize(arr.drop_null())
-    if vals is None or not len(vals):
+    if vals is None:
+        # un-normalizable probe type (e.g. uint64 keys against an int64
+        # filter): we cannot PROVE anything absent — the conservative
+        # answer is "maybe present" for every valid value, not all-False
+        # (which would silently drop every row of the join)
+        out[valid] = True
+        return out
+    if not len(vals):
         return out
     h1, h2 = _hash_values(vals)
     mask = np.uint64(m - 1)

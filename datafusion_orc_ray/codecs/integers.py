@@ -20,7 +20,14 @@ import struct
 
 import numpy as np
 
-from .bitpack import pack_bits, read_uvarint, unpack_bits, write_uvarint
+from .bitpack import (
+    pack_bits,
+    read_uvarint,
+    unpack_bits,
+    write_uvarint,
+    zigzag_decode,
+    zigzag_encode,
+)
 
 # codec ids (first byte of every encoded integer stream)
 RAW = 0
@@ -68,8 +75,7 @@ def _wrapped_deltas(v: np.ndarray) -> np.ndarray:
     """uint64 wrapped first-differences, zigzagged to small magnitudes."""
     u = v.view(np.uint64)
     d = (u[1:] - u[:-1]).view(np.int64)  # wraparound difference, reinterpreted signed
-    sign = (d >> np.int64(63)).view(np.uint64)
-    return (d.view(np.uint64) << np.uint64(1)) ^ sign  # zigzag
+    return zigzag_encode(d)  # shared bitpack zigzag (one convention)
 
 
 # ---------------------------------------------------------------- encoders
@@ -236,7 +242,7 @@ def decode_ints(buf: bytes, n: int) -> np.ndarray:
         first, zmin, w = struct.unpack_from("<qQB", body, 0)
         off = unpack_bits(bytes(body[17:]), w, n - 1)
         zz = off + np.uint64(zmin)
-        d = ((zz >> np.uint64(1)) ^ (np.uint64(0) - (zz & np.uint64(1))))  # un-zigzag (uint64)
+        d = zigzag_decode(zz).view(np.uint64)  # shared bitpack un-zigzag
         out = np.empty(n, dtype=np.uint64)
         out[0] = np.array(first, dtype=np.int64).view(np.uint64)
         out[1:] = np.cumsum(d, dtype=np.uint64) + out[0]

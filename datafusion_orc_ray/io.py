@@ -71,6 +71,17 @@ def write_bytes_atomic(path: str, data: bytes) -> None:
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, p)
+        # the rename itself lives in the DIRECTORY: without fsyncing it,
+        # a power loss after replace() returns can roll the entry back
+        # even though the data blocks are durable
+        try:
+            dfd = os.open(os.path.dirname(p) or ".", os.O_RDONLY)
+            try:
+                os.fsync(dfd)
+            finally:
+                os.close(dfd)
+        except OSError:
+            pass  # some filesystems refuse dir fsync; data fsync stands
         return
     fs, p = resolve(path)
     tmp = f"{p}.tmp-{uuid.uuid4().hex[:8]}"

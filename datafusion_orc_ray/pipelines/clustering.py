@@ -33,11 +33,19 @@ def _first_k_by_id(ds: ray.data.Dataset, k: int, id_col: str, vec_col: str) -> n
     at most fanin x k rows."""
 
     def head(batch: pa.Table) -> pa.Table:
+        if id_col not in batch.column_names:
+            # an empty dataset collects to a schemaless table; pass it
+            # through so the empty-input check below can report clearly
+            return batch
         batch = batch.select([id_col, vec_col])
         order = pc.select_k_unstable(batch, k, [(id_col, "ascending")])
         return batch.take(order)
 
     t = _tree_or_driver(ds.map_batches(head, batch_format="pyarrow"), head, fanin=8)
+    if t.num_rows == 0 or vec_col not in t.column_names:
+        # an empty dataset collects to a schemaless table — surface a
+        # clear empty-input signal instead of a KeyError deep in init
+        return np.zeros((0, 0), np.float64)
     t = t.take(pc.select_k_unstable(t, k, [(id_col, "ascending")]))
     return _batch_matrix(t, vec_col)
 
@@ -52,6 +60,8 @@ def _maximin_init(
     naive first-k init falls into; the sample is driver-sized and
     id-ordered, so the same corpus gives the same init at any scale."""
     m = _first_k_by_id(ds, max(k, sample), id_col, vec_col)
+    if len(m) == 0:
+        raise ValueError("cannot fit k-means on an empty dataset")
     chosen = [0]
     d = np.linalg.norm(m - m[0], axis=1)
     for _ in range(1, min(k, len(m))):

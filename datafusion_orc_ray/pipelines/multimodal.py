@@ -116,9 +116,14 @@ def probe_media(
             # marker walk per JPEG row over a bounded prefix (SOF0/1/2
             # carries height@+5, width@+7 big-endian)
             jpos = np.flatnonzero(jpg)
-            heads = pc.binary_slice(pay.drop_null(), 0, jpeg_scan_bytes)
-            for j in jpos:
-                b = heads[int(j)].as_py()
+            # slice heads for the JPEG rows only — slicing every valid
+            # row materializes ~jpeg_scan_bytes per row of copies for a
+            # handful of marker walks
+            heads = pc.binary_slice(
+                pay.drop_null().take(pa.array(jpos, pa.int64())), 0, jpeg_scan_bytes
+            )
+            for hi, j in enumerate(jpos):
+                b = heads[hi].as_py()
                 pos, m = 2, memoryview(b)
                 while pos + 9 < len(m):
                     if m[pos] != 0xFF:

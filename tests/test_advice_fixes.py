@@ -635,3 +635,36 @@ def test_validate_blob_reports_n_rows():
     t = pa.table({"x": pa.array(range(7), pa.int64())})
     r = stripe_mod.validate_blob(stripe_mod.encode_table(t))
     assert r["ok"] and r["n_rows"] == 7
+
+
+def test_bloom_unnormalizable_probe_is_conservative():
+    """contains_many on a probe type _normalize rejects must say 'maybe
+    present' for every valid value — all-False would silently drop every
+    row of a bloom-prefiltered join."""
+    import numpy as np
+
+    from datafusion_orc_ray.codecs import bloom
+
+    keys = pa.array([1, 2, 3], pa.int64())
+    m = bloom.bits_for(3)
+    bits = bloom.build_bits(keys, m)
+    probe = pa.array([1, 2, None, 3], pa.uint64())  # uint64: unnormalizable
+    mask = bloom.contains_many(bits, m, probe)
+    assert mask.tolist() == [True, True, False, True]  # null stays False
+
+
+def test_kmeans_empty_input_raises(ray_session):
+    import ray.data as rdata
+
+    from datafusion_orc_ray.pipelines.clustering import kmeans_fit
+
+    empty = rdata.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array([], pa.int64()),
+                "embedding": pa.array([], pa.list_(pa.float32())),
+            }
+        )
+    )
+    with pytest.raises(ValueError, match="empty"):
+        kmeans_fit(empty, k=3)

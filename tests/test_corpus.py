@@ -336,8 +336,10 @@ def test_approx_grouped_quantile_rank_error(ray_session):
 def test_remove_boilerplate_lines_newline(ray_session):
     """Planted multi-line docs: the shared footer/banner lines cross the
     min_docs threshold and vanish; unique lines survive in order; a doc
-    made entirely of hot lines is dropped; null/blank texts are dropped
-    (their single '' line is hot across them)."""
+    made entirely of hot lines is dropped; a NULL doc passes through as
+    NULL (it has no lines — it is not boilerplate evidence and not
+    strippable); ''-docs carry one empty line that here stays under the
+    threshold, so they survive unchanged."""
     docs, ids = [], []
     for i in range(10):
         lines = [f"unique {i}", "SHARED FOOTER", f"body {i}"]
@@ -354,10 +356,10 @@ def test_remove_boilerplate_lines_newline(ray_session):
             ray.data.from_arrow(tbl).repartition(3), min_docs=3
         )
     ).sort_by("doc_id")
-    assert out.column("doc_id").to_pylist() == list(range(10))
+    assert out.column("doc_id").to_pylist() == list(range(10)) + [11, 12, 13]
     assert out.column("text").to_pylist() == [
         f"unique {i}\nbody {i}" for i in range(10)
-    ]
+    ] + [None, "", ""]
 
 
 def test_remove_boilerplate_counts_distinct_docs(ray_session):
