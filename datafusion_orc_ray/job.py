@@ -144,6 +144,14 @@ def main(argv: list[str] | None = None) -> int:
             val = int(val)
         elif pa.types.is_floating(t):
             val = float(val)
+        elif pa.types.is_boolean(t):
+            if args.value.lower() not in ("true", "false", "0", "1"):
+                raise SystemExit(f"--value {args.value!r} is not a boolean")
+            val = args.value.lower() in ("true", "1")
+        elif not (pa.types.is_string(t) or pa.types.is_large_string(t)):
+            # temporal/decimal/binary predicates would hit an Arrow
+            # kernel error inside a remote decode task — refuse here
+            raise SystemExit(f"lookup on column type {t} is not supported")
         cols = args.columns.split(",") if args.columns else None
         ds = read_stripes(
             args.stripes, columns=cols, predicate=(args.col, "==", val)

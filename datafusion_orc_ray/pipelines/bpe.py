@@ -123,6 +123,19 @@ def train_bpe(
     detokenizable via ``detokenize`` — word boundaries live in the
     symbols themselves."""
     wf = word_frequencies(ds, text_col=text_col, max_words=max_words)
+    if end_of_word:
+        import pyarrow.compute as pc
+
+        if pc.any(
+            pc.match_substring(wf.column("word"), end_of_word)
+        ).as_py():
+            # a literal occurrence of the marker in the corpus would be
+            # indistinguishable from a word boundary at detokenize time
+            # — refuse loudly rather than round-trip lossily
+            raise ValueError(
+                f"end_of_word marker {end_of_word!r} occurs literally in "
+                "the corpus; pick an unused marker (e.g. '\x1e')"
+            )
     merges = learn_merges(wf, n_merges=n_merges, end_of_word=end_of_word)
     chars = sorted({c for w in wf.column("word").to_pylist() for c in w})
     if end_of_word:
@@ -161,6 +174,8 @@ class BpeTokenizer:
     characters (absent from training) map to id -1, documented as the
     UNK convention."""
 
+    MAX_CACHE = 2_000_000  # ~a few hundred MB worst case per actor
+
     def __init__(self, model: dict) -> None:
         self.ranks = {tuple(p): i for i, p in enumerate(model["merges"])}
         self.ids = {s: i for i, s in enumerate(model["vocab"])}
@@ -177,6 +192,13 @@ class BpeTokenizer:
                 ],
                 dtype=np.int32,
             )
+            if len(self.cache) >= self.MAX_CACHE:
+                # web text has an OPEN vocabulary (urls, hex ids): an
+                # unbounded memo grows until the actor OOMs on a long
+                # run. Clearing wholesale keeps amortization for the
+                # Zipf head (it re-fills in one batch) without tracking
+                # LRU order per token.
+                self.cache.clear()
             self.cache[word] = got
         return got
 

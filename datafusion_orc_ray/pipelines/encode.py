@@ -57,9 +57,10 @@ def plan_fragments(input_paths: list[str] | str) -> list[dict]:
 
 
 def _cluster_cpus() -> int:
-    import ray
+    # thin alias over the shared sizing helper (one policy to change)
+    from ..util import cluster_cpus
 
-    return int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return cluster_cpus()
 
 
 def _default_pool(whole_pipeline: bool = False) -> int:

@@ -32,11 +32,25 @@ _UNI = "1" + _SEP
 _BIG = "2" + _SEP
 
 
-def _transition_arrays(texts) -> tuple[pa.Array, pa.Array, np.ndarray]:
+def _bigram_key(w1: pa.Array, w2: pa.Array) -> pa.Array:
+    """Equality-unique packed bigram key: ``len(w1) SEP w1 SEP w2``.
+    The length prefix makes (w1, w2) -> key injective even when a token
+    itself contains the separator byte (utf8_split_whitespace does NOT
+    split on \x1f, so plain w1+SEP+w2 conflated ('a\x1fb','c') with
+    ('a','b\x1fc'))."""
+    ln = pc.cast(pc.binary_length(w1), pa.string())
+    return pc.binary_join_element_wise(ln, w1, w2, _SEP)
+
+
+def _transition_arrays(
+    texts, pre: tuple | None = None
+) -> tuple[pa.Array, pa.Array, np.ndarray]:
     """(w1, w2, doc_offsets) for adjacent within-document token pairs.
     doc_offsets has len n_docs+1 over the TRANSITION array (docs with
-    < 2 tokens span zero transitions)."""
-    flat, offs = tk.token_strings(texts)
+    < 2 tokens span zero transitions). ``pre`` passes an already-computed
+    (flat, offs) pair so callers that tokenized the batch for unigrams
+    don't pay the split kernel twice."""
+    flat, offs = pre if pre is not None else tk.token_strings(texts)
     n = len(flat)
     if n < 2:
         return pa.array([], pa.string()), pa.array([], pa.string()), np.zeros(len(offs), np.int64)
@@ -62,10 +76,10 @@ def train_bigram_lm(
     ride one keyed table (prefix-packed keys) so the text is read once."""
 
     def partial(batch: pa.Table) -> pa.Table:
-        flat, _ = tk.token_strings(batch.column(text_col))
-        w1, w2, _ = _transition_arrays(batch.column(text_col))
+        flat, offs = tk.token_strings(batch.column(text_col))
+        w1, w2, _ = _transition_arrays(batch.column(text_col), pre=(flat, offs))
         ukeys = pc.binary_join_element_wise(pa.scalar("1"), flat, _SEP)
-        bkeys = pc.binary_join_element_wise(pa.scalar("2"), w1, w2, _SEP)
+        bkeys = pc.binary_join_element_wise(pa.scalar("2"), _bigram_key(w1, w2), _SEP)
         keys = pa.concat_arrays(
             [ukeys.combine_chunks() if isinstance(ukeys, pa.ChunkedArray) else ukeys,
              bkeys.combine_chunks() if isinstance(bkeys, pa.ChunkedArray) else bkeys]
@@ -127,13 +141,23 @@ def score_avg_nll(
             return out.append_column(
                 "avg_nll", pa.array([None] * batch.num_rows, pa.float64())
             )
-        bkey = pc.binary_join_element_wise(w1, w2, _SEP)
+        bkey = _bigram_key(w1, w2)
         bidx = pc.index_in(bkey, value_set=model["big_keys"])
         uidx = pc.index_in(w1, value_set=model["uni_words"])
         bi = bidx.to_numpy(zero_copy_only=False)
         ui = uidx.to_numpy(zero_copy_only=False)
-        cb = np.where(np.isnan(bi.astype(np.float64)), 0.0, model["big_counts"][np.nan_to_num(bi).astype(np.int64)])
-        cu = np.where(np.isnan(ui.astype(np.float64)), 0.0, model["uni_counts"][np.nan_to_num(ui).astype(np.int64)])
+        # guarded gathers: np.where evaluates the fancy-index branch
+        # EAGERLY, so an empty count array (model trained on a corpus
+        # with no transitions) would IndexError even though every
+        # element is masked
+        def _gather(counts: np.ndarray, idx: np.ndarray) -> np.ndarray:
+            if counts.size == 0:
+                return np.zeros(idx.shape, np.float64)
+            miss = np.isnan(idx.astype(np.float64))
+            return np.where(miss, 0.0, counts[np.nan_to_num(idx).astype(np.int64)])
+
+        cb = _gather(model["big_counts"], bi)
+        cu = _gather(model["uni_counts"], ui)
         lp = np.log((cb + alpha) / (cu + alpha * v))
         # reduceat over NON-EMPTY segments only: zero-length docs would
         # need index clamping, and a clamped mid-array index silently
@@ -250,9 +274,13 @@ def score_log_odds(
             )
         idx = pc.index_in(flat, value_set=m["words"]).to_numpy(zero_copy_only=False)
         miss = np.isnan(idx.astype(np.float64))
-        lw = np.where(
-            miss, w_unseen, m["weights"][np.nan_to_num(idx).astype(np.int64)]
-        )
+        if m["weights"].size == 0:
+            # empty model (all-empty training text): everything is unseen
+            lw = np.full(idx.shape, w_unseen)
+        else:
+            lw = np.where(
+                miss, w_unseen, m["weights"][np.nan_to_num(idx).astype(np.int64)]
+            )
         sums = np.zeros(len(nt), np.float64)
         nz = nt > 0
         if nz.any():

@@ -166,11 +166,23 @@ def _rewrite_item(item: str, state: dict) -> str | None:
     aggregate shape)."""
     out: list[str] = []
     i = 0
+
+    def _in_string(pos: int) -> bool:
+        # odd number of quotes before pos = inside a '...' literal
+        # ('' escapes count as two quotes and keep the parity correct)
+        return item.count("'", 0, pos) % 2 == 1
+
     while True:
         m = _AGG_CALL.search(item, i)
         if not m:
             out.append(item[i:])
             break
+        if _in_string(m.start()):
+            # aggregate-LOOKING text inside a string literal ('sum(x)'):
+            # rewriting it would silently corrupt the selected value
+            out.append(item[i : m.end()])
+            i = m.end()
+            continue
         open_idx = m.end() - 1
         close = _balanced_close(item, open_idx)
         if close is None:
@@ -184,7 +196,9 @@ def _rewrite_item(item: str, state: dict) -> str | None:
         p = f"__p{k}"
         if fn == "count":
             state["partials"].append(f"count({arg}) AS {p}")
-            merge = f"CAST(sum({p}) AS BIGINT)"
+            # COALESCE: zero partial batches (fully pruned / empty scan)
+            # must merge to count's 0, not sum's NULL
+            merge = f"COALESCE(CAST(sum({p}) AS BIGINT), 0)"
         elif fn in ("sum", "min", "max"):
             state["partials"].append(f"{fn}({arg}) AS {p}")
             merge = f"{fn}({p})"

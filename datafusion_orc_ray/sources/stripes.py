@@ -249,6 +249,14 @@ class Catalog:
         con = duckdb.connect()
         readers = []  # keep referenced readers alive until fetch
         try:
+            import pyarrow as pa
+
+            def proj_schema(name: str):
+                cols = projections[name]
+                if cols is None:
+                    return schemas[name]
+                return pa.schema([schemas[name].field(c) for c in cols])
+
             if plan is not None:
                 from . import sqlagg
 
@@ -256,14 +264,25 @@ class Catalog:
                 partials = self.table(
                     name, columns=projections[name], predicate=predicates[name]
                 ).map_batches(sqlagg.run_partial(plan.partial_sql), batch_format="pyarrow")
-                reader = _dataset_reader(partials)
+                # fully-pruned scans have no blocks and ds.schema() is
+                # None — derive the partial schema by binding the partial
+                # SQL against an empty projected table so a point lookup
+                # of an absent value returns its 0-row answer, not a crash
+                vcon = duckdb.connect()
+                try:
+                    vcon.register("__batch", proj_schema(name).empty_table())
+                    fallback = vcon.sql(plan.partial_sql).fetch_arrow_table().schema
+                finally:
+                    vcon.close()
+                reader = _dataset_reader(partials, fallback_schema=fallback)
                 readers.append(reader)
                 con.register("__partials", reader)
                 self.last_plan = "aggregate_pushdown"
                 return con.sql(plan.final_sql).fetch_arrow_table()
             for name in referenced:
                 reader = _dataset_reader(
-                    self.table(name, columns=projections[name], predicate=predicates[name])
+                    self.table(name, columns=projections[name], predicate=predicates[name]),
+                    fallback_schema=proj_schema(name),
                 )
                 readers.append(reader)
                 con.register(name, reader)
@@ -273,12 +292,16 @@ class Catalog:
             con.close()
 
 
-def _dataset_reader(ds: ray.data.Dataset):
-    """ray.data.Dataset -> streaming pyarrow.RecordBatchReader."""
+def _dataset_reader(ds: ray.data.Dataset, fallback_schema=None):
+    """ray.data.Dataset -> streaming pyarrow.RecordBatchReader.
+    ``fallback_schema`` covers zero-block datasets (e.g. a fully pruned
+    scan), whose ``schema()`` is None."""
     import pyarrow as pa
 
     schema = ds.schema()
     schema = getattr(schema, "base_schema", schema)
+    if schema is None:
+        schema = fallback_schema
 
     def gen():
         for tbl in ds.iter_batches(batch_format="pyarrow"):

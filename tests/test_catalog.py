@@ -222,3 +222,25 @@ def test_aggregate_planner_shapes():
     ]
     for q in rejected:
         assert sqlagg.plan_aggregate_pushdown(q, "t", sch) is None, q
+
+
+def test_sql_fully_pruned_scan_and_literal_safety(ray_session, tmp_path):
+    """Review fixes: (1) a predicate pruning EVERY stripe returns its
+    0-row / count-0 answer instead of a TypeError on the schemaless
+    dataset; (2) aggregate-looking text inside a string literal is not
+    rewritten by the pushdown planner; (3) the WHERE guard keeps plain
+    pushdown working."""
+    import ray.data as rdata
+
+    out = str(tmp_path / "t")
+    ep.encode_dataset(
+        rdata.from_arrow(pa.table({"x": pa.array([1, 2, 3, 4], pa.int64())})), out
+    ).materialize()
+    cat = Catalog()
+    cat.register_stripes("t", out)
+    assert cat.sql("SELECT count(*) AS c FROM t WHERE x = 999").to_pylist() == [
+        {"c": 0}
+    ]
+    assert cat.sql("SELECT x FROM t WHERE x = 999").num_rows == 0
+    got = cat.sql("SELECT 'sum(x)' AS s, count(*) AS c FROM t").to_pylist()
+    assert got == [{"s": "sum(x)", "c": 4}]

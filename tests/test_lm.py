@@ -28,7 +28,9 @@ def test_counts_and_smoothed_score_by_hand(ray_session):
     uni = dict(zip(model["uni_words"].to_pylist(), model["uni_counts"].tolist()))
     assert uni == {"a": 3.0, "b": 2.0, "c": 1.0}
     big = dict(zip(model["big_keys"].to_pylist(), model["big_counts"].tolist()))
-    assert big == {"a\x1fb": 2.0, "a\x1fc": 1.0}
+    # keys carry a len(w1) prefix (injective packing even for tokens
+    # containing the separator byte)
+    assert big == {"1\x1fa\x1fb": 2.0, "1\x1fa\x1fc": 1.0}
     a = 0.4
     nll_ab = -math.log((2 + a) / (3 + a * 3))
     nll_ac = -math.log((1 + a) / (3 + a * 3))
