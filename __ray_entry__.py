@@ -730,6 +730,20 @@ def _training_shards_documents(sf_dir: str):
         shutil.rmtree(out, ignore_errors=True)
 
 
+def _weighted_sample_documents(sf_dir: str):
+    """Quality-weighted subsample: 50 docs ranked by the integer
+    priority (coin << 20) // n_chars — longer docs draw smaller
+    priorities, so selection probability grows with length. One
+    combiner+tree top-k pass, zero shuffle, same rows at any
+    parallelism."""
+    from datafusion_orc_ray.pipelines import corpus
+
+    t = corpus.weighted_sample(
+        _ds(sf_dir, "documents", ["doc_id", "n_chars"]), k=50, weight_col="n_chars"
+    )
+    return t.sort_by("doc_id")
+
+
 def _pack_blocks_documents(sf_dir: str):
     """GPT-style concat-and-chunk: per deterministic shard, concatenate
     doc token streams (+<eod> per doc) in epoch order and cut fixed
@@ -1739,6 +1753,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "training_shards_documents": _training_shards_documents,
         "pack_blocks_documents": _pack_blocks_documents,
         "nb_quality_documents": _nb_quality_documents,
+        "weighted_sample_documents": _weighted_sample_documents,
         "decontam_documents": _decontam_documents,
         "quantile_filter_documents": _quantile_filter_documents,
         "dedup_incremental_documents": _dedup_incremental_documents,
@@ -1997,6 +2012,16 @@ FROM documents d LEFT JOIN cnt c USING (doc_id)
             "AS BIGINT) AS shard, count(*) AS n_docs, "
             "CAST(sum(len(regexp_extract_all(text, '\\S+'))) AS BIGINT) AS n_tokens "
             "FROM documents GROUP BY 1"
+        ),
+        "weighted_sample_documents": (
+            # integer priority both sides: (coin << 20) // weight in
+            # HUGEINT mirrors numpy's exact uint64 arithmetic
+            "SELECT doc_id, n_chars FROM ("
+            "  SELECT doc_id, n_chars, "
+            "  ((CAST(doc_id AS HUGEINT) * 2484345263) % 4294967296) * 1048576 "
+            "  // n_chars AS prio "
+            "  FROM documents WHERE n_chars > 0"
+            ") ORDER BY prio, doc_id LIMIT 50"
         ),
         "nb_quality_documents": """
 WITH lab AS (

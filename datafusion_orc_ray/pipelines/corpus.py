@@ -1156,3 +1156,52 @@ def pack_blocks(
         .groupby("shard")
         .map_groups(chunk_shard, batch_format="pyarrow")
     )
+
+
+_MULT_WEIGHTED = 2484345263  # weighted_sample's own decision family
+
+
+def weighted_sample(
+    ds: ray.data.Dataset,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    columns: list[str] | None = None,
+    fanin: int = 8,
+) -> pa.Table:
+    """Deterministic weight-biased top-k sample: rank every row by the
+    integer priority ``(coin(id) << 20) // weight`` ascending (ties by
+    id) and keep the k smallest — rows with larger ``weight_col`` draw
+    systematically smaller priorities, so selection probability grows
+    with weight (the priority-sampling heuristic behind quality-weighted
+    corpus subsampling; exact A-ES needs float u^(1/w) draws, whose
+    libm differences would break the cross-engine oracle — integer
+    division is bit-identical everywhere). Same rows at any
+    parallelism / run / cluster size. Rows with NULL or non-positive
+    weight never qualify (SQL: the division predicate is NULL/rejected).
+
+    One streaming pass: per-batch top-k combiner + tree reduce via
+    relational.topk — the corpus never shuffles and the driver holds
+    fanin x k rows."""
+    from .relational import topk
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    cols = columns or [id_col, weight_col]
+
+    def prio(batch: pa.Table) -> pa.Table:
+        w = batch.column(weight_col)
+        keep = pc.and_kleene(pc.is_valid(w), pc.greater(w, 0))
+        t = batch.filter(pc.fill_null(keep, False))
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.uint64)
+        c = _knuth_coin(ids, mult=_MULT_WEIGHTED)
+        wv = t.column(weight_col).to_numpy(zero_copy_only=False).astype(np.uint64)
+        p = (c << np.uint64(20)) // wv
+        # topk keeps the LARGEST values; negate for ascending priority
+        return t.select(cols).append_column(
+            "__negprio", pa.array((-p.astype(np.int64)))
+        )
+
+    tagged = ds.map_batches(prio, batch_format="pyarrow")
+    out = topk(tagged, "__negprio", k, cols + ["__negprio"], tiebreak=id_col)
+    return out.drop_columns(["__negprio"])

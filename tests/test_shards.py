@@ -170,3 +170,42 @@ def test_pack_blocks_negative_seed(ray_session):
 
     with pytest.raises(ValueError):
         pack_blocks(ray.data.from_arrow(_docs(4)), seed=-1)
+
+
+# ------------------------------------------------ weighted sampling
+
+
+def test_weighted_sample_bias_and_determinism(ray_session):
+    from datafusion_orc_ray.pipelines.corpus import weighted_sample
+
+    n = 4000
+    # half the docs weight 1, half weight 20: the heavy half should
+    # dominate the sample
+    w = [1 if i % 2 == 0 else 20 for i in range(n)]
+    tbl = pa.table(
+        {"doc_id": pa.array(range(n), pa.int64()), "n_chars": pa.array(w, pa.int64())}
+    )
+    outs = []
+    for parts in (1, 8):
+        t = weighted_sample(
+            ray.data.from_arrow(tbl).repartition(parts), k=200, weight_col="n_chars"
+        ).sort_by("doc_id")
+        outs.append(t)
+    assert outs[0].equals(outs[1])  # parallelism-invariant
+    heavy = sum(1 for v in outs[0].column("n_chars").to_pylist() if v == 20)
+    assert heavy > 150  # weight-20 docs dominate a 200-sample
+
+
+def test_weighted_sample_rejects_bad_weights(ray_session):
+    from datafusion_orc_ray.pipelines.corpus import weighted_sample
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "n_chars": pa.array([None, 0, -5, 10], pa.int64()),
+        }
+    )
+    t = weighted_sample(ray.data.from_arrow(tbl), k=10, weight_col="n_chars")
+    assert t.column("doc_id").to_pylist() == [3]  # only the positive weight
+    with pytest.raises(ValueError):
+        weighted_sample(ray.data.from_arrow(tbl), k=0, weight_col="n_chars")
