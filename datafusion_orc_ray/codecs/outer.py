@@ -69,7 +69,12 @@ def compress_auto(buf, codec_id: int = ZSTD) -> list:
         if len(trial) > _MIN_GAIN * _SAMPLE:
             return compress(buf, NONE)
     out = compress(buf, codec_id)
-    if sum(len(p) for p in out) >= n + 11:
+    # header-aware keep rule: both forms carry the same 1-byte codec id
+    # + uvarint(n) framing, so compare PAYLOADS — the old `total >=
+    # n + 11` kept snappy's ~n+5-byte expansion of incompressible data
+    # as "compressed", storing more bytes AND paying a decompress on
+    # every read
+    if sum(len(p) for p in out[1:]) >= n:
         return compress(buf, NONE)
     return out
 

@@ -33,6 +33,14 @@ class StripeDatasource(Datasource):
     ) -> None:
         from .stripes import _stats_may_match, stripes_schema
 
+        if predicate is not None and predicate[1] not in ("<", "<=", ">", ">=", "=="):
+            # fail fast on the driver: an unsupported op would pass
+            # stats pruning as "cannot prune" and then crash every read
+            # task mid-job with a bare KeyError from the residual filter
+            raise ValueError(
+                f"unsupported predicate op {predicate[1]!r} "
+                "(use one of <, <=, >, >=, ==)"
+            )
         self._out_dir = out_dir
         self._columns = columns
         self._predicate = predicate

@@ -52,6 +52,11 @@ def plan_orc_stripes(paths: list[str] | str) -> list[dict]:
     for p in paths:
         f = pa_orc.ORCFile(p)
         specs.extend({"path": p, "stripe": i} for i in range(f.nstripes))
+    if not specs and paths:
+        # a valid ORC file CAN hold zero stripes (empty table): emit one
+        # schema-carrying marker spec so callers get an empty Dataset
+        # with the right schema instead of a spurious file-not-found
+        specs.append({"path": paths[0], "stripe": -1})
     return specs
 
 
@@ -73,6 +78,12 @@ def read_orc(
 
         for row in batch.to_pylist():
             f = pa_orc.ORCFile(row["path"])
+            if row["stripe"] < 0:  # zero-stripe marker: empty, typed
+                sch = f.schema
+                if cols is not None:
+                    sch = pa.schema([sch.field(c) for c in cols])
+                yield sch.empty_table()
+                continue
             t = f.read_stripe(row["stripe"], columns=cols)
             yield t if isinstance(t, pa.Table) else pa.Table.from_batches([t])
 

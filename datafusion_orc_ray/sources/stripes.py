@@ -13,7 +13,6 @@ from __future__ import annotations
 
 import ray.data
 
-from ..stages.decode import make_stripe_decoder
 from ..state import manifest
 
 

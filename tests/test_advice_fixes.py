@@ -668,3 +668,44 @@ def test_kmeans_empty_input_raises(ray_session):
     )
     with pytest.raises(ValueError, match="empty"):
         kmeans_fit(empty, k=3)
+
+
+def test_empty_orc_file_reads_as_empty_dataset(ray_session, tmp_path):
+    pa_orc = pytest.importorskip("pyarrow.orc")
+    import ray.data  # noqa: F401
+
+    from datafusion_orc_ray.sources.orc import read_orc
+
+    p = str(tmp_path / "empty.orc")
+    pa_orc.write_table(
+        pa.table({"x": pa.array([], pa.int64()), "s": pa.array([], pa.string())}), p
+    )
+    ds = read_orc(p)
+    assert ds.count() == 0
+    sch = ds.schema()
+    assert getattr(sch, "base_schema", sch).names == ["x", "s"]
+
+
+def test_outer_incompressible_snappy_stored_raw():
+    import os as _os
+
+    from datafusion_orc_ray.codecs import outer
+
+    data = _os.urandom(100_000)
+    out = outer.compress_auto(data, outer.SNAPPY)
+    total = b"".join(bytes(p) for p in out)
+    assert total[0] == outer.NONE  # stored raw, not snappy-expanded
+    assert outer.decompress(total) == data
+
+
+def test_datasource_rejects_bad_predicate_op(ray_session, tmp_path):
+    import ray.data as rdata
+
+    out = str(tmp_path / "t")
+    ep.encode_dataset(
+        rdata.from_arrow(pa.table({"x": pa.array([1, 2], pa.int64())})), out
+    ).materialize()
+    from datafusion_orc_ray.sources.stripes import read_stripes
+
+    with pytest.raises(ValueError, match="unsupported predicate op"):
+        read_stripes(out, predicate=("x", "=", 1))
