@@ -32,7 +32,12 @@ def _encoded(sf_dir: str, table: str) -> str:
     from datafusion_orc_ray import stripe
     from datafusion_orc_ray.pipelines import encode as ep
 
-    key = hashlib.sha1(f"{sf_dir}:{table}:{stripe.FORMAT}".encode()).hexdigest()[:12]
+    # mtime+size in the key: regenerated test data at the same path must
+    # not silently serve stale cached stripes
+    st = os.stat(_table_path(sf_dir, table))
+    key = hashlib.sha1(
+        f"{sf_dir}:{table}:{stripe.FORMAT}:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:12]
     out_dir = os.path.join(_CACHE_ROOT, key, table)
     ep.encode_parquet(_table_path(sf_dir, table), out_dir).materialize()
     return out_dir
@@ -129,8 +134,8 @@ def _q1_lineitem(sf_dir: str):
         {
             "l_returnflag": out.column("l_returnflag"),
             "l_linestatus": out.column("l_linestatus"),
-            "sum_qty": pc.round(out.column("sum_qty"), 2),
-            "sum_base": pc.round(out.column("sum_base"), 2),
+            "sum_qty": pc.round(out.column("sum_qty"), 2, round_mode="half_towards_infinity"),
+            "sum_base": pc.round(out.column("sum_base"), 2, round_mode="half_towards_infinity"),
             "n": out.column("n"),
         }
     )
@@ -172,7 +177,7 @@ def _group_by_custkey_orders(sf_dir: str):
     return pa.table(
         {
             "o_custkey": out.column("o_custkey"),
-            "total": pc.round(out.column("total"), 2),
+            "total": pc.round(out.column("total"), 2, round_mode="half_towards_infinity"),
             "n": out.column("n"),
         }
     )
@@ -277,7 +282,7 @@ def _grouped_median_events(sf_dir: str):
         rel.grouped_median(_ds(sf_dir, "events", ["event_type", "value"]), ["event_type"], "value")
     )
     return pa.table(
-        {"event_type": out.column("event_type"), "med": pc.round(out.column("med"), 4)}
+        {"event_type": out.column("event_type"), "med": pc.round(out.column("med"), 4, round_mode="half_towards_infinity")}
     )
 
 
@@ -297,7 +302,7 @@ def _running_total_events(sf_dir: str):
     return pa.table(
         {
             "event_id": out.column("event_id"),
-            "running": pc.round(out.column("running"), 4),
+            "running": pc.round(out.column("running"), 4, round_mode="half_towards_infinity"),
         }
     )
 
@@ -335,7 +340,7 @@ def _moving_avg_events(sf_dir: str):
     return pa.table(
         {
             "event_id": out.column("event_id"),
-            "moving_avg": pc.round(out.column("moving_avg"), 4),
+            "moving_avg": pc.round(out.column("moving_avg"), 4, round_mode="half_towards_infinity"),
         }
     )
 
@@ -386,7 +391,7 @@ def _ntile_documents(sf_dir: str):
     return pa.table(
         {
             "doc_id": out.column("doc_id"),
-            "pct_rank": pc.round(out.column("pct_rank"), 6),
+            "pct_rank": pc.round(out.column("pct_rank"), 6, round_mode="half_towards_infinity"),
             "tile": out.column("tile"),
         }
     )
@@ -409,7 +414,7 @@ def _zscore_events(sf_dir: str):
         {
             "event_id": out.column("event_id"),
             "event_type": out.column("event_type"),
-            "centered": pc.round(out.column("centered"), 4),
+            "centered": pc.round(out.column("centered"), 4, round_mode="half_towards_infinity"),
         }
     )
 
@@ -441,7 +446,7 @@ def _window_agg_events(sf_dir: str):
         {
             "event_type": out.column("event_type"),
             "w": out.column("w"),
-            "total": pc.round(out.column("total"), 2),
+            "total": pc.round(out.column("total"), 2, round_mode="half_towards_infinity"),
             "n": out.column("n"),
         }
     )
@@ -473,7 +478,7 @@ def _sliding_window_events(sf_dir: str):
         {
             "event_type": out.column("event_type"),
             "w": out.column("w"),
-            "total": pc.round(out.column("total"), 2),
+            "total": pc.round(out.column("total"), 2, round_mode="half_towards_infinity"),
             "n": out.column("n"),
         }
     )
@@ -600,7 +605,11 @@ def _unnest_embeddings(sf_dir: str):
         return pa.table(
             {
                 "vec_id": batch.column("vec_id").take(parents),
-                "v": pc.round(pc.cast(pc.list_flatten(emb), pa.float64()), 5),
+                "v": pc.round(
+                    pc.cast(pc.list_flatten(emb), pa.float64()),
+                    5,
+                    round_mode="half_towards_infinity",
+                ),
             }
         )
 
@@ -616,7 +625,7 @@ def _knn(sf_dir: str):
 
     out = sim.knn_cosine(_ds(sf_dir, "embeddings"), _query_vec(sf_dir), k=10)
     return pa.table(
-        {"vec_id": out.column("vec_id"), "cos_sim": pc.round(out.column("cos_sim"), 4)}
+        {"vec_id": out.column("vec_id"), "cos_sim": pc.round(out.column("cos_sim"), 4, round_mode="half_towards_infinity")}
     )
 
 
@@ -638,7 +647,7 @@ def _join_customer_orders(sf_dir: str):
     return pa.table(
         {
             "c_mktsegment": out.column("c_mktsegment"),
-            "total": pc.round(out.column("total"), 2),
+            "total": pc.round(out.column("total"), 2, round_mode="half_towards_infinity"),
             "n_rows": out.column("n_rows"),
         }
     )
@@ -937,7 +946,7 @@ def _ann_ivf(sf_dir: str):
         _ds(sf_dir, "embeddings"), _query_vec(sf_dir), k=10, n_cells=16, n_probe=16
     )
     return pa.table(
-        {"vec_id": out.column("vec_id"), "cos_sim": pc.round(out.column("cos_sim"), 4)}
+        {"vec_id": out.column("vec_id"), "cos_sim": pc.round(out.column("cos_sim"), 4, round_mode="half_towards_infinity")}
     )
 
 
@@ -955,7 +964,7 @@ def _near_dup_embeddings(sf_dir: str):
         {
             "id_a": out.column("id_a"),
             "id_b": out.column("id_b"),
-            "cos_sim": pc.round(out.column("cos_sim"), 4),
+            "cos_sim": pc.round(out.column("cos_sim"), 4, round_mode="half_towards_infinity"),
         }
     )
 
@@ -1027,7 +1036,13 @@ def _approx_topk_ngrams(sf_dir: str):
     t = corpus.approx_ngram_topk(
         _ds(sf_dir, "documents", ["text"]), n=2, k=20, m=1 << 20
     )
-    assert t.column("exact").to_pylist() == [True] * t.num_rows
+    if t.column("exact").to_pylist() != [True] * t.num_rows:
+        # explicit raise (not assert: stripped under python -O) — the
+        # shared exact-top-k oracle depends on the proven-exact regime
+        raise RuntimeError(
+            "approx_ngram_topk left the proven-exact regime at this scale; "
+            "raise m or use the exact operator"
+        )
     return t.select(["gram", "n"])
 
 
@@ -1534,7 +1549,7 @@ def _q5_revenue(sf_dir: str):
         {
             "r_name": out.column("r_name"),
             "n_name": out.column("n_name"),
-            "total": pc.round(out.column("total"), 2),
+            "total": pc.round(out.column("total"), 2, round_mode="half_towards_infinity"),
             "n": out.column("n"),
         }
     )
@@ -1605,7 +1620,7 @@ def _q3_shipping(sf_dir: str):
         tiebreak="l_orderkey",
     )
     return top.set_column(
-        top.schema.get_field_index("revenue"), "revenue", pc.round(top.column("revenue"), 2)
+        top.schema.get_field_index("revenue"), "revenue", pc.round(top.column("revenue"), 2, round_mode="half_towards_infinity")
     )
 
 
@@ -1636,7 +1651,7 @@ def _grouped_p90_events(sf_dir: str):
     return pa.table(
         {
             "event_type": out.column("event_type"),
-            "p90": pc.round(out.column("p90"), 4),
+            "p90": pc.round(out.column("p90"), 4, round_mode="half_towards_infinity"),
         }
     )
 

@@ -9,10 +9,11 @@ Prints ONE JSON line:
   {"metric": ..., "value": <headline sec>, "unit": "sec",
    "queries": {...}, "sf": ..., "num_cpus": N, ...}
 
---scaling: runs the headline encode twice in FRESH processes at
-num_cpus=8 and num_cpus=32 on the same input (sandbox stand-in for the
-north rule's N vs 4N node clusters) and reports both throughputs and the
-scaling efficiency.
+--scaling: runs the headline encode in FRESH processes at 1/4/8/32 CPUs
+on the same input; the headline efficiency is the pre-saturation 1 -> 4
+ladder (sandbox stand-in for the north rule's N vs 4N node clusters —
+see run_scaling's rationale), with the saturated 8 -> 32 point reported
+alongside.
 """
 
 from __future__ import annotations
@@ -139,7 +140,7 @@ def run_bench() -> dict:
     queries["encode_webtext"] = round(t_encode, 3)
     extras["encode_GBps"] = round(raw / t_encode / 1e9, 3)
     extras["input_GB"] = round(raw / 1e9, 3)
-    extras["compression_ratio"] = round(raw / enc, 3)
+    extras["compression_ratio"] = round(raw / enc, 3) if enc else None
     extras["n_stripes"] = len(entries)
 
     # steady-state encode throughput: 3x-stacked fragments amortize the
@@ -204,7 +205,11 @@ def run_bench() -> dict:
         enc_c = sum(e["encoded_bytes"] for e in entries_c)
         raw_c = sum(e["raw_bytes"] for e in entries_c)
         extras["clustered_compression_ratio"] = round(raw_c / enc_c, 3) if enc_c else None
-        extras["clustered_vs_plain_per_byte"] = round(t_clustered / t_encode, 2)
+        # normalize by bytes actually encoded: with BENCH_ENCODE_REPEATS
+        # the headline covers k x the corpus, the clustered pass 1x
+        extras["clustered_vs_plain_per_byte"] = (
+            round((t_clustered / raw_c) / (t_encode / raw), 2) if raw_c and raw else None
+        )
         shutil.rmtree(out_c, ignore_errors=True)
 
         # clustered encode, GLOBAL mode (salted-shard hive spill + encode:
@@ -265,7 +270,7 @@ def run_bench() -> dict:
 def run_scaling() -> dict:
     """Same job, same input, fresh ray.init processes at N and 4N CPUs.
 
-    Headline ladder is 2 -> 8 CPUs: this sandbox is a single VM whose
+    Headline ladder is 1 -> 4 CPUs: this sandbox is a single VM whose
     aggregate memory bandwidth saturates around ~12 concurrent encoders
     (~0.55 GB/s input; measured — see BASELINE.md), so 8 -> 32 measures
     the host's memory bus, not the engine. On a real N vs 4N NODE
