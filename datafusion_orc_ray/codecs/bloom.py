@@ -46,6 +46,29 @@ def _fmix64(h: np.ndarray) -> np.ndarray:
     return h
 
 
+_hash_sentinel_cache: int | None = None
+
+
+def _hash_sentinel() -> int:
+    """Fingerprint of the RUNTIME hash function: the hash of one fixed
+    probe value. Persisted footer blooms carry it so a reader whose
+    pandas hash_array (algorithm or default hash_key) differs from the
+    writer's detects the mismatch and declines to prune — without the
+    tag a hash drift would return silent FALSE NEGATIVES and point
+    lookups would drop existing rows. Runtime-only bitmap uses (join
+    prefilters) hash and probe in one process and don't need it."""
+    global _hash_sentinel_cache
+    if _hash_sentinel_cache is None:
+        import pandas as pd
+
+        _hash_sentinel_cache = int(
+            pd.util.hash_array(
+                np.array(["__bloom_hash_sentinel__"], object), categorize=False
+            )[0]
+        )
+    return _hash_sentinel_cache
+
+
 def _hash_values(vals: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     # deferred: pandas costs ~0.36 s of import that every fresh Ray task
     # worker otherwise pays just to plan a decode (bloom probing is rare)
@@ -120,6 +143,7 @@ def build(arr: pa.Array) -> dict | None:
         "k": K,
         "b64": base64.b64encode(bits.tobytes()).decode(),
         "has_null": arr.null_count > 0,
+        "hs": _hash_sentinel(),
     }
 
 
@@ -194,6 +218,10 @@ def may_contain(bloom: dict, val, col_type: pa.DataType) -> bool:
     normalization failure (type mismatch etc.) means 'cannot prune'."""
     if val is None:
         return bool(bloom.get("has_null", True))
+    if bloom.get("hs") != _hash_sentinel():
+        # writer hashed with a different pandas hash (or the bloom
+        # predates the tag) — probing would be meaningless; never prune
+        return True
     try:
         vals = _normalize(pa.array([val], type=col_type))
     except (pa.ArrowInvalid, pa.ArrowTypeError, OverflowError):

@@ -1195,7 +1195,17 @@ def weighted_sample(
         t = batch.filter(pc.fill_null(keep, False))
         ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.uint64)
         c = _knuth_coin(ids, mult=_MULT_WEIGHTED)
-        wv = t.column(weight_col).to_numpy(zero_copy_only=False).astype(np.uint64)
+        wcol = t.column(weight_col)
+        if pa.types.is_floating(wcol.type):
+            # fixed-point: a raw uint64 cast truncates 2.7 -> 2 and sends
+            # weights in (0,1) to 0 (uint64 floor-div by 0 yields 0 — the
+            # HIGHEST priority, the inverse of the documented bias).
+            # Scaling every weight by the same 2^20 constant preserves the
+            # c/w priority ORDER; sub-2^-21 weights clamp to 1 ulp.
+            wf = wcol.to_numpy(zero_copy_only=False)
+            wv = np.maximum(np.round(wf * float(1 << 20)), 1.0).astype(np.uint64)
+        else:
+            wv = wcol.to_numpy(zero_copy_only=False).astype(np.uint64)
         p = (c << np.uint64(20)) // wv
         # topk keeps the LARGEST values; negate for ascending priority
         return t.select(cols).append_column(

@@ -43,6 +43,23 @@ def count_rows(ds: ray.data.Dataset) -> pa.Table:
 _SMALL_PARTIALS = 65536
 
 
+def _pack_composite(parts: list) -> pa.Array:
+    """Injective composite-key packing: every component is prefixed with
+    its byte length (``len SEP value SEP ...``), so ('a\\x1fb','c') and
+    ('a','b\\x1fc') map to DISTINCT keys even when a value contains the
+    separator byte (same scheme as lm._bigram_key, which exists for
+    exactly this reason). A bare sep-join is not injective and would
+    produce false join/set-op matches. Null components propagate to a
+    null key (callers decide null semantics before packing)."""
+    if len(parts) == 1:
+        return parts[0]
+    pieces: list = []
+    for p in parts:
+        pieces.append(pc.cast(pc.binary_length(p), pa.string()))
+        pieces.append(p)
+    return pc.binary_join_element_wise(*pieces, "\x1f")
+
+
 def _tree_or_driver(
     partials: ray.data.Dataset, combine, fanin: int
 ) -> pa.Table:
@@ -830,9 +847,7 @@ def group_mean_center(
         # pc.index_in treats a null probe as no-match — stringify +
         # sentinel-fill so the NULL group keys match too
         parts = [pc.fill_null(pc.cast(tbl.column(k), pa.string()), "\x00null") for k in keys]
-        if len(parts) == 1:
-            return parts[0].combine_chunks() if isinstance(parts[0], pa.ChunkedArray) else parts[0]
-        j = pc.binary_join_element_wise(*parts, "\x1f")
+        j = _pack_composite(parts)
         return j.combine_chunks() if isinstance(j, pa.ChunkedArray) else j
 
     key_arr = probe_key(means)
@@ -1031,8 +1046,7 @@ def _set_op(
         parts = [
             pc.fill_null(pc.cast(tbl.column(c), pa.string()), "\x00null") for c in cols
         ]
-        key = parts[0] if len(parts) == 1 else pc.binary_join_element_wise(*parts, "\x1f")
-        return tbl.append_column("__setk", key)
+        return tbl.append_column("__setk", _pack_composite(parts))
 
     lt = pack(distinct_rows(left, left_cols), left_cols)
     rt = pack(distinct_rows(right, right_cols), right_cols).select(["__setk"])
@@ -1201,7 +1215,7 @@ def hash_join_on(
     def packer(keys: list[str], drop: bool):
         def pack(batch: pa.Table) -> pa.Table:
             parts = [pc.cast(batch.column(k), pa.string()) for k in keys]
-            key = pc.binary_join_element_wise(*parts, "\x1f")
+            key = _pack_composite(parts)
             if drop:
                 batch = batch.drop_columns(keys)
             return batch.append_column("__jk", key)

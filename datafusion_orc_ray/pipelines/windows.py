@@ -167,6 +167,9 @@ def asof_join_broadcast(
             raise TypeError(f"asof key type mismatch: left {lt} vs right {rt}")
     elif not pa.types.is_integer(lt):
         raise TypeError(f"asof left key must be integer like right, got {lt}")
+    # a NULL right key never matches (SQL) — and any null would widen
+    # the int64 key array to float64, rounding values above 2^53
+    right_tbl = right_tbl.filter(pc.is_valid(right_tbl.column(right_on)))
     right_tbl = right_tbl.sort_by(right_on)
     keys = right_tbl.column(right_on).cast(pa.int64()).to_numpy(zero_copy_only=False)
     take_cols = right_cols or [c for c in right_tbl.column_names]
@@ -181,13 +184,16 @@ def asof_join_broadcast(
     def join(batch: pa.Table) -> pa.Table:
         rkeys, rtbl = ray.get(rt_ref)
         col = batch.column(left_on)
-        lv = col.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        # fill nulls BEFORE to_numpy: any null in the batch would widen
+        # the whole int64 column to float64 and round valid probes above
+        # 2^53 (boundary misassignment); the 0-filled rows are masked out
+        # below via is_valid
+        lv = pc.fill_null(col.cast(pa.int64()), 0).to_numpy(zero_copy_only=False)
         idx = np.searchsorted(rkeys, lv, side="right") - 1
         keep = idx >= 0
         if col.null_count:
-            # a NULL key becomes NaN through to_numpy and searchsorted
-            # sends NaN past the END — without this mask the null row
-            # would join to the greatest right row (SQL: never matches)
+            # NULL keys never match (SQL); their filled-0 probes above
+            # would otherwise join to whatever row 0 sorts under
             keep &= pc.is_valid(col).to_numpy(zero_copy_only=False)
         batch = batch.filter(pa.array(keep))
         picked = rtbl.take(pa.array(idx[keep].astype(np.int64), pa.int64()))
@@ -259,11 +265,12 @@ def range_join_broadcast(
             else np.ones(len(col), bool)
         )
         if int_mode and pa.types.is_integer(col.type):
-            raw = col.to_numpy(zero_copy_only=False)
-            lv = (
-                np.where(valid, np.nan_to_num(raw), 0).astype(np.int64)
-                if col.null_count
-                else raw.astype(np.int64)
+            # fill nulls in Arrow BEFORE to_numpy: a null-bearing int64
+            # column otherwise widens to float64 and rounds valid probes
+            # above 2^53 — exactly the misassignment int_mode exists to
+            # prevent; the filled rows drop via the `valid` mask
+            lv = pc.fill_null(col.cast(pa.int64()), 0).to_numpy(
+                zero_copy_only=False
             )
         else:
             lv = col.to_numpy(zero_copy_only=False).astype(np.float64)
