@@ -20,6 +20,7 @@ import ray
 import ray.data
 
 from ..state import manifest as man
+from ..util import bytes_scaled_buckets as _bytes_scaled_buckets
 from ..util import cluster_cpus as _cluster_cpus
 from ..util import default_concurrency
 
@@ -339,7 +340,7 @@ def hash_join(
         raise ValueError("bloom_prefilter cannot drop rows from an outer join")
     out_cols = l_cols if semi_anti else l_cols + [c for c in r_cols if c not in l_cols]
     if n_buckets is None:
-        n_buckets = max(16, 2 * _cluster_cpus())
+        n_buckets = _bytes_scaled_buckets(left, right)
 
     def arrow_join(lt: pa.Table, rt: pa.Table) -> pa.Table:
         if not left_keep_nulls:  # anti/outer KEEP null-key left rows
@@ -657,12 +658,12 @@ def grouped_quantile(
     then a vectorized per-bucket pass (sort, group boundaries, offset
     picks + interpolation). Exact quantiles need full co-location by key
     — the inherent cost; nulls are ignored as in SQL."""
-    from ..util import cluster_cpus
+    from ..util import bytes_scaled_buckets
 
     if not 0.0 <= q <= 1.0:
         raise ValueError(f"q must be in [0, 1], got {q}")
     if n_buckets is None:
-        n_buckets = max(16, 2 * cluster_cpus())
+        n_buckets = bytes_scaled_buckets(ds)
 
     def tag(batch: pa.Table) -> pa.Table:
         batch = batch.filter(pc.is_valid(batch.column(val_col)))
@@ -767,10 +768,10 @@ def grouped_rank(
     (group_size-1) (0.0 for singleton groups, SQL percent_rank over a
     unique ordering); ``ntile=n`` adds ``tile`` (1-based, earlier tiles
     take the remainder rows — SQL ntile)."""
-    from ..util import cluster_cpus
+    from ..util import bytes_scaled_buckets
 
     if n_buckets is None:
-        n_buckets = max(16, 2 * cluster_cpus())
+        n_buckets = bytes_scaled_buckets(ds)
 
     def tag(batch: pa.Table) -> pa.Table:
         h = np.zeros(batch.num_rows, dtype=np.uint64)

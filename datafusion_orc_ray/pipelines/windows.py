@@ -83,10 +83,10 @@ def sessionize(
     gap exceeds ``gap_us``. Returns one row per (user, session):
     (user_col, sid, n_events, session_start). One shuffle (user-hash
     bucket groupby); everything inside a bucket is vectorized numpy."""
-    from ..util import cluster_cpus
+    from ..util import bytes_scaled_buckets
 
     if n_buckets is None:
-        n_buckets = max(16, 2 * cluster_cpus())
+        n_buckets = bytes_scaled_buckets(ds)
 
     def tag(batch: pa.Table) -> pa.Table:
         b = (_stable_hash64(batch.column(user_col)) % n_buckets).astype(np.int32)
@@ -302,10 +302,10 @@ def running_total(
     """sum(val) OVER (PARTITION BY key ORDER BY ts [, tiebreak] ROWS
     UNBOUNDED PRECEDING): key-hash co-location (one shuffle), then a
     vectorized per-bucket segmented cumsum."""
-    from ..util import cluster_cpus
+    from ..util import bytes_scaled_buckets
 
     if n_buckets is None:
-        n_buckets = max(16, 2 * cluster_cpus())
+        n_buckets = bytes_scaled_buckets(ds)
 
     def tag(batch: pa.Table) -> pa.Table:
         b = (_stable_hash64(batch.column(key_col)) % n_buckets).astype(np.int32)
@@ -374,12 +374,12 @@ def lag_lead(
     are null, so values of ANY Arrow type (floats, strings, timestamps)
     shift without a cast. SQL semantics: the first/last n rows of each
     partition get NULL."""
-    from ..util import cluster_cpus
+    from ..util import bytes_scaled_buckets
 
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
     if n_buckets is None:
-        n_buckets = max(16, 2 * cluster_cpus())
+        n_buckets = bytes_scaled_buckets(ds)
 
     def tag(batch: pa.Table) -> pa.Table:
         b = (_stable_hash64(batch.column(key_col)) % n_buckets).astype(np.int32)
@@ -432,12 +432,12 @@ def moving_avg(
     differences clamped at its segment start. SQL NULL semantics: null
     values contribute to neither sum nor count; an all-null frame yields
     NULL."""
-    from ..util import cluster_cpus
+    from ..util import bytes_scaled_buckets
 
     if preceding < 0:
         raise ValueError(f"preceding must be >= 0, got {preceding}")
     if n_buckets is None:
-        n_buckets = max(16, 2 * cluster_cpus())
+        n_buckets = bytes_scaled_buckets(ds)
 
     def tag(batch: pa.Table) -> pa.Table:
         b = (_stable_hash64(batch.column(key_col)) % n_buckets).astype(np.int32)
@@ -494,10 +494,10 @@ def grouped_string_agg(
     are skipped; a key whose values are all NULL still appears, with a
     NULL aggregate. Exact per-key ordering needs full co-location by
     key — the inherent cost, same as grouped_quantile."""
-    from ..util import cluster_cpus
+    from ..util import bytes_scaled_buckets
 
     if n_buckets is None:
-        n_buckets = max(16, 2 * cluster_cpus())
+        n_buckets = bytes_scaled_buckets(ds)
 
     def tag(batch: pa.Table) -> pa.Table:
         cols = [key_col, order_col, val_col] + ([tiebreak] if tiebreak else [])
@@ -565,10 +565,10 @@ def asof_join_partitioned(
     time-span overflows int64 (raise n_buckets). Left rows with NULL
     key or ts match nothing (SQL ASOF LEFT JOIN); right rows with NULL
     key or ts are ignored."""
-    from ..util import cluster_cpus
+    from ..util import bytes_scaled_buckets
 
     if n_buckets is None:
-        n_buckets = max(16, 2 * cluster_cpus())
+        n_buckets = bytes_scaled_buckets(left, right)
     l_schema = getattr(left.schema(), "base_schema", left.schema())
     r_schema = getattr(right.schema(), "base_schema", right.schema())
     l_cols = list(l_schema.names)
