@@ -262,14 +262,19 @@ def encode_clustered(
     run must span multiple batches, which byte-aware batch sizing makes
     rare. Cost over plain encode is one in-memory sort per batch.
 
-    ``mode="global"``: explicit repartition — the salted shard column
-    (hot keys split, sampled frequencies — the north rule's skew salt)
-    is written out as hive-partitioned Parquet in one streaming pass
-    (measured ~10x faster than Ray's sort shuffle on the same input),
-    then a second streaming pass encodes per-shard stripes. The spill
-    dir (``out_dir/_spill``) is the resume checkpoint between passes.
-    Scale caveat: spill files ≈ input blocks x shards; keep shard count
-    ~2/CPU slot (the default) and blocks coarse.
+    ``mode="global"``: a map-side shuffle — pass 1 streams the input
+    once, writing key-run-aligned Arrow-IPC spill files plus a run
+    index; pass 2 is a driver-planned fan-out where each task reads ONLY
+    its key group's record batches (IPC random access) and encodes
+    per-key stripes. No repartition barrier and no parquet re-encode
+    (the r3 hive-spill design paid a full snappy round-trip plus
+    write_tasks x shards files; 16.5 s -> see BENCH_r04). Spill file
+    count = corpus_bytes / spill_batch_bytes, independent of key count.
+    Skew (north rule): hot keys are split across tasks by MEASURED run
+    bytes in the pass-2 plan — the bytes-exact successor of the sampled
+    salt (``target_share`` is therefore ignored in this mode; it still
+    governs ``cluster_for_compression``'s groupby path). The spill dir +
+    ``_COMPLETE.json`` is the resume checkpoint between passes.
 
     Note: on the synthetic bench fixture the TEXT vocabulary is shared
     across langs by construction (fixtures._vocab), so lang-clustering
@@ -298,72 +303,299 @@ def encode_clustered(
         )
     if mode != "global":
         raise ValueError(f"mode must be 'local' or 'global', got {mode!r}")
-    from .. import io as dio
-
-    sharded = add_shard_column(ds, key, salt_col, target_share)
-    spill = os.path.join(out_dir, "_spill")
-    # delete via the filesystem layer, not shutil: shutil.rmtree is a
-    # no-op on object-store URIs (errors swallowed), so a stale _spill
-    # from a previous run would be merged into this run's hive read-back
-    # as ghost rows
-    fs, spill_path = dio.resolve(spill)
-    try:
-        fs.delete_dir(spill_path)
-    except FileNotFoundError:
-        pass
-
-    # partition col must not start with "_": hive discovery treats
-    # underscore-prefixed paths as hidden and would read back 0 rows
-    def _rename_shard(b: pa.Table) -> pa.Table:
-        return b.rename_columns(
-            ["rstp_shard" if c == "__shard" else c for c in b.column_names]
-        )
-
-    # coalesce writers BEFORE the hive write: each write task emits one
-    # file per shard value it sees, so files ~= write_tasks x shards —
-    # with per-block writers the read-back pays ~2 ms/file of metadata on
-    # thousands of shard-fragments (measured 8.5 s of a 11 s encode pass
-    # at sf0.1); 8 writers cut the file count 4x at no write-bandwidth
-    # cost (the pass is bus-bound, not CPU-bound)
-    n_writers = max(8, _cluster_cpus() // 4)
-    sharded.repartition(n_writers).map_batches(
-        _rename_shard, batch_format="pyarrow"
-    ).write_parquet(spill, partition_cols=["rstp_shard"])
-    batch_rows = _rows_for_target_bytes(spill, rows_per_stripe, target_stripe_bytes)
-    # shard-fragment files are small; force fine read splits so the
-    # second pass decodes parquet at full width (measured 4.1 s -> 2.4 s
-    # at sf0.1 x 32 CPUs with 4x-cpu blocks)
-    spilled = ray.data.read_parquet(spill, override_num_blocks=4 * _cluster_cpus())
-    return spilled.map_batches(
-        _ClusteredBatchEncoder,
-        fn_constructor_kwargs={"out_dir": out_dir, "key": "rstp_shard", "salt_col": salt_col},
-        batch_format="pyarrow",
-        batch_size=batch_rows,
-        zero_copy_batch=True,
-        concurrency=_default_pool(),
+    return _encode_global(
+        ds,
+        out_dir,
+        key=key,
+        salt_col=salt_col,
+        rows_per_stripe=rows_per_stripe,
+        target_stripe_bytes=target_stripe_bytes,
     )
 
 
-def _rows_for_target_bytes(
-    parquet_dir: str, rows_cap: int, target_bytes: int, sample_files: int = 64
-) -> int:
-    """Rows per stripe that lands near ``target_bytes`` raw, estimated
-    from parquet row-group metadata (uncompressed sizes) — metadata-only,
-    no data read."""
-    import glob as _glob
+def _spill_codec() -> str:
+    """IPC body compression for shuffle spill files: lz4 frame when the
+    wheel carries it (fastest), else zstd. Spill is transient shuffle
+    state, not durable data — decode speed beats ratio."""
+    try:
+        if pa.Codec.is_available("lz4"):
+            return "lz4"
+    except Exception:
+        pass
+    return "zstd"
 
-    import pyarrow.parquet as pq
 
-    files = sorted(_glob.glob(os.path.join(parquet_dir, "**", "*.parquet"), recursive=True))
-    rows = raw = 0
-    for f in files[:sample_files]:
-        md = pq.ParquetFile(f).metadata
-        rows += md.num_rows
-        raw += sum(md.row_group(i).total_byte_size for i in range(md.num_row_groups))
-    if rows == 0:
-        return rows_cap
-    bytes_per_row = max(1.0, raw / rows)
-    return max(256, min(rows_cap, int(target_bytes / bytes_per_row)))
+def _est_dataset_bytes(ds: ray.data.Dataset) -> int:
+    """In-memory byte estimate without executing the pipeline: Ray's
+    metadata estimate when present, else a 256-row probe is the floor."""
+    est = ds.size_bytes()
+    if est:
+        return int(est)
+    probe = ds.limit(256).take_batch(256, batch_format="pyarrow")
+    return max(1, probe.nbytes)
+
+
+class _ShardSpillWriter:
+    """Pass-1 stage of the global clustered encode: a map-side shuffle
+    writer. Each input batch (sized ~``batch_bytes``) is sorted by
+    (key, salt_col), then written as ONE Arrow-IPC file whose record
+    batches are aligned to key runs; the returned index rows
+    (path, batch_index, shard, rows, bytes) are the shuffle's "map
+    output index". Pass 2 reads ONLY the record batches of its key
+    group — random access via the IPC footer — so no parquet re-encode,
+    no hive directory discovery, and file count = corpus_bytes /
+    batch_bytes regardless of key count (the r3 hive design paid
+    write_tasks x shards files plus a full snappy round-trip).
+
+    No salt column: skew is defeated downstream — ``_plan_spill_tasks``
+    splits a hot key's runs across as many tasks as its measured bytes
+    require (a dynamic, bytes-exact equivalent of the sampled salt the
+    groupby-based design needed, where one key had to fit one task)."""
+
+    def __init__(self, spill_dir: str, key: str, salt_col: str) -> None:
+        pa.set_cpu_count(1)
+        pa.set_io_thread_count(2)
+        from .. import io as dio
+
+        self.spill_dir = spill_dir
+        self.key = key
+        self.salt_col = salt_col
+        self.codec = _spill_codec()
+        dio.makedirs(spill_dir)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import uuid
+
+        import pyarrow.compute as pc
+
+        from .. import io as dio
+
+        if batch.num_rows == 0:
+            return pa.table(
+                {"path": pa.array([], pa.string()), "batch_index": pa.array([], pa.int32()),
+                 "shard": pa.array([], pa.string()), "rows": pa.array([], pa.int64()),
+                 "bytes": pa.array([], pa.int64())}
+            )
+        ck = batch.column(self.key)
+        if isinstance(ck, pa.ChunkedArray):
+            ck = ck.combine_chunks()
+        if ck.null_count and pa.types.is_string(ck.type):
+            ck = pc.fill_null(ck, "\x00null")
+        if not pa.types.is_string(ck.type):
+            ck = ck.cast(pa.string())
+        tmp = batch.append_column("__shard", ck)
+        keys = [("__shard", "ascending")]
+        if self.salt_col in batch.column_names:
+            keys.append((self.salt_col, "ascending"))
+        tmp = tmp.sort_by(keys)
+        shards = tmp.column("__shard").to_numpy(zero_copy_only=False)
+        bounds = np.flatnonzero(np.concatenate([[True], shards[1:] != shards[:-1]]))
+        bounds = np.append(bounds, len(shards))
+        body = tmp.drop_columns(["__shard"]).combine_chunks()
+
+        path = dio.join(self.spill_dir, f"run-{uuid.uuid4().hex}.arrow")
+        fs, p = dio.resolve(path)
+        opts = pa.ipc.IpcWriteOptions(compression=self.codec)
+        rows = []
+        with fs.open_output_stream(p) as sink:
+            with pa.ipc.new_file(sink, body.schema, options=opts) as w:
+                bi = 0
+                for i in range(len(bounds) - 1):
+                    s, e = int(bounds[i]), int(bounds[i + 1])
+                    run = body.slice(s, e - s)
+                    n_batches = 0
+                    for rb in run.to_batches():
+                        w.write_batch(rb)
+                        n_batches += 1
+                    # a run is normally ONE record batch (body is
+                    # combined); guard multi-chunk edges by indexing each
+                    for k in range(n_batches):
+                        part = run.num_rows if n_batches == 1 else run.to_batches()[k].num_rows
+                        rows.append(
+                            {"path": path, "batch_index": bi + k,
+                             "shard": str(shards[s]), "rows": int(part),
+                             "bytes": int(run.nbytes // max(1, n_batches))}
+                        )
+                    bi += n_batches
+        return pa.Table.from_pylist(rows)
+
+
+class _SpillTaskEncoder:
+    """Pass-2 stage: one task per planned shard group. Reads exactly its
+    shards' record batches from the spill files (IPC random access),
+    re-sorts each shard by the salt column (restores dictionary/FSST
+    locality lost at spill-file boundaries), and emits per-shard stripes
+    via the same byte-capped / tiny-run-coalescing policy as local mode."""
+
+    def __init__(
+        self,
+        out_dir: str,
+        salt_col: str = "url",
+        rows_per_stripe: int = 32768,
+        target_stripe_bytes: int = 32 << 20,
+    ) -> None:
+        from ..stages.encode import StripeEncoder
+
+        self.enc = StripeEncoder(out_dir)
+        self.salt_col = salt_col
+        self.rows_per_stripe = rows_per_stripe
+        self.target_stripe_bytes = target_stripe_bytes
+        self.seq = 0
+
+    def __call__(self, specs: pa.Table) -> pa.Table:
+        import json as _json
+
+        from .. import io as dio
+
+        all_rows: list[dict] = []
+        for spec in specs.to_pylist():
+            groups = _json.loads(spec["task_json"])
+            readers: dict[str, pa.ipc.RecordBatchFileReader] = {}
+            tables, labels = [], []
+            for g in groups:
+                parts = []
+                for path, bi in g["parts"]:
+                    r = readers.get(path)
+                    if r is None:
+                        fs, p = dio.resolve(path)
+                        r = pa.ipc.open_file(fs.open_input_file(p))
+                        readers[path] = r
+                    parts.append(pa.Table.from_batches([r.get_batch(int(bi))]))
+                t = pa.concat_tables(parts, promote_options="default")
+                if self.salt_col in t.column_names:
+                    t = t.sort_by(self.salt_col)
+                tables.append(t)
+                labels.append(g["shard"])
+            if not tables:
+                continue
+            body = pa.concat_tables(tables, promote_options="default").combine_chunks()
+            bounds = np.cumsum([0] + [t.num_rows for t in tables])
+            rows, self.seq = _emit_keyed_stripes(
+                self.enc, body, bounds, labels,
+                self.rows_per_stripe, self.target_stripe_bytes, self.seq,
+            )
+            all_rows.extend(rows)
+        return pa.Table.from_pylist(all_rows, schema=_manifest_schema())
+
+
+def _plan_spill_tasks(index_rows: list[dict], task_bytes: int) -> list[dict]:
+    """Greedy shard-group packing: runs of one shard stay together (split
+    only when the shard alone exceeds ``task_bytes``); small shards are
+    packed into shared tasks. Driver-side over the map-output index —
+    O(spill runs) rows, ~100 B each (at 100 TB / 256 MB spill batches x
+    ~64 shards that is a few million rows: acceptable on a job driver,
+    and the packing is a single sort + linear scan)."""
+    import json as _json
+
+    by_shard: dict[str, list[dict]] = {}
+    for r in index_rows:
+        by_shard.setdefault(r["shard"], []).append(r)
+    tasks: list[list[dict]] = []
+    cur: list[dict] = []
+    cur_bytes = 0
+
+    def close() -> None:
+        nonlocal cur, cur_bytes
+        if cur:
+            tasks.append(cur)
+            cur, cur_bytes = [], 0
+
+    for shard in sorted(by_shard):
+        runs = by_shard[shard]
+        group: dict = {"shard": shard, "parts": []}
+        g_bytes = 0
+        for r in runs:
+            group["parts"].append([r["path"], r["batch_index"]])
+            g_bytes += r["bytes"]
+            if g_bytes >= task_bytes:  # huge shard: split across tasks
+                close()
+                tasks.append([group])
+                group, g_bytes = {"shard": shard, "parts": []}, 0
+        if group["parts"]:
+            if cur_bytes + g_bytes > task_bytes:
+                close()
+            cur.append(group)
+            cur_bytes += g_bytes
+    close()
+    return [{"task_json": _json.dumps(t)} for t in tasks]
+
+
+def _encode_global(
+    ds: ray.data.Dataset,
+    out_dir: str,
+    key: str,
+    salt_col: str,
+    rows_per_stripe: int,
+    target_stripe_bytes: int,
+    reuse_spill: bool = False,
+) -> ray.data.Dataset:
+    """Global clustered encode = map-side shuffle (pass 1: streaming
+    shard+sort+IPC spill with a run index) + driver-planned reduce
+    (pass 2: per-shard-group read+encode). The spill dir plus its
+    ``_COMPLETE.json`` index is the resume checkpoint between passes
+    (``reuse_spill=True`` skips pass 1 when present)."""
+    import json as _json
+
+    from .. import io as dio
+
+    spill = dio.join(out_dir, "_spill")
+    marker = dio.join(spill, "_COMPLETE.json")
+    fs, marker_p = dio.resolve(marker)
+    import pyarrow.fs as pafs
+
+    have_marker = fs.get_file_info(marker_p).type != pafs.FileType.NotFound
+    cpus = _cluster_cpus()
+    if reuse_spill and have_marker:
+        index_rows = _json.loads(dio.read_bytes(marker))
+    else:
+        # delete via the filesystem layer, not shutil: shutil.rmtree is a
+        # no-op on object-store URIs (errors swallowed), so a stale
+        # _spill from a previous run would surface as ghost rows
+        sfs, sp = dio.resolve(spill)
+        try:
+            sfs.delete_dir(sp)
+        except FileNotFoundError:
+            pass
+        est = _est_dataset_bytes(ds)
+        # spill batches: big enough to bound file count, small enough to
+        # keep every slot busy at bench scale
+        batch_bytes = int(min(256 << 20, max(32 << 20, est / (2 * cpus))))
+        n_rows = ds.count()  # metadata pushdown on parquet reads
+        bpr = max(1.0, est / max(1, n_rows))
+        batch_rows = max(256, int(batch_bytes / bpr))
+        index = ds.map_batches(
+            _ShardSpillWriter,
+            fn_constructor_kwargs={
+                "spill_dir": spill,
+                "key": key,
+                "salt_col": salt_col,
+            },
+            batch_format="pyarrow",
+            batch_size=batch_rows,
+            zero_copy_batch=True,
+            concurrency=_default_pool(),
+        )
+        index_rows = []
+        for b in index.iter_batches(batch_format="pyarrow", batch_size=65536):
+            index_rows.extend(b.to_pylist())
+        dio.write_bytes_atomic(marker, _json.dumps(index_rows).encode())
+    if not index_rows:
+        return ray.data.from_items([])
+    total = sum(r["bytes"] for r in index_rows)
+    task_bytes = int(min(256 << 20, max(16 << 20, total / (2 * cpus))))
+    specs = _plan_spill_tasks(index_rows, task_bytes)
+    return ray.data.from_items(specs).map_batches(
+        _SpillTaskEncoder,
+        fn_constructor_kwargs={
+            "out_dir": out_dir,
+            "salt_col": salt_col,
+            "rows_per_stripe": rows_per_stripe,
+            "target_stripe_bytes": target_stripe_bytes,
+        },
+        batch_format="pyarrow",
+        batch_size=1,
+        concurrency=_default_pool(),
+    )
 
 
 class _ClusteredBatchEncoder:
@@ -392,7 +624,6 @@ class _ClusteredBatchEncoder:
         self.seq = 0
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        import numpy as np
         import pyarrow.compute as pc
 
         ck = batch.column(self.key)
@@ -410,34 +641,55 @@ class _ClusteredBatchEncoder:
         bounds = np.append(bounds, len(shards))
         drop = ["__ck"] + ([self.key] if self.synthetic else [])
         body = tmp.drop_columns(drop)
-        bytes_per_row = max(1.0, body.nbytes / max(1, body.num_rows))
-        cap = max(256, min(self.rows_per_stripe, int(self.target_stripe_bytes / bytes_per_row)))
-        min_rows = max(256, cap // 8)
-        rows = []
-
-        def emit(start: int, stop: int, label: str) -> None:
-            for s in range(start, stop, cap):
-                chunk = body.slice(s, min(cap, stop - s))
-                entry = self.enc.encode_one(chunk, lineage=f"shard={label}:{self.seq}")
-                self.seq += 1
-                rows.append({k: entry[k] for k in _manifest_names()})
-
-        # tiny key runs (rare keys) are coalesced into contiguous "mixed"
-        # stripes — per-stripe overhead otherwise eats the clustering gain
-        mixed_start = None
-        for i in range(len(bounds) - 1):
-            run_start, run_stop = int(bounds[i]), int(bounds[i + 1])
-            if run_stop - run_start < min_rows:
-                if mixed_start is None:
-                    mixed_start = run_start
-                continue
-            if mixed_start is not None:
-                emit(mixed_start, run_start, "mixed")
-                mixed_start = None
-            emit(run_start, run_stop, str(shards[run_start]))
-        if mixed_start is not None:
-            emit(mixed_start, int(bounds[-1]), "mixed")
+        labels = [str(shards[int(bounds[i])]) for i in range(len(bounds) - 1)]
+        rows, self.seq = _emit_keyed_stripes(
+            self.enc, body, bounds, labels,
+            self.rows_per_stripe, self.target_stripe_bytes, self.seq,
+        )
         return pa.Table.from_pylist(rows, schema=_manifest_schema())
+
+
+def _emit_keyed_stripes(
+    enc,
+    body: pa.Table,
+    bounds: np.ndarray,
+    labels: list[str],
+    rows_per_stripe: int,
+    target_stripe_bytes: int,
+    seq: int,
+) -> tuple[list[dict], int]:
+    """Shared per-key stripe emission: ``body`` holds contiguous key runs
+    delimited by ``bounds`` (len(labels)+1 offsets); each run becomes one
+    or more byte-capped stripes, and tiny runs (rare keys) are coalesced
+    into contiguous "mixed" stripes — per-stripe overhead otherwise eats
+    the clustering gain. Returns (manifest rows, next seq)."""
+    bytes_per_row = max(1.0, body.nbytes / max(1, body.num_rows))
+    cap = max(256, min(rows_per_stripe, int(target_stripe_bytes / bytes_per_row)))
+    min_rows = max(256, cap // 8)
+    rows: list[dict] = []
+
+    def emit(start: int, stop: int, label: str) -> None:
+        nonlocal seq
+        for s in range(start, stop, cap):
+            chunk = body.slice(s, min(cap, stop - s))
+            entry = enc.encode_one(chunk, lineage=f"shard={label}:{seq}")
+            seq += 1
+            rows.append({k: entry[k] for k in _manifest_names()})
+
+    mixed_start = None
+    for i in range(len(bounds) - 1):
+        run_start, run_stop = int(bounds[i]), int(bounds[i + 1])
+        if run_stop - run_start < min_rows:
+            if mixed_start is None:
+                mixed_start = run_start
+            continue
+        if mixed_start is not None:
+            emit(mixed_start, run_start, "mixed")
+            mixed_start = None
+        emit(run_start, run_stop, labels[i])
+    if mixed_start is not None:
+        emit(mixed_start, int(bounds[-1]), "mixed")
+    return rows, seq
 
 
 
