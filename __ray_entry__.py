@@ -71,6 +71,72 @@ def _roundtrip(table: str):
     return q
 
 
+def _roundtrip_union(sf_dir: str):
+    """Arrow dense-union through the full Ray encode->decode pipeline
+    (stripe.py union_dense streams), flattened to plain columns so the
+    DuckDB oracle can hash-compare: even doc_ids carry int64 n_chars in
+    child "i", odd carry lang in child "s"."""
+    import tempfile
+
+    import numpy as np
+    import ray.data
+
+    from datafusion_orc_ray.pipelines import encode as ep
+
+    def build(b: pa.Table) -> pa.Table:
+        doc_id = b.column("doc_id").to_numpy(zero_copy_only=False)
+        tags = (doc_id % 2).astype(np.int8)
+        offsets = np.empty(len(tags), np.int32)
+        ev = tags == 0
+        offsets[ev] = np.arange(int(ev.sum()), dtype=np.int32)
+        offsets[~ev] = np.arange(int((~ev).sum()), dtype=np.int32)
+        ints = b.column("n_chars").combine_chunks().filter(pa.array(ev))
+        strs = b.column("lang").combine_chunks().filter(pa.array(~ev))
+        u = pa.UnionArray.from_dense(
+            pa.array(tags), pa.array(offsets), [ints, strs], field_names=["i", "s"]
+        )
+        return pa.table({"doc_id": b.column("doc_id"), "u": u})
+
+    def flatten(b: pa.Table) -> pa.Table:
+        # per chunk: concatenating dense unions (combine_chunks) is
+        # unimplemented in Arrow, and .type_codes/.offsets are PARENT
+        # buffers — not adjusted for the slice views Ray's block splits
+        # produce — so window them by (offset, len)
+        tag_parts, int_parts, str_parts = [], [], []
+        col = b.column("u")
+        chunks = col.chunks if isinstance(col, pa.ChunkedArray) else [col]
+        for u in chunks:
+            start, n = u.offset, len(u)
+            codes = np.asarray(u.type_codes)[start : start + n]
+            offs = np.asarray(u.offsets)[start : start + n]
+            ints = u.field(0).to_numpy(zero_copy_only=False)
+            u_int = np.zeros(n, np.int64)
+            ev = codes == 0
+            u_int[ev] = ints[offs[ev]]
+            u_str = np.full(n, None, dtype=object)
+            sv = u.field(1).take(pa.array(offs[~ev], pa.int32()))
+            u_str[~ev] = np.asarray(sv.to_pylist(), dtype=object)
+            tag_parts.append(codes.astype(np.int64))
+            int_parts.append(u_int)
+            str_parts.append(u_str)
+        tags = np.concatenate(tag_parts)
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "u_tag": pa.array(tags),
+                "u_int": pa.array(np.concatenate(int_parts), mask=tags != 0),
+                "u_str": pa.array(np.concatenate(str_parts), pa.string()),
+            }
+        )
+
+    out_dir = tempfile.mkdtemp(prefix="rstp_union_")
+    ds = _ds(sf_dir, "documents", ["doc_id", "lang", "n_chars"]).map_batches(
+        build, batch_format="pyarrow"
+    )
+    ep.encode_dataset(ds, out_dir, concurrency=2).materialize()
+    return ep.decode_stripes(out_dir).map_batches(flatten, batch_format="pyarrow")
+
+
 def _projection_lineitem(sf_dir: str):
     return _decoded(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
 
@@ -1682,6 +1748,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "roundtrip_lineitem": _roundtrip("lineitem"),
         "roundtrip_events": _roundtrip("events"),
         "roundtrip_embeddings": _roundtrip("embeddings"),
+        "roundtrip_union": _roundtrip_union,
         "projection_lineitem": _projection_lineitem,
         "stats_lineitem": _stats_lineitem,
         # relational surface (SURVEY.md §2.2)
@@ -2518,6 +2585,11 @@ GROUP BY k.doc_id, k.n_trans
         "roundtrip_lineitem": "SELECT * FROM lineitem",
         "roundtrip_events": "SELECT * FROM events",
         "roundtrip_embeddings": "SELECT * FROM embeddings",
+        "roundtrip_union": (
+            "SELECT doc_id, doc_id % 2 AS u_tag, "
+            "CASE WHEN doc_id % 2 = 0 THEN n_chars END AS u_int, "
+            "CASE WHEN doc_id % 2 = 1 THEN lang END AS u_str FROM documents"
+        ),
         "projection_lineitem": "SELECT l_orderkey, l_quantity FROM lineitem",
         "stats_lineitem": (
             "SELECT min(l_quantity) AS col_min, max(l_quantity) AS col_max, "
