@@ -111,7 +111,16 @@ class Catalog:
             return {name: None for name in referenced}
         cols: dict[str, list[str] | None] = {}
         for name, schema in schemas.items():
-            used = [c for c in schema.names if re.search(rf"\b{re.escape(c)}\b", query)]
+            used = [
+                c
+                for c in schema.names
+                # plain/quoted identifiers appear verbatim in the query
+                # text (quoting chars are word boundaries); names with
+                # EMBEDDED double quotes appear in their doubled form
+                # ("we""ird") and need the explicit quoted candidate
+                if re.search(rf"(?<!\w){re.escape(c)}(?!\w)", query)
+                or '"' + c.replace('"', '""') + '"' in query
+            ]
             # a query touching no column of this table (count(*)-style)
             # still needs one stream to produce rows — pick the first
             cols[name] = used or [schema.names[0]]
