@@ -24,6 +24,14 @@ from ..util import bytes_scaled_buckets as _bytes_scaled_buckets
 from ..util import cluster_cpus as _cluster_cpus
 from ..util import default_concurrency
 
+_log = __import__("logging").getLogger("datafusion_orc_ray.join")
+
+
+def _log_join_decision(path: str, rows: int | None, est_bytes: int | None) -> None:
+    _log.info(
+        "hash_join: %s path (right rows=%s, est_bytes=%s)", path, rows, est_bytes
+    )
+
 
 def collect(ds: ray.data.Dataset) -> pa.Table:
     tables = list(ds.iter_batches(batch_format="pyarrow"))
@@ -276,6 +284,7 @@ def hash_join(
     hot_key_share: float = 0.05,
     sample_rows: int = 50_000,
     broadcast_rows: int = 500_000,
+    broadcast_bytes: int = 256 << 20,
     join_type: str = "inner",
     bloom_prefilter: bool = False,
 ) -> ray.data.Dataset:
@@ -353,14 +362,32 @@ def hash_join(
         )
         return j.select(out_cols)
 
-    # ---- small-right broadcast fast path (no shuffle)
+    # ---- small-right broadcast fast path (no shuffle). Gated on BOTH
+    # row count and the source's byte statistics (stripe-manifest
+    # raw_bytes for stripe scans, parquet metadata for parquet reads —
+    # sources/datasource.py:57): 500k rows of wide web rows can be
+    # gigabytes, and a row-only gate would ray.put them into every task
     try:
         right_count = right.count()
     except Exception:
         right_count = None
+    try:
+        right_bytes = right.size_bytes()
+    except Exception:
+        right_bytes = None
+    small_right = (
+        right_count is not None
+        and right_count <= broadcast_rows
+        and (right_bytes is None or right_bytes <= broadcast_bytes)
+    )
+    _log_join_decision(
+        "broadcast" if small_right and not full_outer else "bucket",
+        right_count,
+        right_bytes,
+    )
     # full outer cannot broadcast: every batch-local join would re-emit
     # the right side's unmatched rows once per batch
-    if right_count is not None and right_count <= broadcast_rows and not full_outer:
+    if small_right and not full_outer:
         right_tbl = collect(right)
         rt_ref = ray.put(right_tbl)
 
