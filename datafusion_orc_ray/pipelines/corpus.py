@@ -559,6 +559,49 @@ def approx_ngram_topk(
 # ---------------------- mergeable approximate grouped quantile (summary)
 
 
+def _key_segments(tb: pa.Table, keys: list[str]) -> tuple[np.ndarray, np.ndarray]:
+    """Group segment (starts, ends) of a table ALREADY sorted by
+    ``keys``: dictionary-encode each key column (null -> -1 code, its
+    own group, matching pandas ``dropna=False``), mark rows where any
+    code changes. O(n) numpy, no hashing, no Python per group."""
+    n = tb.num_rows
+    change = np.zeros(n, dtype=bool)
+    change[0] = True
+    for k in keys:
+        codes = pc.dictionary_encode(
+            tb.column(k).combine_chunks()
+        ).indices.fill_null(-1).to_numpy()
+        change[1:] |= codes[1:] != codes[:-1]
+    starts = np.flatnonzero(change)
+    ends = np.append(starts[1:], n)
+    return starts, ends
+
+
+def _weighted_picks(
+    v: np.ndarray,
+    w: np.ndarray,
+    starts: np.ndarray,
+    ends: np.ndarray,
+    ranks01: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray]:
+    """For each segment of (v, w) — v sorted within segments — pick the
+    value at each relative rank in ``ranks01`` (midpoint rule:
+    searchsorted over cumweight - w/2, the standard weighted-summary
+    query). Returns (flat pick indices segment-major, segment totals).
+    One global searchsorted: cw - w/2 is globally nondecreasing, and
+    per-segment ranks are clipped back into their segment."""
+    cw = np.cumsum(w)
+    base = cw[starts] - w[starts]
+    totals = cw[ends - 1] - base
+    targets = base[:, None] + ranks01[None, :] * totals[:, None]
+    pick = np.searchsorted(cw - w / 2, targets.ravel())
+    b = ranks01.size
+    return (
+        np.clip(pick, np.repeat(starts, b), np.repeat(ends - 1, b)),
+        totals,
+    )
+
+
 def approx_grouped_quantile(
     ds: ray.data.Dataset,
     keys: list[str],
@@ -581,49 +624,39 @@ def approx_grouped_quantile(
     batch); huge key spaces co-locate fine too, but prefer the exact op
     when you already pay its shuffle."""
 
-    def partial(batch: pa.Table) -> pa.Table:
-        import pandas as pd
+    ranks01 = (np.arange(bins) + 0.5) / bins
 
-        cols = {k: batch.column(k).to_numpy(zero_copy_only=False) for k in keys}
-        v = batch.column(val_col).to_numpy(zero_copy_only=False).astype(np.float64)
-        ok = ~np.isnan(v)
-        codes, uniq = pd.factorize(
-            pd.Series(list(zip(*(cols[k] for k in keys)))) if len(keys) > 1
-            else pd.Series(cols[keys[0]]),
-            use_na_sentinel=False,
+    def partial(batch: pa.Table) -> pa.Table:
+        vf = pc.cast(batch.column(val_col), pa.float64())
+        keep = pc.fill_null(pc.invert(pc.is_nan(vf)), False)
+        tb = pa.table(
+            {**{k: batch.column(k) for k in keys}, "v": vf}
+        ).filter(keep)
+        empty = pa.table(
+            {
+                **{kn: pa.array([], batch.schema.field(kn).type) for kn in keys},
+                "v": pa.array([], pa.float64()),
+                "w": pa.array([], pa.float64()),
+            }
         )
-        out_keys: dict[str, list] = {k: [] for k in keys}
-        vals, wts = [], []
-        for gi in range(len(uniq)):
-            gv = np.sort(v[(codes == gi) & ok])
-            if not gv.size:
-                continue
-            pick = np.clip(
-                ((np.arange(bins) + 0.5) / bins * gv.size).astype(np.int64),
-                0,
-                gv.size - 1,
-            )
-            kv = uniq[gi] if len(keys) > 1 else (uniq[gi],)
-            for kn, kvv in zip(keys, kv):
-                out_keys[kn].extend([kvv] * bins)
-            vals.append(gv[pick])
-            wts.append(np.full(bins, gv.size / bins))
-        if not vals:
-            return pa.table(
-                {
-                    **{kn: pa.array([], batch.schema.field(kn).type) for kn in keys},
-                    "v": pa.array([], pa.float64()),
-                    "w": pa.array([], pa.float64()),
-                }
-            )
+        if tb.num_rows == 0:
+            return empty
+        tb = tb.sort_by([(k, "ascending") for k in keys] + [("v", "ascending")])
+        starts, ends = _key_segments(tb, keys)
+        sizes = ends - starts
+        # equi-depth picks at floor((j+.5)/bins * size) — segment-major
+        rel = np.minimum(
+            (ranks01[None, :] * sizes[:, None]).astype(np.int64),
+            (sizes - 1)[:, None],
+        )
+        idx = (starts[:, None] + rel).ravel()
+        v = tb.column("v").to_numpy()
+        kt = tb.select(keys).take(pa.array(np.repeat(starts, bins)))
         return pa.table(
             {
-                **{
-                    kn: pa.array(out_keys[kn], batch.schema.field(kn).type)
-                    for kn in keys
-                },
-                "v": pa.array(np.concatenate(vals)),
-                "w": pa.array(np.concatenate(wts)),
+                **{kn: kt.column(kn) for kn in keys},
+                "v": pa.array(v[idx]),
+                "w": pa.array(np.repeat(sizes / bins, bins)),
             }
         )
 
@@ -632,32 +665,21 @@ def approx_grouped_quantile(
         summaries are associative, so a tree level keeps the driver's
         merge input at fanin x groups x bins rows regardless of batch
         count (adds <= 1/(2*bins) rank error per level)."""
-        import pandas as pd
-
-        df_b = b.to_pandas()
-        outs = []
-        for kv, grp in df_b.groupby(keys, dropna=False):
-            grp = grp.sort_values("v")
-            w = grp["w"].to_numpy()
-            v = grp["v"].to_numpy()
-            cw = np.cumsum(w)
-            total = cw[-1]
-            ranks = (np.arange(bins) + 0.5) / bins * total
-            pick = np.clip(np.searchsorted(cw - w / 2, ranks), 0, len(v) - 1)
-            kv = kv if isinstance(kv, tuple) else (kv,)
-            outs.append(
-                pa.table(
-                    {
-                        **{
-                            kn: pa.array([kvv] * bins, b.schema.field(kn).type)
-                            for kn, kvv in zip(keys, kv)
-                        },
-                        "v": pa.array(v[pick]),
-                        "w": pa.array(np.full(bins, total / bins)),
-                    }
-                )
-            )
-        return pa.concat_tables(outs) if outs else b.slice(0, 0)
+        if b.num_rows == 0:
+            return b.slice(0, 0)
+        tb = b.sort_by([(k, "ascending") for k in keys] + [("v", "ascending")])
+        starts, ends = _key_segments(tb, keys)
+        v = tb.column("v").to_numpy()
+        w = tb.column("w").to_numpy()
+        pick, totals = _weighted_picks(v, w, starts, ends, ranks01)
+        kt = tb.select(keys).take(pa.array(np.repeat(starts, bins)))
+        return pa.table(
+            {
+                **{kn: kt.column(kn) for kn in keys},
+                "v": pa.array(v[pick]),
+                "w": pa.array(np.repeat(totals / bins, bins)),
+            }
+        )
 
     partials = ds.map_batches(partial, batch_format="pyarrow").materialize()
     if partials.count() > _SMALL_PARTIALS:
@@ -665,29 +687,25 @@ def approx_grouped_quantile(
             recompress, batch_format="pyarrow"
         )
     merged = collect(partials)
-    import pandas as pd
-
-    df = merged.to_pandas()
-    rows = []
-    for kv, grp in df.groupby(keys, dropna=False):
-        g = grp.sort_values("v")
-        cw = g["w"].cumsum().to_numpy()
-        total = cw[-1]
-        target = q * total
-        i = int(np.searchsorted(cw - g["w"].to_numpy() / 2, target))
-        i = min(i, len(g) - 1)
-        kv = kv if isinstance(kv, tuple) else (kv,)
-        rows.append((*kv, float(g["v"].to_numpy()[i])))
-    out = pa.table(
+    if merged.num_rows == 0:
+        return pa.table(
+            {
+                **{kn: merged.column(kn) for kn in keys},
+                out_col: pa.array([], pa.float64()),
+            }
+        )
+    tb = merged.sort_by([(k, "ascending") for k in keys] + [("v", "ascending")])
+    starts, ends = _key_segments(tb, keys)
+    v = tb.column("v").to_numpy()
+    w = tb.column("w").to_numpy()
+    pick, _ = _weighted_picks(v, w, starts, ends, np.array([q]))
+    kt = tb.select(keys).take(pa.array(starts))
+    return pa.table(
         {
-            **{
-                kn: pa.array([r[j] for r in rows], merged.schema.field(kn).type)
-                for j, kn in enumerate(keys)
-            },
-            out_col: pa.array([r[-1] for r in rows], pa.float64()),
+            **{kn: kt.column(kn) for kn in keys},
+            out_col: pa.array(v[pick], pa.float64()),
         }
     )
-    return out
 
 
 # ------------------------------------- boilerplate line removal (CCNet)
