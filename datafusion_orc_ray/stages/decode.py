@@ -40,6 +40,9 @@ def make_stripe_decoder(
         import pyarrow.compute as pc
 
         ops = {"<": pc.less, "<=": pc.less_equal, ">": pc.greater, ">=": pc.greater_equal, "==": pc.equal}
+        # `batch` is MANIFEST rows (one per stripe/chunk assigned to this
+        # task), never data rows — to_pylist here is O(files-per-task)
+        # metadata, and each loop iteration is a full file/range read.
         has_range = "chunk_lo" in batch.column_names
         los = batch.column("chunk_lo").to_pylist() if has_range else [None] * batch.num_rows
         his = batch.column("chunk_hi").to_pylist() if has_range else [None] * batch.num_rows

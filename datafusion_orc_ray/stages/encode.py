@@ -138,6 +138,9 @@ class FragmentEncoder(StripeEncoder):
         import pyarrow.parquet as pq
 
         rows = []
+        # `batch` is FRAGMENT SPECS (one row per parquet row-group), not
+        # data — the loop is O(row-groups-per-task) and each iteration
+        # reads + encodes a whole row group.
         for spec in batch.to_pylist():
             path, rg = spec["path"], spec["row_group"]
             frag_key = f"{path}:rg{rg}"
