@@ -238,7 +238,11 @@ def run_bench() -> dict:
               "q3_shipping", "lm_perplexity_documents",
               "kmeans_embeddings", "bpe_tokenize_documents",
               "excise_spans_documents", "pack_blocks_documents",
-              "training_shards_documents")
+              "training_shards_documents",
+              # window family: tracked so byte-sized co-location bucket
+              # work (VERDICT r3 #1) has round-over-round numbers
+              "running_total_events", "lag_lead_events",
+              "sessionize_events", "grouped_median_events")
     )
     # best of 2: the first run pays one-off Ray dataset/actor-pool warmup
     # (~1 s) that every query in a long-lived session amortizes; the
