@@ -137,6 +137,48 @@ def _roundtrip_union(sf_dir: str):
     return ep.decode_stripes(out_dir).map_batches(flatten, batch_format="pyarrow")
 
 
+def _roundtrip_decimal256(sf_dir: str):
+    """>128-bit decimal256 through the full Ray encode->decode pipeline
+    (stripe.py decimal256_split: four RLE int64 limb streams). DuckDB
+    DECIMAL caps at 38 digits, so the value under compare is the exact
+    decimal STRING: 56+ digits built from (doc_id, n_chars), scale 2."""
+    import tempfile
+
+    from decimal import Decimal
+
+    from datafusion_orc_ray.pipelines import encode as ep
+
+    def build(b: pa.Table) -> pa.Table:
+        # Decimal(str) is exact at any width; arithmetic (e.g. /100)
+        # would round at the default 28-digit context
+        vals = [
+            Decimal(f"{i + 1}{c // 100:051d}.{c % 100:02d}")
+            for i, c in zip(
+                b.column("doc_id").to_pylist(), b.column("n_chars").to_pylist()
+            )
+        ]
+        return pa.table(
+            {"doc_id": b.column("doc_id"), "d": pa.array(vals, pa.decimal256(76, 2))}
+        )
+
+    def flatten(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "d_str": _pc.cast(b.column("d"), pa.string()),
+            }
+        )
+
+    out_dir = tempfile.mkdtemp(prefix="rstp_dec256_")
+    ds = _ds(sf_dir, "documents", ["doc_id", "n_chars"]).map_batches(
+        build, batch_format="pyarrow"
+    )
+    ep.encode_dataset(ds, out_dir, concurrency=2).materialize()
+    return ep.decode_stripes(out_dir).map_batches(flatten, batch_format="pyarrow")
+
+
 def _projection_lineitem(sf_dir: str):
     return _decoded(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
 
@@ -1751,6 +1793,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "roundtrip_events": _roundtrip("events"),
         "roundtrip_embeddings": _roundtrip("embeddings"),
         "roundtrip_union": _roundtrip_union,
+        "roundtrip_decimal256": _roundtrip_decimal256,
         "projection_lineitem": _projection_lineitem,
         "stats_lineitem": _stats_lineitem,
         # relational surface (SURVEY.md §2.2)
@@ -2713,6 +2756,15 @@ GROUP BY k.doc_id, k.n_trans
             "SELECT doc_id, doc_id % 2 AS u_tag, "
             "CASE WHEN doc_id % 2 = 0 THEN n_chars END AS u_int, "
             "CASE WHEN doc_id % 2 = 1 THEN lang END AS u_str FROM documents"
+        ),
+        "roundtrip_decimal256": (
+            # mirror of _roundtrip_decimal256.build: unscaled digits are
+            # (doc_id+1) || lpad(n_chars, 53, '0'), scale 2 -> insert '.'
+            # before the last two digits
+            "SELECT doc_id, substr(s, 1, length(s) - 2) || '.' || "
+            "substr(s, length(s) - 1, 2) AS d_str FROM (SELECT doc_id, "
+            "CAST(doc_id + 1 AS VARCHAR) || lpad(CAST(n_chars AS VARCHAR), 53, '0') "
+            "AS s FROM documents)"
         ),
         "projection_lineitem": "SELECT l_orderkey, l_quantity FROM lineitem",
         "stats_lineitem": (

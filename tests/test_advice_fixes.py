@@ -82,19 +82,37 @@ def test_temporal_predicate_prunes_without_crash(ray_session, tmp_path):
     assert not _stats_may_match(e2, ("d", ">", datetime.date(2024, 2, 1)))
 
 
-def test_decimal256_lossless_fallback_and_loud_overflow():
-    """decimal256 values that FIT 128 bits round-trip bit-identically via
-    the cast-at-ingest fallback (VERDICT r2 missing #3); values that
-    genuinely need >128 bits still fail loudly at encode."""
+def test_decimal256_narrow_fallback_and_wide_limb_split():
+    """decimal256 values that FIT 128 bits round-trip via the
+    cast-at-ingest fallback (VERDICT r2 missing #3); values that
+    genuinely need >128 bits round-trip through the 4-limb split
+    (VERDICT r3 missing #1) — including negatives (sign extension
+    across limbs), nulls, extremes, scale > 38, and slices."""
     from decimal import Decimal
 
     arr = pa.array([1, None, 3]).cast(pa.decimal256(50, 2))
     tbl = pa.table({"d": arr})
     out = stripe_mod.decode_table(stripe_mod.encode_table(tbl))
     assert out.equals(tbl)  # type AND values identical
-    big = pa.array([Decimal("9" * 45)], pa.decimal256(50, 2))
-    with pytest.raises(NotImplementedError, match="128 bits"):
-        stripe_mod.encode_table(pa.table({"d": big}))
+    wide = pa.array(
+        [
+            Decimal("9" * 45),
+            None,
+            Decimal("-" + "9" * 74 + "." + "99"),
+            Decimal("0.01"),
+            -Decimal("12345678901234567890123456789012345678901234567890.55"),
+        ],
+        pa.decimal256(76, 2),
+    )
+    t2 = pa.table({"d": wide})
+    assert stripe_mod.decode_table(stripe_mod.encode_table(t2)).equals(t2)
+    # scale > 38 (cast fallback statically impossible)
+    deep = pa.array([Decimal("0." + "9" * 45), None], pa.decimal256(76, 45))
+    t3 = pa.table({"d": deep})
+    assert stripe_mod.decode_table(stripe_mod.encode_table(t3)).equals(t3)
+    # sliced offset through chunked encode (buffer-offset arithmetic)
+    t4 = pa.table({"d": wide.slice(1, 3)})
+    assert stripe_mod.decode_table(stripe_mod.encode_table(t4)).equals(t4)
 
 
 def test_decimal128_still_roundtrips():
