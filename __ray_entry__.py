@@ -1278,6 +1278,31 @@ def _bpe_tokenize(sf_dir: str):
     )
 
 
+def _running_total_skewed_events(sf_dir: str):
+    """running_total with hot_keys='auto': event_type has ~5 values, so
+    at a deliberately small hot_bytes every key is detected hot and
+    split across ts-range sub-partitions with exact carry-over bases
+    (windows._plan_hot_split) — the 100-TB mega-key path, driven
+    against the same SQL window semantics as the hash-bucket variant."""
+    import pyarrow.compute as pc
+
+    from datafusion_orc_ray.pipelines import relational as rel, windows as w
+
+    out = rel.collect(
+        w.running_total(
+            _ds(sf_dir, "events", ["event_id", "event_type", "ts", "value"]),
+            "event_type", "ts", "value", tiebreak="event_id",
+            hot_keys="auto", hot_bytes=1 << 16,
+        )
+    )
+    return pa.table(
+        {
+            "event_id": out.column("event_id"),
+            "running": pc.round(out.column("running"), 4, round_mode="half_towards_infinity"),
+        }
+    )
+
+
 def _daily_rollup_events(sf_dir: str):
     """Events per day (date_trunc rollup): floor_temporal + the standard
     partial->tree grouped aggregate."""
@@ -1817,6 +1842,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ntile_documents": _ntile_documents,
         "zscore_events": _zscore_events,
         "running_total_events": _running_total_events,
+        "running_total_skewed_events": _running_total_skewed_events,
         "lag_lead_events": _lag_lead_events,
         "moving_avg_events": _moving_avg_events,
         "regex_replace_documents": _regex_replace_documents,
@@ -2836,6 +2862,11 @@ GROUP BY k.doc_id, k.n_trans
         ),
         "running_total_events": (
             "SELECT event_id, round(sum(value) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING), 4) AS running "
+            "FROM events"
+        ),
+        "running_total_skewed_events": (
+            "SELECT event_id, round(sum(value) OVER (PARTITION BY event_type "
             "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING), 4) AS running "
             "FROM events"
         ),

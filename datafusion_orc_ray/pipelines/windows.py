@@ -290,6 +290,215 @@ def range_join_broadcast(
     return left.map_batches(join, batch_format="pyarrow")
 
 
+# -------- hot-key ts-range splitting (skew-proof decomposable windows)
+#
+# Hash co-location sends a key's EVERY row to one map_groups task, so a
+# single mega-key (one bot user with 1% of a 100-TB event log) is a task
+# OOM no matter how many buckets exist. For windows that decompose along
+# the ORDER axis (running_total: cumsum = local cumsum + prefix base),
+# a hot key can instead split across ts-RANGE sub-partitions whose exact
+# carry-over bases come from a cheap commutative pre-aggregate — no task
+# ever holds more than ~hot_bytes of the key.
+
+
+class _HotPlan:
+    """Driver-side plan for splitting hot keys by ts range: per hot key
+    an edges array (S-1 sorted ts cut points -> S bins, assignment via
+    searchsorted side='right' so equal ts never split), a dense part-id
+    block [n_buckets + offset, n_buckets + offset + S), and per-part
+    (base_sum, base_cnt) prefix bases filled by the bases pass."""
+
+    def __init__(self, n_buckets: int) -> None:
+        self.n_buckets = n_buckets
+        self.keys: list = []
+        self.edges: list[np.ndarray] = []
+        self.offsets: list[int] = []
+        self.bases: dict[int, tuple[float, int]] = {}
+
+    def add(self, key, edges: np.ndarray) -> None:
+        prev = self.offsets[-1] + len(self.edges[-1]) + 1 if self.keys else 0
+        self.keys.append(key)
+        self.edges.append(edges)
+        self.offsets.append(prev)
+
+    def n_parts(self, i: int) -> int:
+        return len(self.edges[i]) + 1
+
+    def bin_of(self, i: int, ts: np.ndarray, null_mask: np.ndarray) -> np.ndarray:
+        b = np.searchsorted(self.edges[i], ts, side="right")
+        if null_mask.any():
+            b[null_mask] = self.n_parts(i) - 1  # ORDER BY ... NULLS LAST
+        return b.astype(np.int64)
+
+
+def _ts_np(col: pa.ChunkedArray) -> tuple[np.ndarray, np.ndarray]:
+    """(values, null_mask) for the order column as numpy — datetime64 /
+    numeric; null slots carry NaT/NaN and are overridden via the mask."""
+    nulls = pc.is_null(col).to_numpy(zero_copy_only=False)
+    return col.to_numpy(zero_copy_only=False), nulls
+
+
+def _plan_hot_split(
+    ds: ray.data.Dataset,
+    key_col: str,
+    ts_col: str,
+    val_col: str,
+    n_buckets: int,
+    hot_bytes: int,
+) -> _HotPlan | None:
+    """Three cheap column-pruned passes (census -> ts sample -> bases)
+    that produce a _HotPlan, or None when no key is hot enough to split.
+
+    * census: per batch, top-64 key counts + batch row/byte totals — a
+      key is hot when its estimated global bytes exceed ``hot_bytes``.
+      Partials are O(64) rows per batch; nulls never qualify (they stay
+      on the cold hash path).
+    * ts sample: <= 16 evenly spaced order-values per hot key per batch;
+      the driver cuts S = ceil(est_bytes / hot_bytes) bins (<= 64) at
+      sample quantiles.
+    * bases: per (hot key, bin) exact sum/valid-count of ``val`` — a
+      COMMUTATIVE aggregate, so it needs no co-location; the driver
+      prefixes bins into carry-over bases keyed by final part id.
+    """
+
+    def census(batch: pa.Table) -> pa.Table:
+        vc = pc.value_counts(batch.column(key_col))
+        counts = vc.field("counts").to_numpy(zero_copy_only=False)
+        order = np.argsort(counts)[::-1][:64]
+        rows = np.zeros(len(order), np.int64)
+        nbytes = np.zeros(len(order), np.int64)
+        if len(order):
+            rows[0], nbytes[0] = batch.num_rows, batch.nbytes
+        return pa.table(
+            {
+                "k": vc.field("values").take(pa.array(order)),
+                "n": pa.array(counts[order]),
+                "rows": pa.array(rows),
+                "bytes": pa.array(nbytes),
+            }
+        )
+
+    parts = collect(
+        ds.select_columns([key_col]).map_batches(census, batch_format="pyarrow")
+    )
+    total_rows = int(pc.sum(parts.column("rows")).as_py() or 0)
+    total_bytes = int(pc.sum(parts.column("bytes")).as_py() or 0)
+    if total_rows == 0:
+        return None
+    agg = parts.group_by("k").aggregate([("n", "sum")])
+    cnt = agg.column("n_sum").to_numpy(zero_copy_only=False)
+    est_bytes = cnt / total_rows * total_bytes
+    hot_idx = np.flatnonzero(est_bytes > hot_bytes)
+    hot_pairs = [
+        (agg.column("k")[int(i)].as_py(), float(est_bytes[int(i)]))
+        for i in hot_idx
+    ]
+    hot_pairs = [(k, b) for k, b in hot_pairs if k is not None]
+    if not hot_pairs:
+        return None
+    hot_pairs = sorted(hot_pairs, key=lambda kb: -kb[1])[:64]
+    hot_keys = [k for k, _ in hot_pairs]
+    key_type = parts.schema.field("k").type
+
+    def sample_ts(batch: pa.Table) -> pa.Table:
+        sel = pc.is_in(batch.column(key_col), value_set=pa.array(hot_keys, key_type))
+        sub = batch.filter(pc.fill_null(sel, False)).select([key_col, ts_col])
+        sub = sub.filter(pc.is_valid(sub.column(ts_col)))
+        if sub.num_rows == 0:
+            return pa.table(
+                {
+                    "k": pa.array([], key_type),
+                    "t": pa.array([], batch.schema.field(ts_col).type),
+                }
+            )
+        keep: list[int] = []
+        kv = sub.column(key_col).to_numpy(zero_copy_only=False)
+        for k in hot_keys:
+            pos = np.flatnonzero(kv == k)
+            if pos.size:
+                keep.extend(pos[np.linspace(0, pos.size - 1, min(16, pos.size)).astype(np.int64)])
+        picked = sub.take(pa.array(np.array(sorted(keep), np.int64)))
+        return pa.table(
+            {"k": picked.column(key_col), "t": picked.column(ts_col)}
+        )
+
+    samples = collect(
+        ds.select_columns([key_col, ts_col]).map_batches(
+            sample_ts, batch_format="pyarrow"
+        )
+    )
+    plan = _HotPlan(n_buckets)
+    est = dict(hot_pairs)
+    sk = samples.column("k").to_numpy(zero_copy_only=False)
+    st = samples.column("t").to_numpy(zero_copy_only=False)
+    for k in hot_keys:
+        tsv = np.sort(st[sk == k])
+        s = int(np.clip(-(-est[k] // hot_bytes), 2, 64))
+        if tsv.size < 2:
+            continue  # no usable order samples: leave the key on the cold path
+        cuts = tsv[np.linspace(0, tsv.size - 1, s + 1)[1:-1].astype(np.int64)]
+        plan.add(k, cuts)
+    if not plan.keys:
+        return None
+    kindex = {k: i for i, k in enumerate(plan.keys)}
+
+    def base_partial(batch: pa.Table) -> pa.Table:
+        sel = pc.is_in(batch.column(key_col), value_set=pa.array(plan.keys, key_type))
+        sub = batch.filter(pc.fill_null(sel, False))
+        ki, bi, bs, bc = [], [], [], []
+        if sub.num_rows:
+            kv = sub.column(key_col).to_numpy(zero_copy_only=False)
+            tsv, tnull = _ts_np(sub.column(ts_col))
+            vcol = sub.column(val_col)
+            valid = pc.is_valid(vcol).to_numpy(zero_copy_only=False)
+            v = vcol.to_numpy(zero_copy_only=False).astype(np.float64)
+            v = np.where(valid, v, 0.0)
+            for k, i in kindex.items():
+                pos = np.flatnonzero(kv == k)
+                if not pos.size:
+                    continue
+                nb = plan.n_parts(i)
+                bins = plan.bin_of(i, tsv[pos], tnull[pos])
+                ki.extend([i] * nb)
+                bi.extend(range(nb))
+                bs.extend(np.bincount(bins, weights=v[pos], minlength=nb))
+                bc.extend(np.bincount(bins, weights=valid[pos], minlength=nb))
+        return pa.table(
+            {
+                "ki": pa.array(ki, pa.int64()),
+                "bin": pa.array(bi, pa.int64()),
+                "s": pa.array(bs, pa.float64()),
+                "c": pa.array(bc, pa.float64()),
+            }
+        )
+
+    bt = collect(
+        ds.select_columns([key_col, ts_col, val_col]).map_batches(
+            base_partial, batch_format="pyarrow"
+        )
+    )
+    bagg = bt.group_by(["ki", "bin"]).aggregate([("s", "sum"), ("c", "sum")])
+    ks = bagg.column("ki").to_numpy(zero_copy_only=False)
+    bs_ = bagg.column("bin").to_numpy(zero_copy_only=False)
+    ss = bagg.column("s_sum").to_numpy(zero_copy_only=False)
+    cs = bagg.column("c_sum").to_numpy(zero_copy_only=False)
+    for i in range(len(plan.keys)):
+        mask = ks == i
+        nb = plan.n_parts(i)
+        sums = np.zeros(nb)
+        cnts = np.zeros(nb)
+        sums[bs_[mask]] = ss[mask]
+        cnts[bs_[mask]] = cs[mask]
+        pre_s = np.concatenate([[0.0], np.cumsum(sums)[:-1]])
+        pre_c = np.concatenate([[0.0], np.cumsum(cnts)[:-1]])
+        for b in range(nb):
+            plan.bases[n_buckets + plan.offsets[i] + b] = (
+                float(pre_s[b]),
+                int(pre_c[b]),
+            )
+    return plan
+
+
 def running_total(
     ds: ray.data.Dataset,
     key_col: str,
@@ -298,17 +507,43 @@ def running_total(
     tiebreak: str | None = None,
     out_col: str = "running",
     n_buckets: int | None = None,
+    hot_keys: str | None = None,
+    hot_bytes: int | None = None,
 ) -> ray.data.Dataset:
     """sum(val) OVER (PARTITION BY key ORDER BY ts [, tiebreak] ROWS
     UNBOUNDED PRECEDING): key-hash co-location (one shuffle), then a
-    vectorized per-bucket segmented cumsum."""
-    from ..util import bytes_scaled_buckets
+    vectorized per-bucket segmented cumsum.
+
+    ``hot_keys="auto"`` additionally splits keys whose estimated bytes
+    exceed ``hot_bytes`` (default: the 256 MB bucket target) across
+    ts-range sub-partitions with exact carry-over bases — the 100-TB
+    skew path: a mega-key is otherwise ONE task's memory however many
+    hash buckets exist. Costs three cheap column-pruned pre-passes, so
+    it re-executes upstream transforms; keep the default for inputs
+    where no key can exceed a task's heap."""
+    from ..util import TARGET_BUCKET_BYTES, bytes_scaled_buckets
 
     if n_buckets is None:
         n_buckets = bytes_scaled_buckets(ds)
+    plan = (
+        _plan_hot_split(
+            ds, key_col, ts_col, val_col, n_buckets,
+            hot_bytes or TARGET_BUCKET_BYTES,
+        )
+        if hot_keys == "auto"
+        else None
+    )
 
     def tag(batch: pa.Table) -> pa.Table:
         b = (_stable_hash64(batch.column(key_col)) % n_buckets).astype(np.int32)
+        if plan is not None:
+            kv = batch.column(key_col).to_numpy(zero_copy_only=False)
+            tsv, tnull = _ts_np(batch.column(ts_col))
+            for i, k in enumerate(plan.keys):
+                pos = np.flatnonzero(kv == k)
+                if pos.size:
+                    bins = plan.bin_of(i, tsv[pos], tnull[pos])
+                    b[pos] = n_buckets + plan.offsets[i] + bins
         return batch.append_column("__bucket", pa.array(b))
 
     sort_keys = [(key_col, "ascending"), (ts_col, "ascending")] + (
@@ -316,6 +551,10 @@ def running_total(
     )
 
     def bucket_cumsum(group: pa.Table) -> pa.Table:
+        base_sum, base_cnt = 0.0, 0
+        if plan is not None and group.num_rows:
+            part = group.column("__bucket")[0].as_py()
+            base_sum, base_cnt = plan.bases.get(part, (0.0, 0))
         g = group.drop_columns(["__bucket"]).sort_by(sort_keys)
         if g.num_rows == 0:
             return g.append_column(out_col, pa.array([], pa.float64()))
@@ -340,15 +579,19 @@ def running_total(
         starts = np.flatnonzero(new_key)
         seg = np.cumsum(new_key) - 1
         base = (cs[starts] - v[starts])[seg]
-        running = cs - base
+        running = cs - base + base_sum  # hot sub-partitions hold ONE key,
+        # so the carry-over base applies to every (single-segment) row;
+        # cold buckets get base_sum == 0
         if valid is None:
             return g.append_column(out_col, pa.array(running, pa.float64()))
         # rows before their segment's first NON-NULL value: SQL sum over
-        # an empty window frame is NULL, not 0
+        # an empty window frame is NULL, not 0 (carry-over valid rows in
+        # earlier ts bins count toward the frame)
         cnt = np.cumsum(valid.astype(np.int64))
         cbase = (cnt[starts] - valid[starts].astype(np.int64))[seg]
         return g.append_column(
-            out_col, pa.array(running, pa.float64(), mask=(cnt - cbase) == 0)
+            out_col,
+            pa.array(running, pa.float64(), mask=(cnt - cbase + base_cnt) == 0),
         )
 
     return ds.map_batches(tag, batch_format="pyarrow").groupby("__bucket").map_groups(

@@ -96,6 +96,80 @@ def test_running_total_segments(ray_session):
     assert out.column("running").to_pylist() == [1.0, 3.0, 6.0, 10.0, 30.0]
 
 
+def test_running_total_hot_key_split(ray_session):
+    """hot_keys='auto' splits a mega-key across ts-range sub-partitions
+    with exact carry-over bases: results match the hash-bucket path
+    (modulo float summation order), the hot key IS detected and split
+    into multiple bins, every bin is a strict subset of the key's rows,
+    null ts rows land in the last bin (NULLS LAST), and null values
+    keep SQL empty-frame semantics across bin boundaries."""
+    import ray.data
+
+    rng = np.random.default_rng(7)
+    n_hot, n_cold = 20_000, 500
+    u = np.concatenate([np.full(n_hot, 777), rng.integers(0, 50, n_cold)])
+    ts = np.concatenate(
+        [rng.permutation(n_hot), 10**7 + np.arange(n_cold)]
+    ).astype(np.int64)
+    v = rng.normal(size=n_hot + n_cold)
+    null_v = np.zeros(n_hot + n_cold, bool)
+    null_v[rng.choice(n_hot, 200, replace=False)] = True
+    null_ts = np.zeros(n_hot + n_cold, bool)
+    null_ts[rng.choice(n_hot, 50, replace=False)] = True
+    t = pa.table(
+        {
+            "u": pa.array(u, pa.int64()),
+            "ts": pa.array(ts, mask=null_ts),
+            "v": pa.array(v, mask=null_v),
+            "id": pa.array(np.arange(n_hot + n_cold), pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(8)
+    plan = w._plan_hot_split(ds, "u", "ts", "v", n_buckets=4, hot_bytes=50_000)
+    assert plan is not None and 777 in plan.keys
+    i = plan.keys.index(777)
+    n_bins = plan.n_parts(i)
+    assert n_bins >= 2
+    # no bin holds the whole key (the point of the split)
+    tsv, tnull = w._ts_np(t.column("ts"))
+    hot_rows = u == 777
+    bins = plan.bin_of(i, tsv[hot_rows], tnull[hot_rows])
+    counts = np.bincount(bins, minlength=n_bins)
+    assert counts.max() < n_hot
+    assert bins[tnull[hot_rows]].min() == n_bins - 1  # NULLS LAST bin
+    out = rel.collect(
+        w.running_total(
+            ds, "u", "ts", "v", tiebreak="id", hot_keys="auto", hot_bytes=50_000
+        )
+    ).sort_by("id")
+    ref = rel.collect(
+        w.running_total(ds, "u", "ts", "v", tiebreak="id")
+    ).sort_by("id")
+    a = out.column("running").to_numpy(zero_copy_only=False)
+    b = ref.column("running").to_numpy(zero_copy_only=False)
+    assert np.array_equal(np.isnan(a), np.isnan(b))
+    assert np.allclose(a[~np.isnan(a)], b[~np.isnan(b)], rtol=1e-9, atol=1e-9)
+
+
+def test_running_total_hot_split_no_hot_keys(ray_session):
+    """auto mode with nothing hot returns the plain path (plan None)."""
+    import ray.data
+
+    t = pa.table(
+        {
+            "u": pa.array(np.arange(1000) % 500, pa.int64()),
+            "ts": pa.array(np.arange(1000), pa.int64()),
+            "v": pa.array(np.ones(1000)),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    assert w._plan_hot_split(ds, "u", "ts", "v", 4, 1 << 30) is None
+    out = rel.collect(
+        w.running_total(ds, "u", "ts", "v", hot_keys="auto", hot_bytes=1 << 30)
+    )
+    assert out.num_rows == 1000
+
+
 def test_range_join_broadcast(ray_session):
     """Interval join: boundary inclusivity ([lo, hi)), gap drops, NULL
     drops, overlap rejection."""
