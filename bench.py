@@ -195,10 +195,9 @@ def run_bench() -> dict:
 
         out_c = os.path.join(BENCH_ROOT, f"encc_{NUM_CPUS}_{int(time.time())}")
         t0 = time.time()
-        # override_num_blocks: the bench input is just 8 files (a real
-        # corpus has thousands), so let the read split to cluster width
-        ds = rdata.read_parquet(in_dir, override_num_blocks=max(NUM_CPUS, 8))
-        ep.encode_clustered(ds, out_c, rows_per_stripe=16384).materialize()
+        # dir input: encoders read row groups in-task (_FragmentFed) —
+        # no object-store hop of the raw corpus, same as the headline
+        ep.encode_clustered(in_dir, out_c, rows_per_stripe=16384).materialize()
         t_clustered = time.time() - t0
         queries["encode_webtext_clustered"] = round(t_clustered, 3)
         entries_c = man.load_manifest(out_c)
@@ -217,8 +216,7 @@ def run_bench() -> dict:
         # next-round #10 so the spill-shuffle cost has a measured number
         out_g = os.path.join(BENCH_ROOT, f"encg_{NUM_CPUS}_{int(time.time())}")
         t0 = time.time()
-        ds_g = rdata.read_parquet(in_dir, override_num_blocks=max(NUM_CPUS, 8))
-        ep.encode_clustered(ds_g, out_g, rows_per_stripe=16384, mode="global").materialize()
+        ep.encode_clustered(in_dir, out_g, rows_per_stripe=16384, mode="global").materialize()
         queries["encode_webtext_clustered_global"] = round(time.time() - t0, 3)
         shutil.rmtree(out_g, ignore_errors=True)
 

@@ -241,7 +241,7 @@ def cluster_for_compression(
 
 
 def encode_clustered(
-    ds: ray.data.Dataset,
+    ds: ray.data.Dataset | str,
     out_dir: str,
     key: str = "lang",
     salt_col: str = "url",
@@ -280,6 +280,26 @@ def encode_clustered(
     across langs by construction (fixtures._vocab), so lang-clustering
     cannot improve text compression there; the gain shows on the url
     column and on real per-lang corpora."""
+    if isinstance(ds, str) and mode == "local":
+        # parquet path/dir input: feed the encoder straight from row
+        # groups read IN-TASK — the raw corpus never crosses the object
+        # store (the same reason plain fragment encode is the fast path)
+        return ray.data.from_items(plan_fragments(ds)).map_batches(
+            _FragmentFed,
+            fn_constructor_kwargs={
+                "inner_cls": _ClusteredBatchEncoder,
+                "inner_kwargs": {
+                    "out_dir": out_dir,
+                    "key": key,
+                    "salt_col": salt_col,
+                    "rows_per_stripe": rows_per_stripe,
+                    "target_stripe_bytes": target_stripe_bytes,
+                },
+            },
+            batch_format="pyarrow",
+            batch_size=1,
+            concurrency=_default_pool(),
+        )
     if mode == "local":
         # batch rows sized from a tiny probe so wide web rows still get
         # ~target_stripe_bytes batches; the encoder then splits each
@@ -311,6 +331,32 @@ def encode_clustered(
         rows_per_stripe=rows_per_stripe,
         target_stripe_bytes=target_stripe_bytes,
     )
+
+
+class _FragmentFed:
+    """Feeds an encode/spill actor straight from parquet row groups
+    read IN-TASK (one spec row = one row group = one inner call): the
+    raw corpus never crosses the object store — at bench scale that hop
+    alone costs >1 s of shared-bus bandwidth, and on a multi-node
+    cluster it is a needless full-corpus network copy."""
+
+    def __init__(self, inner_cls: type, inner_kwargs: dict) -> None:
+        self.inner = inner_cls(**inner_kwargs)
+
+    def __call__(self, specs: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        outs = [
+            self.inner(
+                pq.ParquetFile(spec["path"]).read_row_group(spec["row_group"])
+            )
+            for spec in specs.to_pylist()
+        ]
+        return (
+            outs[0]
+            if len(outs) == 1
+            else pa.concat_tables(outs, promote_options="default")
+        )
 
 
 def _spill_codec() -> str:
@@ -521,7 +567,7 @@ def _plan_spill_tasks(index_rows: list[dict], task_bytes: int) -> list[dict]:
 
 
 def _encode_global(
-    ds: ray.data.Dataset,
+    ds: ray.data.Dataset | str,
     out_dir: str,
     key: str,
     salt_col: str,
@@ -556,25 +602,41 @@ def _encode_global(
             sfs.delete_dir(sp)
         except FileNotFoundError:
             pass
-        est = _est_dataset_bytes(ds)
-        # spill batches: big enough to bound file count, small enough to
-        # keep every slot busy at bench scale
-        batch_bytes = int(min(256 << 20, max(32 << 20, est / (2 * cpus))))
-        n_rows = ds.count()  # metadata pushdown on parquet reads
-        bpr = max(1.0, est / max(1, n_rows))
-        batch_rows = max(256, int(batch_bytes / bpr))
-        index = ds.map_batches(
-            _ShardSpillWriter,
-            fn_constructor_kwargs={
-                "spill_dir": spill,
-                "key": key,
-                "salt_col": salt_col,
-            },
-            batch_format="pyarrow",
-            batch_size=batch_rows,
-            zero_copy_batch=True,
-            concurrency=_default_pool(),
-        )
+        if isinstance(ds, str):
+            # parquet path/dir input: spill writers read row groups
+            # in-task (see _FragmentFed) — spill run size = row group.
+            # Plain TASKS, not an actor pool: the writer holds no
+            # cross-batch state and a second pool's cold start + ramp
+            # cost ~1.5 s of an ~4 s pass (measured at sf0.1/32)
+            def spill_fragments(specs: pa.Table) -> pa.Table:
+                return _FragmentFed(
+                    _ShardSpillWriter,
+                    {"spill_dir": spill, "key": key, "salt_col": salt_col},
+                )(specs)
+
+            index = ray.data.from_items(plan_fragments(ds)).map_batches(
+                spill_fragments, batch_format="pyarrow", batch_size=1
+            )
+        else:
+            est = _est_dataset_bytes(ds)
+            # spill batches: big enough to bound file count, small enough
+            # to keep every slot busy at bench scale
+            batch_bytes = int(min(256 << 20, max(32 << 20, est / (2 * cpus))))
+            n_rows = ds.count()  # metadata pushdown on parquet reads
+            bpr = max(1.0, est / max(1, n_rows))
+            batch_rows = max(256, int(batch_bytes / bpr))
+            index = ds.map_batches(
+                _ShardSpillWriter,
+                fn_constructor_kwargs={
+                    "spill_dir": spill,
+                    "key": key,
+                    "salt_col": salt_col,
+                },
+                batch_format="pyarrow",
+                batch_size=batch_rows,
+                zero_copy_batch=True,
+                concurrency=_default_pool(),
+            )
         index_rows = []
         for b in index.iter_batches(batch_format="pyarrow", batch_size=65536):
             index_rows.extend(b.to_pylist())
@@ -582,19 +644,24 @@ def _encode_global(
     if not index_rows:
         return ray.data.from_items([])
     total = sum(r["bytes"] for r in index_rows)
-    task_bytes = int(min(256 << 20, max(16 << 20, total / (2 * cpus))))
+    # one task wave: total/cpus (floor 32 MB) measured 5.1 s vs 6.0 s
+    # for the old total/(2*cpus) double wave at sf0.1/32 CPUs
+    task_bytes = int(min(256 << 20, max(32 << 20, total / cpus)))
     specs = _plan_spill_tasks(index_rows, task_bytes)
+
+    # plain tasks for the same cold-start reason as the spill pass: the
+    # per-stripe codec trials an actor's EncoderState would cache are
+    # per-shard-group here anyway (batch_size=1)
+    def encode_group(batch: pa.Table) -> pa.Table:
+        return _SpillTaskEncoder(
+            out_dir,
+            salt_col=salt_col,
+            rows_per_stripe=rows_per_stripe,
+            target_stripe_bytes=target_stripe_bytes,
+        )(batch)
+
     return ray.data.from_items(specs).map_batches(
-        _SpillTaskEncoder,
-        fn_constructor_kwargs={
-            "out_dir": out_dir,
-            "salt_col": salt_col,
-            "rows_per_stripe": rows_per_stripe,
-            "target_stripe_bytes": target_stripe_bytes,
-        },
-        batch_format="pyarrow",
-        batch_size=1,
-        concurrency=_default_pool(),
+        encode_group, batch_format="pyarrow", batch_size=1
     )
 
 

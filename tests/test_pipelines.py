@@ -146,6 +146,21 @@ def test_encode_clustered_single_shuffle(corpus):
     assert got.equals(wt.sort_by("url"))
 
 
+def test_encode_clustered_dir_input_fragment_fed(corpus):
+    """String (parquet dir) input drives the _FragmentFed path — row
+    groups read in-task, no object-store hop — in BOTH modes, with
+    decode output identical to the Dataset-input path."""
+    base, wt = corpus
+    for mode in ("local", "global"):
+        out = f"{base}/enc_dir_{mode}"
+        mf = ep.encode_clustered(f"{base}/in", out, rows_per_stripe=400, mode=mode)
+        assert mf.count() >= 1
+        entries = man.load_manifest(out)
+        assert all(e["lineage"].startswith("shard=") for e in entries)
+        got = collect(ep.decode_stripes(out)).sort_by("url")
+        assert got.equals(wt.sort_by("url"))
+
+
 def test_predicate_pushdown_prunes_stripes(ray_session, tmp_path):
     """E13/S4: manifest min/max skip whole stripes; residual filter
     applied to survivors; result matches a plain filter."""
