@@ -1303,6 +1303,31 @@ def _running_total_skewed_events(sf_dir: str):
     )
 
 
+def _lag_lead_skewed_events(sf_dir: str):
+    """lag/lead with hot_keys='auto': event_type keys split across
+    ts-range bins; cross-bin shifts are exact via phantom boundary rows
+    (windows._hot_boundary_rows) — same SQL window semantics as the
+    hash-bucket variant, exercised on the skew path."""
+    import pyarrow.compute as pc
+
+    from datafusion_orc_ray.pipelines import relational as rel, windows as w
+
+    out = rel.collect(
+        w.lag_lead(
+            _ds(sf_dir, "events", ["event_id", "event_type", "ts", "value"]),
+            "event_type", "ts", "value", n=1, tiebreak="event_id",
+            hot_keys="auto", hot_bytes=1 << 16,
+        )
+    )
+    return pa.table(
+        {
+            "event_id": out.column("event_id"),
+            "lag_v": pc.round(out.column("lag"), 4, round_mode="half_towards_infinity"),
+            "lead_v": pc.round(out.column("lead"), 4, round_mode="half_towards_infinity"),
+        }
+    )
+
+
 def _daily_rollup_events(sf_dir: str):
     """Events per day (date_trunc rollup): floor_temporal + the standard
     partial->tree grouped aggregate."""
@@ -1843,6 +1868,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zscore_events": _zscore_events,
         "running_total_events": _running_total_events,
         "running_total_skewed_events": _running_total_skewed_events,
+        "lag_lead_skewed_events": _lag_lead_skewed_events,
         "lag_lead_events": _lag_lead_events,
         "moving_avg_events": _moving_avg_events,
         "regex_replace_documents": _regex_replace_documents,
@@ -2881,6 +2907,13 @@ GROUP BY k.doc_id, k.n_trans
             "AS prev_value, "
             "lead(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
             "AS next_value FROM events"
+        ),
+        "lag_lead_skewed_events": (
+            "SELECT event_id, "
+            "round(lag(value, 1) OVER (PARTITION BY event_type ORDER BY ts, event_id), 4) "
+            "AS lag_v, "
+            "round(lead(value, 1) OVER (PARTITION BY event_type ORDER BY ts, event_id), 4) "
+            "AS lead_v FROM events"
         ),
         "regex_replace_documents": (
             "SELECT doc_id, regexp_replace(text, '[aeiou]+', '_', 'g') AS redacted "

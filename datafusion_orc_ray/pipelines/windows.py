@@ -345,6 +345,7 @@ def _plan_hot_split(
     val_col: str,
     n_buckets: int,
     hot_bytes: int,
+    with_bases: bool = True,
 ) -> _HotPlan | None:
     """Three cheap column-pruned passes (census -> ts sample -> bases)
     that produce a _HotPlan, or None when no key is hot enough to split.
@@ -440,6 +441,8 @@ def _plan_hot_split(
         plan.add(k, cuts)
     if not plan.keys:
         return None
+    if not with_bases:
+        return plan  # lag/lead-style ops carry boundary ROWS, not sums
     kindex = {k: i for i, k in enumerate(plan.keys)}
 
     def base_partial(batch: pa.Table) -> pa.Table:
@@ -497,6 +500,113 @@ def _plan_hot_split(
                 int(pre_c[b]),
             )
     return plan
+
+
+def _hot_boundary_rows(
+    ds: ray.data.Dataset,
+    plan: _HotPlan,
+    key_col: str,
+    ts_col: str,
+    carry_cols: list[str],
+    tiebreak: str | None,
+    n: int,
+) -> tuple[dict[int, pa.Table], dict[int, pa.Table]]:
+    """For ops that need boundary VALUES (lag/lead, moving windows):
+    one cheap pass collecting, per (hot key, ts bin), the first/last
+    ``n`` rows by (ts [, tiebreak]) — per-batch top-n partials, so the
+    exchange moves <= 2n rows per (key, bin) per batch. The driver
+    stitches bins cumulatively (a bin with < n rows borrows from the
+    bin before/after), returning {part_id: phantom-row table} for the
+    previous-tail and next-head sides."""
+    order = [(ts_col, "ascending")] + ([(tiebreak, "ascending")] if tiebreak else [])
+    cols = [ts_col] + ([tiebreak] if tiebreak else []) + carry_cols
+    key_type = None
+
+    def partial(batch: pa.Table) -> pa.Table:
+        nonlocal key_type
+        sel = pc.is_in(
+            batch.column(key_col),
+            value_set=pa.array(plan.keys, batch.schema.field(key_col).type),
+        )
+        sub = batch.filter(pc.fill_null(sel, False))
+        outs = []
+        empty = pa.table(
+            {
+                "ki": pa.array([], pa.int64()),
+                "bin": pa.array([], pa.int64()),
+                "side": pa.array([], pa.int8()),
+                **{c: pa.array([], batch.schema.field(c).type) for c in cols},
+            }
+        )
+        if sub.num_rows == 0:
+            return empty
+        kv = sub.column(key_col).to_numpy(zero_copy_only=False)
+        tsv, tnull = _ts_np(sub.column(ts_col))
+        for i, k in enumerate(plan.keys):
+            pos = np.flatnonzero(kv == k)
+            if not pos.size:
+                continue
+            bins = plan.bin_of(i, tsv[pos], tnull[pos])
+            kt = (
+                sub.take(pa.array(pos))
+                .select(cols)
+                .append_column("bin", pa.array(bins))
+                .sort_by([("bin", "ascending")] + order)
+            )
+            bsorted = kt.column("bin").to_numpy(zero_copy_only=False)
+            starts = np.flatnonzero(
+                np.concatenate([[True], bsorted[1:] != bsorted[:-1]])
+            )
+            ends = np.append(starts[1:], len(bsorted))
+            for s, e in zip(starts, ends):
+                for side, seg in ((0, kt.slice(s, min(n, e - s))),
+                                  (1, kt.slice(max(s, e - n), min(n, e - s)))):
+                    outs.append(
+                        pa.table(
+                            {
+                                "ki": pa.array([i] * seg.num_rows, pa.int64()),
+                                "bin": pa.array(
+                                    [int(bsorted[s])] * seg.num_rows, pa.int64()
+                                ),
+                                "side": pa.array([side] * seg.num_rows, pa.int8()),
+                                **{c: seg.column(c) for c in cols},
+                            }
+                        )
+                    )
+        return pa.concat_tables(outs) if outs else empty
+
+    bt = collect(
+        ds.select_columns(sorted({key_col, *cols})).map_batches(
+            partial, batch_format="pyarrow"
+        )
+    )
+    prev_tails: dict[int, pa.Table] = {}
+    next_heads: dict[int, pa.Table] = {}
+    for i in range(len(plan.keys)):
+        nb = plan.n_parts(i)
+        kt = bt.filter(pc.equal(bt.column("ki"), i))
+        tails = kt.filter(pc.equal(kt.column("side"), 1)).sort_by(
+            [("bin", "ascending")] + order
+        )
+        heads = kt.filter(pc.equal(kt.column("side"), 0)).sort_by(
+            [("bin", "ascending")] + order
+        )
+        cum = tails.slice(0, 0).select(cols)
+        for b in range(nb):
+            part = plan.n_buckets + plan.offsets[i] + b
+            if cum.num_rows:
+                prev_tails[part] = cum
+            seg = tails.filter(pc.equal(tails.column("bin"), b)).select(cols)
+            cum = pa.concat_tables([cum, seg])
+            cum = cum.slice(max(0, cum.num_rows - n), min(n, cum.num_rows))
+        cum = heads.slice(0, 0).select(cols)
+        for b in range(nb - 1, -1, -1):
+            part = plan.n_buckets + plan.offsets[i] + b
+            if cum.num_rows:
+                next_heads[part] = cum
+            seg = heads.filter(pc.equal(heads.column("bin"), b)).select(cols)
+            cum = pa.concat_tables([seg, cum]).slice(0, n)
+    return prev_tails, next_heads
 
 
 def running_total(
@@ -609,6 +719,8 @@ def lag_lead(
     lag_col: str = "lag",
     lead_col: str = "lead",
     n_buckets: int | None = None,
+    hot_keys: str | None = None,
+    hot_bytes: int | None = None,
 ) -> ray.data.Dataset:
     """lag(val, n) / lead(val, n) OVER (PARTITION BY key ORDER BY ts
     [, tiebreak]): the same ONE key-hash co-location shuffle as
@@ -616,24 +728,96 @@ def lag_lead(
     boundaries, and an index-shift ``take`` whose out-of-segment indices
     are null, so values of ANY Arrow type (floats, strings, timestamps)
     shift without a cast. SQL semantics: the first/last n rows of each
-    partition get NULL."""
-    from ..util import bytes_scaled_buckets
+    partition get NULL.
+
+    ``hot_keys="auto"``: mega-keys split across ts-range sub-partitions
+    (same plan machinery as ``running_total``); cross-bin shifts are
+    exact via PHANTOM boundary rows — each sub-partition prepends the
+    previous bin's last n rows and appends the next bin's first n
+    (``_hot_boundary_rows``), computes shifts, then drops the phantoms.
+    Bin edges never split equal ts, so phantoms sort strictly outside
+    the bin's real rows."""
+    from ..util import TARGET_BUCKET_BYTES, bytes_scaled_buckets
 
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
     if n_buckets is None:
         n_buckets = bytes_scaled_buckets(ds)
+    plan = (
+        _plan_hot_split(
+            ds, key_col, ts_col, val_col, n_buckets,
+            hot_bytes or TARGET_BUCKET_BYTES, with_bases=False,
+        )
+        if hot_keys == "auto"
+        else None
+    )
+    prev_tails: dict[int, pa.Table] = {}
+    next_heads: dict[int, pa.Table] = {}
+    if plan is not None:
+        carry = [val_col] if val_col != ts_col else []
+        prev_tails, next_heads = _hot_boundary_rows(
+            ds, plan, key_col, ts_col, carry, tiebreak, n
+        )
 
     def tag(batch: pa.Table) -> pa.Table:
         b = (_stable_hash64(batch.column(key_col)) % n_buckets).astype(np.int32)
+        if plan is not None:
+            kv = batch.column(key_col).to_numpy(zero_copy_only=False)
+            tsv, tnull = _ts_np(batch.column(ts_col))
+            for i, k in enumerate(plan.keys):
+                pos = np.flatnonzero(kv == k)
+                if pos.size:
+                    bins = plan.bin_of(i, tsv[pos], tnull[pos])
+                    b[pos] = n_buckets + plan.offsets[i] + bins
         return batch.append_column("__bucket", pa.array(b))
 
     sort_keys = [(key_col, "ascending"), (ts_col, "ascending")] + (
         [(tiebreak, "ascending")] if tiebreak else []
     )
 
+    def _phantomize(group: pa.Table, part: int) -> tuple[pa.Table, np.ndarray]:
+        """Concat [prev-bin tails, real rows, next-bin heads] with the
+        group's full schema (missing phantom columns null-filled, key
+        filled so segmenting keeps one segment) + a real-row mask."""
+        pieces = [(prev_tails.get(part), False), (group, True),
+                  (next_heads.get(part), False)]
+        kval = group.column(key_col)[0]
+        tbls, real = [], []
+        for ph, is_real in pieces:
+            if is_real:
+                tbls.append(group)
+                real.append(np.ones(group.num_rows, bool))
+                continue
+            if ph is None:  # no phantom on this side (first/last bin)
+                continue
+            cols = {}
+            for f in group.schema:
+                if f.name in ph.column_names:
+                    cols[f.name] = ph.column(f.name).cast(f.type)
+                elif f.name == key_col:
+                    cols[f.name] = pa.array([kval.as_py()] * ph.num_rows, f.type)
+                else:
+                    cols[f.name] = pa.nulls(ph.num_rows, f.type)
+            tbls.append(pa.table(cols).select(group.column_names))
+            real.append(np.zeros(ph.num_rows, bool))
+        return pa.concat_tables(tbls), np.concatenate(real)
+
     def bucket_shift(group: pa.Table) -> pa.Table:
-        g = group.drop_columns(["__bucket"]).sort_by(sort_keys)
+        real_mask = None
+        if plan is not None and group.num_rows:
+            part = group.column("__bucket")[0].as_py()
+            if part >= n_buckets and (part in prev_tails or part in next_heads):
+                group = group.drop_columns(["__bucket"])
+                group, rm = _phantomize(group, part)
+                order = np.asarray(
+                    pc.sort_indices(group, sort_keys=sort_keys)
+                )
+                group = group.take(pa.array(order))
+                real_mask = rm[order]
+        if "__bucket" in group.column_names:
+            group = group.drop_columns(["__bucket"])
+            group = group.sort_by(sort_keys)
+        g = group
         vals = g.column(val_col)
         if isinstance(vals, pa.ChunkedArray):
             vals = vals.combine_chunks()
@@ -651,7 +835,10 @@ def lag_lead(
             ok &= seg[np.clip(src, 0, g.num_rows - 1)] == seg
             return vals.take(pa.array(np.where(ok, src, 0), pa.int64(), mask=~ok))
 
-        return g.append_column(lag_col, shifted(-n)).append_column(lead_col, shifted(n))
+        out = g.append_column(lag_col, shifted(-n)).append_column(lead_col, shifted(n))
+        if real_mask is not None:
+            out = out.filter(pa.array(real_mask))
+        return out
 
     return ds.map_batches(tag, batch_format="pyarrow").groupby("__bucket").map_groups(
         bucket_shift, batch_format="pyarrow"

@@ -151,6 +151,49 @@ def test_running_total_hot_key_split(ray_session):
     assert np.allclose(a[~np.isnan(a)], b[~np.isnan(b)], rtol=1e-9, atol=1e-9)
 
 
+def test_lag_lead_hot_key_split_phantom_rows(ray_session):
+    """lag/lead across ts-bin boundaries are exact (phantom boundary
+    rows): the hot path returns bit-identical values to the hash path
+    for n=1 and n=2, including ties (duplicate ts under a tiebreak),
+    null values, null ts (NULLS LAST bin), and tiny bins that must
+    borrow phantoms from two bins back."""
+    import ray.data
+
+    rng = np.random.default_rng(13)
+    n_hot, n_cold = 12_000, 400
+    u = np.concatenate([np.full(n_hot, 42), rng.integers(0, 40, n_cold)])
+    # duplicate every 3rd ts so ties exercise the tiebreak ordering
+    base_ts = np.arange(n_hot) // 3
+    ts = np.concatenate([rng.permutation(base_ts), 10**7 + np.arange(n_cold)])
+    v = rng.normal(size=n_hot + n_cold)
+    null_v = np.zeros(n_hot + n_cold, bool)
+    null_v[rng.choice(n_hot, 150, replace=False)] = True
+    null_ts = np.zeros(n_hot + n_cold, bool)
+    null_ts[rng.choice(n_hot, 40, replace=False)] = True
+    t = pa.table(
+        {
+            "u": pa.array(u, pa.int64()),
+            "ts": pa.array(ts.astype(np.int64), mask=null_ts),
+            "v": pa.array(v, mask=null_v),
+            "id": pa.array(np.arange(n_hot + n_cold), pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(6)
+    for n in (1, 2):
+        hot = rel.collect(
+            w.lag_lead(
+                ds, "u", "ts", "v", n=n, tiebreak="id",
+                hot_keys="auto", hot_bytes=40_000,
+            )
+        ).sort_by("id")
+        ref = rel.collect(
+            w.lag_lead(ds, "u", "ts", "v", n=n, tiebreak="id")
+        ).sort_by("id")
+        assert hot.num_rows == ref.num_rows == t.num_rows
+        for c in ("lag", "lead"):
+            assert hot.column(c).to_pylist() == ref.column(c).to_pylist(), (n, c)
+
+
 def test_running_total_hot_split_no_hot_keys(ray_session):
     """auto mode with nothing hot returns the plain path (plan None)."""
     import ray.data
