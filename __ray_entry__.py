@@ -1303,6 +1303,29 @@ def _running_total_skewed_events(sf_dir: str):
     )
 
 
+def _moving_avg_skewed_events(sf_dir: str):
+    """ROWS-frame moving average with hot_keys='auto': event_type keys
+    split across ts-range bins; frames crossing a bin boundary stay
+    exact via phantom prev-bin tails (windows._hot_boundary_rows)."""
+    import pyarrow.compute as pc
+
+    from datafusion_orc_ray.pipelines import relational as rel, windows as w
+
+    out = rel.collect(
+        w.moving_avg(
+            _ds(sf_dir, "events", ["event_id", "event_type", "ts", "value"]),
+            "event_type", "ts", "value", preceding=3, tiebreak="event_id",
+            hot_keys="auto", hot_bytes=1 << 16,
+        )
+    )
+    return pa.table(
+        {
+            "event_id": out.column("event_id"),
+            "moving_avg": pc.round(out.column("moving_avg"), 4, round_mode="half_towards_infinity"),
+        }
+    )
+
+
 def _lag_lead_skewed_events(sf_dir: str):
     """lag/lead with hot_keys='auto': event_type keys split across
     ts-range bins; cross-bin shifts are exact via phantom boundary rows
@@ -1869,6 +1892,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_total_events": _running_total_events,
         "running_total_skewed_events": _running_total_skewed_events,
         "lag_lead_skewed_events": _lag_lead_skewed_events,
+        "moving_avg_skewed_events": _moving_avg_skewed_events,
         "lag_lead_events": _lag_lead_events,
         "moving_avg_events": _moving_avg_events,
         "regex_replace_documents": _regex_replace_documents,
@@ -2907,6 +2931,11 @@ GROUP BY k.doc_id, k.n_trans
             "AS prev_value, "
             "lead(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
             "AS next_value FROM events"
+        ),
+        "moving_avg_skewed_events": (
+            "SELECT event_id, round(avg(value) OVER (PARTITION BY event_type "
+            "ORDER BY ts, event_id ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) "
+            "AS moving_avg FROM events"
         ),
         "lag_lead_skewed_events": (
             "SELECT event_id, "

@@ -609,6 +609,72 @@ def _hot_boundary_rows(
     return prev_tails, next_heads
 
 
+def _hot_tag_fn(key_col: str, ts_col: str, n_buckets: int, plan: _HotPlan | None):
+    """Shared co-location tagger: key-hash bucket for every row, then
+    hot keys (when a plan exists) overridden to their ts-range part."""
+
+    def tag(batch: pa.Table) -> pa.Table:
+        b = (_stable_hash64(batch.column(key_col)) % n_buckets).astype(np.int32)
+        if plan is not None:
+            kv = batch.column(key_col).to_numpy(zero_copy_only=False)
+            tsv, tnull = _ts_np(batch.column(ts_col))
+            for i, k in enumerate(plan.keys):
+                pos = np.flatnonzero(kv == k)
+                if pos.size:
+                    bins = plan.bin_of(i, tsv[pos], tnull[pos])
+                    b[pos] = n_buckets + plan.offsets[i] + bins
+        return batch.append_column("__bucket", pa.array(b))
+
+    return tag
+
+
+def _phantom_sorted(
+    group: pa.Table,
+    plan: _HotPlan | None,
+    n_buckets: int,
+    prev_tails: dict[int, pa.Table],
+    next_heads: dict[int, pa.Table],
+    key_col: str,
+    sort_keys: list[tuple[str, str]],
+) -> tuple[pa.Table, np.ndarray | None]:
+    """map_groups front end shared by the phantom-row window ops: drop
+    the bucket column, splice in this sub-partition's boundary rows
+    (prev-bin tails / next-bin heads; missing phantom columns
+    null-filled, key filled so segmenting stays one segment), sort, and
+    return (table, real-row mask) — mask None when no phantoms apply
+    (cold bucket, boundary-less bin, or no hot plan)."""
+    part = None
+    if plan is not None and group.num_rows:
+        part = group.column("__bucket")[0].as_py()
+    pt_ = prev_tails.get(part) if part is not None else None
+    nh_ = next_heads.get(part) if part is not None else None
+    group = group.drop_columns(["__bucket"])
+    if part is None or part < n_buckets or (pt_ is None and nh_ is None):
+        return group.sort_by(sort_keys), None
+    kval = group.column(key_col)[0].as_py()
+    tbls, real = [], []
+    for ph, is_real in ((pt_, False), (group, True), (nh_, False)):
+        if is_real:
+            tbls.append(group)
+            real.append(np.ones(group.num_rows, bool))
+            continue
+        if ph is None:  # no phantom on this side (first/last bin)
+            continue
+        cols = {}
+        for f in group.schema:
+            if f.name in ph.column_names:
+                cols[f.name] = ph.column(f.name).cast(f.type)
+            elif f.name == key_col:
+                cols[f.name] = pa.array([kval] * ph.num_rows, f.type)
+            else:
+                cols[f.name] = pa.nulls(ph.num_rows, f.type)
+        tbls.append(pa.table(cols).select(group.column_names))
+        real.append(np.zeros(ph.num_rows, bool))
+    combined = pa.concat_tables(tbls)
+    order = np.asarray(pc.sort_indices(combined, sort_keys=sort_keys))
+    return combined.take(pa.array(order)), np.concatenate(real)[order]
+
+
 def running_total(
     ds: ray.data.Dataset,
     key_col: str,
@@ -644,17 +710,7 @@ def running_total(
         else None
     )
 
-    def tag(batch: pa.Table) -> pa.Table:
-        b = (_stable_hash64(batch.column(key_col)) % n_buckets).astype(np.int32)
-        if plan is not None:
-            kv = batch.column(key_col).to_numpy(zero_copy_only=False)
-            tsv, tnull = _ts_np(batch.column(ts_col))
-            for i, k in enumerate(plan.keys):
-                pos = np.flatnonzero(kv == k)
-                if pos.size:
-                    bins = plan.bin_of(i, tsv[pos], tnull[pos])
-                    b[pos] = n_buckets + plan.offsets[i] + bins
-        return batch.append_column("__bucket", pa.array(b))
+    tag = _hot_tag_fn(key_col, ts_col, n_buckets, plan)
 
     sort_keys = [(key_col, "ascending"), (ts_col, "ascending")] + (
         [(tiebreak, "ascending")] if tiebreak else []
@@ -759,64 +815,16 @@ def lag_lead(
             ds, plan, key_col, ts_col, carry, tiebreak, n
         )
 
-    def tag(batch: pa.Table) -> pa.Table:
-        b = (_stable_hash64(batch.column(key_col)) % n_buckets).astype(np.int32)
-        if plan is not None:
-            kv = batch.column(key_col).to_numpy(zero_copy_only=False)
-            tsv, tnull = _ts_np(batch.column(ts_col))
-            for i, k in enumerate(plan.keys):
-                pos = np.flatnonzero(kv == k)
-                if pos.size:
-                    bins = plan.bin_of(i, tsv[pos], tnull[pos])
-                    b[pos] = n_buckets + plan.offsets[i] + bins
-        return batch.append_column("__bucket", pa.array(b))
+    tag = _hot_tag_fn(key_col, ts_col, n_buckets, plan)
 
     sort_keys = [(key_col, "ascending"), (ts_col, "ascending")] + (
         [(tiebreak, "ascending")] if tiebreak else []
     )
 
-    def _phantomize(group: pa.Table, part: int) -> tuple[pa.Table, np.ndarray]:
-        """Concat [prev-bin tails, real rows, next-bin heads] with the
-        group's full schema (missing phantom columns null-filled, key
-        filled so segmenting keeps one segment) + a real-row mask."""
-        pieces = [(prev_tails.get(part), False), (group, True),
-                  (next_heads.get(part), False)]
-        kval = group.column(key_col)[0]
-        tbls, real = [], []
-        for ph, is_real in pieces:
-            if is_real:
-                tbls.append(group)
-                real.append(np.ones(group.num_rows, bool))
-                continue
-            if ph is None:  # no phantom on this side (first/last bin)
-                continue
-            cols = {}
-            for f in group.schema:
-                if f.name in ph.column_names:
-                    cols[f.name] = ph.column(f.name).cast(f.type)
-                elif f.name == key_col:
-                    cols[f.name] = pa.array([kval.as_py()] * ph.num_rows, f.type)
-                else:
-                    cols[f.name] = pa.nulls(ph.num_rows, f.type)
-            tbls.append(pa.table(cols).select(group.column_names))
-            real.append(np.zeros(ph.num_rows, bool))
-        return pa.concat_tables(tbls), np.concatenate(real)
-
     def bucket_shift(group: pa.Table) -> pa.Table:
-        real_mask = None
-        if plan is not None and group.num_rows:
-            part = group.column("__bucket")[0].as_py()
-            if part >= n_buckets and (part in prev_tails or part in next_heads):
-                group = group.drop_columns(["__bucket"])
-                group, rm = _phantomize(group, part)
-                order = np.asarray(
-                    pc.sort_indices(group, sort_keys=sort_keys)
-                )
-                group = group.take(pa.array(order))
-                real_mask = rm[order]
-        if "__bucket" in group.column_names:
-            group = group.drop_columns(["__bucket"])
-            group = group.sort_by(sort_keys)
+        group, real_mask = _phantom_sorted(
+            group, plan, n_buckets, prev_tails, next_heads, key_col, sort_keys
+        )
         g = group
         vals = g.column(val_col)
         if isinstance(vals, pa.ChunkedArray):
@@ -854,6 +862,8 @@ def moving_avg(
     tiebreak: str | None = None,
     out_col: str = "moving_avg",
     n_buckets: int | None = None,
+    hot_keys: str | None = None,
+    hot_bytes: int | None = None,
 ) -> ray.data.Dataset:
     """avg(val) OVER (PARTITION BY key ORDER BY ts [, tiebreak] ROWS
     BETWEEN ``preceding`` PRECEDING AND CURRENT ROW): one key-hash
@@ -861,24 +871,43 @@ def moving_avg(
     prefix sums, and each row's frame sum/count read as two prefix
     differences clamped at its segment start. SQL NULL semantics: null
     values contribute to neither sum nor count; an all-null frame yields
-    NULL."""
-    from ..util import bytes_scaled_buckets
+    NULL.
+
+    ``hot_keys="auto"``: mega-keys split across ts-range sub-partitions;
+    each sub-partition prepends the previous bin's last ``preceding``
+    rows as phantoms (``_hot_boundary_rows``) so every frame is exact,
+    then drops them — the ROWS-frame analogue of lag's boundary fix."""
+    from ..util import TARGET_BUCKET_BYTES, bytes_scaled_buckets
 
     if preceding < 0:
         raise ValueError(f"preceding must be >= 0, got {preceding}")
     if n_buckets is None:
         n_buckets = bytes_scaled_buckets(ds)
+    plan = (
+        _plan_hot_split(
+            ds, key_col, ts_col, val_col, n_buckets,
+            hot_bytes or TARGET_BUCKET_BYTES, with_bases=False,
+        )
+        if hot_keys == "auto" and preceding > 0
+        else None
+    )
+    prev_tails: dict[int, pa.Table] = {}
+    if plan is not None:
+        carry = [val_col] if val_col != ts_col else []
+        prev_tails, _ = _hot_boundary_rows(
+            ds, plan, key_col, ts_col, carry, tiebreak, preceding
+        )
 
-    def tag(batch: pa.Table) -> pa.Table:
-        b = (_stable_hash64(batch.column(key_col)) % n_buckets).astype(np.int32)
-        return batch.append_column("__bucket", pa.array(b))
+    tag = _hot_tag_fn(key_col, ts_col, n_buckets, plan)
 
     sort_keys = [(key_col, "ascending"), (ts_col, "ascending")] + (
         [(tiebreak, "ascending")] if tiebreak else []
     )
 
     def bucket_moving(group: pa.Table) -> pa.Table:
-        g = group.drop_columns(["__bucket"]).sort_by(sort_keys)
+        g, real_mask = _phantom_sorted(
+            group, plan, n_buckets, prev_tails, {}, key_col, sort_keys
+        )
         if g.num_rows == 0:
             return g.append_column(out_col, pa.array([], pa.float64()))
         keys = g.column(key_col).to_numpy(zero_copy_only=False)
@@ -898,9 +927,10 @@ def moving_avg(
         n = cn[idx + 1] - cn[lo]
         with np.errstate(invalid="ignore", divide="ignore"):
             avg = s / n
-        return g.append_column(
-            out_col, pa.array(avg, pa.float64(), mask=n == 0)
-        )
+        out = g.append_column(out_col, pa.array(avg, pa.float64(), mask=n == 0))
+        if real_mask is not None:
+            out = out.filter(pa.array(real_mask))
+        return out
 
     return ds.map_batches(tag, batch_format="pyarrow").groupby("__bucket").map_groups(
         bucket_moving, batch_format="pyarrow"

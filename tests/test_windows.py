@@ -194,6 +194,42 @@ def test_lag_lead_hot_key_split_phantom_rows(ray_session):
             assert hot.column(c).to_pylist() == ref.column(c).to_pylist(), (n, c)
 
 
+def test_moving_avg_hot_key_split(ray_session):
+    """ROWS-frame moving average across ts-bin boundaries via phantom
+    prev-bin tails: matches the hash path (modulo float summation
+    order) for preceding=3, incl. null values and an all-null frame."""
+    import ray.data
+
+    rng = np.random.default_rng(23)
+    n_hot = 9_000
+    t = pa.table(
+        {
+            "u": pa.array(np.full(n_hot, 7), pa.int64()),
+            "ts": pa.array(rng.permutation(n_hot).astype(np.int64)),
+            "v": pa.array(
+                rng.normal(size=n_hot),
+                mask=(rng.random(n_hot) < 0.05),
+            ),
+            "id": pa.array(np.arange(n_hot), pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(5)
+    hot = rel.collect(
+        w.moving_avg(
+            ds, "u", "ts", "v", preceding=3, tiebreak="id",
+            hot_keys="auto", hot_bytes=30_000,
+        )
+    ).sort_by("id")
+    ref = rel.collect(
+        w.moving_avg(ds, "u", "ts", "v", preceding=3, tiebreak="id")
+    ).sort_by("id")
+    a = hot.column("moving_avg").to_numpy(zero_copy_only=False)
+    b = ref.column("moving_avg").to_numpy(zero_copy_only=False)
+    assert hot.num_rows == ref.num_rows == n_hot
+    assert np.array_equal(np.isnan(a), np.isnan(b))
+    assert np.allclose(a[~np.isnan(a)], b[~np.isnan(b)], rtol=1e-9, atol=1e-12)
+
+
 def test_running_total_hot_split_no_hot_keys(ray_session):
     """auto mode with nothing hot returns the plain path (plan None)."""
     import ray.data
