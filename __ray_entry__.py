@@ -570,6 +570,22 @@ def _sessionize_events(sf_dir: str):
     return out
 
 
+def _sessionize_skewed_events(sf_dir: str):
+    """Sessionize with hot_keys='auto', keyed on event_type so every
+    key is a mega-key at the small threshold: ts-range bin split, thin
+    stitch pass for global sid offsets, distributed re-aggregate for
+    boundary-spanning sessions (windows._session_offsets)."""
+    from datafusion_orc_ray.pipelines import relational as rel, windows as w
+
+    return rel.collect(
+        w.sessionize(
+            _ds(sf_dir, "events", ["event_type", "ts"]),
+            user_col="event_type",
+            hot_keys="auto", hot_bytes=1 << 16,
+        )
+    )
+
+
 def _sliding_window_events(sf_dir: str):
     """Sliding event-time windows (2h long, 1h slide): vectorized fan-out
     to member windows + partial/tree aggregate."""
@@ -1893,6 +1909,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_total_skewed_events": _running_total_skewed_events,
         "lag_lead_skewed_events": _lag_lead_skewed_events,
         "moving_avg_skewed_events": _moving_avg_skewed_events,
+        "sessionize_skewed_events": _sessionize_skewed_events,
         "lag_lead_events": _lag_lead_events,
         "moving_avg_events": _moving_avg_events,
         "regex_replace_documents": _regex_replace_documents,
@@ -2957,6 +2974,16 @@ GROUP BY k.doc_id, k.n_trans
             "ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM m) "
             "SELECT user_id, sid::BIGINT AS sid, count(*) AS n_events, "
             "min(ts) AS session_start FROM s GROUP BY user_id, sid"
+        ),
+        "sessionize_skewed_events": (
+            "WITH l AS (SELECT event_type, ts, lag(ts) OVER "
+            "(PARTITION BY event_type ORDER BY ts) AS prev FROM events), "
+            "m AS (SELECT event_type, ts, CASE WHEN prev IS NULL OR "
+            "ts - prev > INTERVAL 30 MINUTES THEN 1 ELSE 0 END AS new_s FROM l), "
+            "s AS (SELECT event_type, ts, sum(new_s) OVER (PARTITION BY event_type "
+            "ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM m) "
+            "SELECT event_type, sid::BIGINT AS sid, count(*) AS n_events, "
+            "min(ts) AS session_start FROM s GROUP BY event_type, sid"
         ),
         "sliding_window_events": (
             "SELECT event_type, w, round(sum(value), 2) AS total, count(*) AS n "

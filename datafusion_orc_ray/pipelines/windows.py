@@ -72,24 +72,130 @@ def sliding_window_agg(
     )
 
 
+def _session_offsets(
+    ds: ray.data.Dataset,
+    plan: _HotPlan,
+    user_col: str,
+    ts_col: str,
+    gap_us: int,
+    n_buckets: int,
+) -> dict[int, int]:
+    """Stitch pass for hot-split sessionize: a THIN (part, ts) shuffle
+    over hot-user rows only, yielding per (hot user, bin) the local
+    session count and boundary ts. The driver walks bins in ts order
+    turning them into global sid offsets — two boundary sessions merge
+    exactly when the cold path's gap rule would NOT start a new session
+    (NaN-safe: comparisons with null ts are False, so null-ts rows glue
+    to the previous session just like the single-bucket path)."""
+
+    def thin(batch: pa.Table) -> pa.Table:
+        sel = pc.is_in(
+            batch.column(user_col),
+            value_set=pa.array(plan.keys, batch.schema.field(user_col).type),
+        )
+        sub = batch.filter(pc.fill_null(sel, False))
+        if sub.num_rows == 0:
+            return pa.table(
+                {
+                    "__part": pa.array([], pa.int32()),
+                    ts_col: pa.array([], batch.schema.field(ts_col).type),
+                }
+            )
+        kv = sub.column(user_col).to_numpy(zero_copy_only=False)
+        tsv, tnull = _ts_np(sub.column(ts_col))
+        part = np.zeros(sub.num_rows, np.int32)
+        for i, k in enumerate(plan.keys):
+            pos = np.flatnonzero(kv == k)
+            if pos.size:
+                bins = plan.bin_of(i, tsv[pos], tnull[pos])
+                part[pos] = n_buckets + plan.offsets[i] + bins
+        return pa.table({"__part": pa.array(part), ts_col: sub.column(ts_col)})
+
+    def summarize(group: pa.Table) -> pa.Table:
+        part = int(group.column("__part")[0].as_py())
+        us = np.sort(
+            group.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        )  # np.sort puts NaN last, matching Arrow's nulls-at-end
+        k = 1 + int((np.diff(us) > gap_us).sum())
+        return pa.table(
+            {
+                "part": pa.array([part], pa.int64()),
+                "k": pa.array([k], pa.int64()),
+                "first": pa.array([float(us[0])], pa.float64()),
+                "last": pa.array([float(us[-1])], pa.float64()),
+            }
+        )
+
+    summ = collect(
+        ds.map_batches(thin, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(summarize, batch_format="pyarrow")
+    ).sort_by("part")
+    offsets: dict[int, int] = {}
+    parts = summ.column("part").to_numpy(zero_copy_only=False)
+    ks = summ.column("k").to_numpy(zero_copy_only=False)
+    firsts = summ.column("first").to_numpy(zero_copy_only=False)
+    lasts = summ.column("last").to_numpy(zero_copy_only=False)
+    for i in range(len(plan.keys)):
+        lo = plan.n_buckets + plan.offsets[i]
+        hi = lo + plan.n_parts(i)
+        base, prev_k, prev_last = 0, None, None
+        for j in np.flatnonzero((parts >= lo) & (parts < hi)):
+            if prev_k is not None:
+                merged = not (firsts[j] - prev_last > gap_us)  # NaN -> merge
+                base += prev_k - (1 if merged else 0)
+            offsets[int(parts[j])] = base
+            prev_k, prev_last = int(ks[j]), lasts[j]
+    return offsets
+
+
 def sessionize(
     ds: ray.data.Dataset,
     user_col: str = "user_id",
     ts_col: str = "ts",
     gap_us: int = 30 * 60 * 1_000_000,
     n_buckets: int | None = None,
+    hot_keys: str | None = None,
+    hot_bytes: int | None = None,
 ) -> ray.data.Dataset:
     """Gap-based sessions: a new session starts when a user's inter-event
     gap exceeds ``gap_us``. Returns one row per (user, session):
     (user_col, sid, n_events, session_start). One shuffle (user-hash
-    bucket groupby); everything inside a bucket is vectorized numpy."""
-    from ..util import bytes_scaled_buckets
+    bucket groupby); everything inside a bucket is vectorized numpy.
+
+    ``hot_keys="auto"``: a mega-user (the classic bot account) splits
+    across ts-range bins. A thin stitch pass (``_session_offsets``)
+    turns per-bin local session counts + boundary ts into global sid
+    offsets; sessions spanning a bin boundary emit one partial row per
+    bin under the SAME (user, sid) and a final DISTRIBUTED commutative
+    re-aggregate (sum n_events, min session_start) recombines them —
+    no task ever holds the mega-user's full event set."""
+    from ..util import TARGET_BUCKET_BYTES, bytes_scaled_buckets
 
     if n_buckets is None:
         n_buckets = bytes_scaled_buckets(ds)
+    plan = (
+        _plan_hot_split(
+            ds, user_col, ts_col, ts_col, n_buckets,
+            hot_bytes or TARGET_BUCKET_BYTES, with_bases=False,
+        )
+        if hot_keys == "auto"
+        else None
+    )
+    offsets: dict[int, int] = {}
+    if plan is not None:
+        offsets = _session_offsets(ds, plan, user_col, ts_col, gap_us, n_buckets)
 
     def tag(batch: pa.Table) -> pa.Table:
         b = (_stable_hash64(batch.column(user_col)) % n_buckets).astype(np.int32)
+        if plan is not None:
+            kv = batch.column(user_col).to_numpy(zero_copy_only=False)
+            tsv, tnull = _ts_np(batch.column(ts_col))
+            for i, k in enumerate(plan.keys):
+                pos = np.flatnonzero(kv == k)
+                if pos.size:
+                    bins = plan.bin_of(i, tsv[pos], tnull[pos])
+                    b[pos] = n_buckets + plan.offsets[i] + bins
         return pa.table(
             {
                 user_col: batch.column(user_col),
@@ -113,6 +219,9 @@ def sessionize(
                     "session_start": pa.array([], group.schema.field(ts_col).type),
                 }
             )
+        off = 0
+        if plan is not None:
+            off = offsets.get(int(group.column("__bucket")[0].as_py()), 0)
         g = group.sort_by([(user_col, "ascending"), (ts_col, "ascending")])
         users = g.column(user_col).to_numpy(zero_copy_only=False)
         us = g.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
@@ -120,13 +229,14 @@ def sessionize(
         gap = np.concatenate([[True], (us[1:] - us[:-1]) > gap_us])
         new_session = new_user | gap
         # session id restarts at 1 per user (cumsum of starts, offset by
-        # the user's first session index - 1)
+        # the user's first session index - 1); hot sub-partitions (one
+        # user, one ts bin) add their driver-stitched global offset
         sess_cum = np.cumsum(new_session)
         user_base = np.zeros(len(users), dtype=np.int64)
         first_idx = np.flatnonzero(new_user)
         user_base[first_idx] = sess_cum[first_idx] - 1
         user_base = np.maximum.accumulate(user_base)
-        sid = sess_cum - user_base
+        sid = sess_cum - user_base + off
         tbl = pa.table(
             {
                 user_col: g.column(user_col),
@@ -139,7 +249,22 @@ def sessionize(
         )
         return out.rename_columns([user_col, "sid", "n_events", "session_start"])
 
-    return tagged.groupby("__bucket").map_groups(bucket_sessions, batch_format="pyarrow")
+    out = tagged.groupby("__bucket").map_groups(
+        bucket_sessions, batch_format="pyarrow"
+    )
+    if plan is None:
+        return out
+    # sessions spanning a bin boundary exist as one partial row per bin
+    # under the same (user, sid); recombine with the distributed
+    # partial->final aggregate (commutative, no co-location). Cold rows
+    # have unique (user, sid) and pass through unchanged.
+    from .relational import grouped_agg_ds
+
+    return grouped_agg_ds(
+        out,
+        [user_col, "sid"],
+        {"n_events": ("sum", "n_events"), "session_start": ("min", "session_start")},
+    )
 
 
 def asof_join_broadcast(

@@ -230,6 +230,46 @@ def test_moving_avg_hot_key_split(ray_session):
     assert np.allclose(a[~np.isnan(a)], b[~np.isnan(b)], rtol=1e-9, atol=1e-12)
 
 
+def test_sessionize_hot_key_split_boundary_sessions(ray_session):
+    """A mega-user split across ts bins: sessions spanning bin
+    boundaries recombine (sum n_events, min start), sid numbering stays
+    globally 1..K in ts order, and the result equals the single-bucket
+    path exactly. Dense ts (gap < timeout) makes nearly every bin
+    boundary a spanning session."""
+    import ray.data
+
+    rng = np.random.default_rng(31)
+    n = 8_000
+    # mostly 1-min gaps with occasional 45-min breaks -> long sessions
+    # that MUST span the ~8 ts bins the tiny hot_bytes forces
+    gaps = np.where(rng.random(n) < 0.01, 45 * 60, 60) * 1_000_000
+    ts = np.cumsum(gaps)
+    t = pa.table(
+        {
+            "user_id": pa.array(
+                np.concatenate([np.full(n, 9), np.array([1, 1, 2])]), pa.int64()
+            ),
+            "ts": pa.array(
+                np.concatenate([ts, [10, 20, 30]]).astype("datetime64[us]"),
+                pa.timestamp("us"),
+            ),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(5)
+    hot = rel.collect(
+        w.sessionize(ds, hot_keys="auto", hot_bytes=20_000)
+    ).sort_by([("user_id", "ascending"), ("sid", "ascending")])
+    ref = rel.collect(w.sessionize(ds)).sort_by(
+        [("user_id", "ascending"), ("sid", "ascending")]
+    )
+    assert hot.num_rows == ref.num_rows
+    for c in ("user_id", "sid", "n_events", "session_start"):
+        assert hot.column(c).to_pylist() == ref.column(c).to_pylist(), c
+    # the plan really split the mega-user
+    plan = w._plan_hot_split(ds, "user_id", "ts", "ts", 4, 20_000, with_bases=False)
+    assert plan is not None and 9 in plan.keys and plan.n_parts(plan.keys.index(9)) >= 2
+
+
 def test_running_total_hot_split_no_hot_keys(ray_session):
     """auto mode with nothing hot returns the plain path (plan None)."""
     import ray.data
