@@ -505,6 +505,34 @@ def _ntile_documents(sf_dir: str):
     )
 
 
+def _rank_skewed_documents(sf_dir: str):
+    """row_number + percent_rank + ntile with hot_keys='auto': every
+    lang is a mega-key at the small threshold, so ranks come from
+    order-value range bins plus driver COUNT offsets (rank is
+    decomposable; a dedicated null bin keeps nulls last under DESC) —
+    the skew path for 'top-N per domain' style curation."""
+    import pyarrow.compute as pc
+
+    from datafusion_orc_ray.pipelines import relational as rel
+
+    out = rel.collect(
+        rel.grouped_rank(
+            _ds(sf_dir, "documents", ["lang", "doc_id", "n_chars"]),
+            keys=["lang"], order_col="n_chars", tiebreak="doc_id",
+            percent=True, ntile=4,
+            hot_keys="auto", hot_bytes=1 << 14,
+        )
+    )
+    return pa.table(
+        {
+            "doc_id": out.column("doc_id"),
+            "rn": out.column("rn"),
+            "pct_rank": pc.round(out.column("pct_rank"), 6, round_mode="half_towards_infinity"),
+            "tile": out.column("tile"),
+        }
+    )
+
+
 def _zscore_events(sf_dir: str):
     """Group-mean centering: value - avg(value) per event_type via the
     aggregate-then-broadcast-join-back pattern (no row shuffle)."""
@@ -1904,6 +1932,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_median_events": _grouped_median_events,
         "rank_in_lang_documents": _rank_in_lang_documents,
         "ntile_documents": _ntile_documents,
+        "rank_skewed_documents": _rank_skewed_documents,
         "zscore_events": _zscore_events,
         "running_total_events": _running_total_events,
         "running_total_skewed_events": _running_total_skewed_events,
@@ -2919,6 +2948,14 @@ GROUP BY k.doc_id, k.n_trans
         ),
         "ntile_documents": (
             "SELECT doc_id, round(percent_rank() OVER "
+            "(PARTITION BY lang ORDER BY n_chars DESC, doc_id), 6) AS pct_rank, "
+            "ntile(4) OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS tile "
+            "FROM documents"
+        ),
+        "rank_skewed_documents": (
+            "SELECT doc_id, row_number() OVER "
+            "(PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rn, "
+            "round(percent_rank() OVER "
             "(PARTITION BY lang ORDER BY n_chars DESC, doc_id), 6) AS pct_rank, "
             "ntile(4) OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS tile "
             "FROM documents"

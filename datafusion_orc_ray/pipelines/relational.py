@@ -787,6 +787,8 @@ def grouped_rank(
     n_buckets: int | None = None,
     percent: bool = False,
     ntile: int | None = None,
+    hot_keys: str | None = None,
+    hot_bytes: int | None = None,
 ) -> ray.data.Dataset:
     """row_number() OVER (PARTITION BY keys ORDER BY order_col [DESC],
     tiebreak): one key-hash bucket shuffle co-locates each group, then a
@@ -794,18 +796,54 @@ def grouped_rank(
     plus ``rn`` (1-based); ``percent=True`` adds ``pct_rank`` = (rn-1)/
     (group_size-1) (0.0 for singleton groups, SQL percent_rank over a
     unique ordering); ``ntile=n`` adds ``tile`` (1-based, earlier tiles
-    take the remainder rows — SQL ntile)."""
-    from ..util import bytes_scaled_buckets
+    take the remainder rows — SQL ntile).
+
+    ``hot_keys="auto"`` (single partition key only): mega-keys split
+    across order-value range bins; row_number is rank-decomposable, so
+    each sub-partition adds a driver-computed COUNT offset (prefix of
+    bin row counts in rank direction; a dedicated null bin keeps nulls
+    ranked last under both ASC and DESC) and percent/ntile use the
+    key's TOTAL count — no task holds a mega-key's full rows."""
+    from ..util import TARGET_BUCKET_BYTES, bytes_scaled_buckets
 
     if n_buckets is None:
         n_buckets = bytes_scaled_buckets(ds)
+    plan = None
+    if hot_keys == "auto" and len(keys) == 1:
+        from .windows import _plan_hot_split
 
-    def tag(batch: pa.Table) -> pa.Table:
-        h = np.zeros(batch.num_rows, dtype=np.uint64)
-        for kcol in keys:
-            with np.errstate(over="ignore"):
-                h = h * np.uint64(1099511628211) + _stable_hash64(batch.column(kcol))
-        return batch.append_column("__bucket", pa.array((h % n_buckets).astype(np.int32)))
+        plan = _plan_hot_split(
+            ds, keys[0], order_col, order_col, n_buckets,
+            hot_bytes or TARGET_BUCKET_BYTES, with_bases=True, null_own=True,
+        )
+    rank_offsets: dict[int, int] = {}
+    key_totals: dict[int, int] = {}
+    if plan is not None:
+        for i in range(len(plan.keys)):
+            base = n_buckets + plan.offsets[i]
+            nb = plan.n_parts(i)
+            cnts = [plan.raw_counts.get(base + b, 0) for b in range(nb)]
+            total = sum(cnts)
+            for b in range(nb - 1):  # value bins
+                rank_offsets[base + b] = (
+                    sum(cnts[b + 1 : nb - 1]) if descending else sum(cnts[:b])
+                )
+            rank_offsets[base + nb - 1] = total - cnts[-1]  # null bin: last
+            for b in range(nb):
+                key_totals[base + b] = total
+
+    if plan is not None:
+        from .windows import _hot_tag_fn
+
+        tag = _hot_tag_fn(keys[0], order_col, n_buckets, plan)
+    else:
+
+        def tag(batch: pa.Table) -> pa.Table:
+            h = np.zeros(batch.num_rows, dtype=np.uint64)
+            for kcol in keys:
+                with np.errstate(over="ignore"):
+                    h = h * np.uint64(1099511628211) + _stable_hash64(batch.column(kcol))
+            return batch.append_column("__bucket", pa.array((h % n_buckets).astype(np.int32)))
 
     sort_keys = (
         [(c, "ascending") for c in keys]
@@ -814,17 +852,27 @@ def grouped_rank(
     )
 
     def bucket_rank(group: pa.Table) -> pa.Table:
+        off, ktotal = 0, None
+        if plan is not None and group.num_rows:
+            part = group.column("__bucket")[0].as_py()
+            if part >= n_buckets:
+                off = rank_offsets.get(part, 0)
+                ktotal = key_totals.get(part)
         g = group.drop_columns(["__bucket"]).sort_by(sort_keys)
-        r0 = _rank_within_groups(g, keys)  # 0-based
+        r0 = _rank_within_groups(g, keys) + off  # 0-based; hot: + bin offset
         g = g.append_column("rn", pa.array(r0 + 1, pa.int64()))
         if not (percent or ntile):
             return g
-        # per-row group size from segment boundaries
+        # per-row group size from segment boundaries (hot sub-partition:
+        # the key's TOTAL count, not the bin's)
         n = r0.size
-        starts = np.flatnonzero(r0 == 0)
-        seg = np.cumsum(r0 == 0) - 1
-        ends = np.append(starts[1:], n)
-        size = (ends - starts)[seg] if n else np.array([], np.int64)
+        if ktotal is not None:
+            size = np.full(n, ktotal, np.int64)
+        else:
+            starts = np.flatnonzero(r0 == 0)
+            seg = np.cumsum(r0 == 0) - 1
+            ends = np.append(starts[1:], n)
+            size = (ends - starts)[seg] if n else np.array([], np.int64)
         if percent:
             with np.errstate(invalid="ignore", divide="ignore"):
                 p = np.where(size > 1, r0 / np.maximum(size - 1, 1), 0.0)

@@ -431,23 +431,31 @@ class _HotPlan:
     an edges array (S-1 sorted ts cut points -> S bins, assignment via
     searchsorted side='right' so equal ts never split), a dense part-id
     block [n_buckets + offset, n_buckets + offset + S), and per-part
-    (base_sum, base_cnt) prefix bases filled by the bases pass."""
+    (base_sum, base_cnt) prefix bases filled by the bases pass.
 
-    def __init__(self, n_buckets: int) -> None:
+    ``null_own=True`` gives null order-values their OWN trailing bin
+    (rank-style ops: nulls order LAST regardless of ASC/DESC, so they
+    cannot share a bin with the largest values — under DESC those rank
+    first while nulls rank last, and one per-part offset could not
+    serve both)."""
+
+    def __init__(self, n_buckets: int, null_own: bool = False) -> None:
         self.n_buckets = n_buckets
+        self.null_own = null_own
         self.keys: list = []
         self.edges: list[np.ndarray] = []
         self.offsets: list[int] = []
         self.bases: dict[int, tuple[float, int]] = {}
+        self.raw_counts: dict[int, int] = {}
 
     def add(self, key, edges: np.ndarray) -> None:
-        prev = self.offsets[-1] + len(self.edges[-1]) + 1 if self.keys else 0
+        prev = self.offsets[-1] + self.n_parts(len(self.keys) - 1) if self.keys else 0
         self.keys.append(key)
         self.edges.append(edges)
         self.offsets.append(prev)
 
     def n_parts(self, i: int) -> int:
-        return len(self.edges[i]) + 1
+        return len(self.edges[i]) + 1 + (1 if self.null_own else 0)
 
     def bin_of(self, i: int, ts: np.ndarray, null_mask: np.ndarray) -> np.ndarray:
         b = np.searchsorted(self.edges[i], ts, side="right")
@@ -471,6 +479,7 @@ def _plan_hot_split(
     n_buckets: int,
     hot_bytes: int,
     with_bases: bool = True,
+    null_own: bool = False,
 ) -> _HotPlan | None:
     """Three cheap column-pruned passes (census -> ts sample -> bases)
     that produce a _HotPlan, or None when no key is hot enough to split.
@@ -553,7 +562,7 @@ def _plan_hot_split(
             sample_ts, batch_format="pyarrow"
         )
     )
-    plan = _HotPlan(n_buckets)
+    plan = _HotPlan(n_buckets, null_own=null_own)
     est = dict(hot_pairs)
     sk = samples.column("k").to_numpy(zero_copy_only=False)
     st = samples.column("t").to_numpy(zero_copy_only=False)
@@ -573,7 +582,7 @@ def _plan_hot_split(
     def base_partial(batch: pa.Table) -> pa.Table:
         sel = pc.is_in(batch.column(key_col), value_set=pa.array(plan.keys, key_type))
         sub = batch.filter(pc.fill_null(sel, False))
-        ki, bi, bs, bc = [], [], [], []
+        ki, bi, bs, bc, br = [], [], [], [], []
         if sub.num_rows:
             kv = sub.column(key_col).to_numpy(zero_copy_only=False)
             tsv, tnull = _ts_np(sub.column(ts_col))
@@ -591,39 +600,45 @@ def _plan_hot_split(
                 bi.extend(range(nb))
                 bs.extend(np.bincount(bins, weights=v[pos], minlength=nb))
                 bc.extend(np.bincount(bins, weights=valid[pos], minlength=nb))
+                br.extend(np.bincount(bins, minlength=nb))
         return pa.table(
             {
                 "ki": pa.array(ki, pa.int64()),
                 "bin": pa.array(bi, pa.int64()),
                 "s": pa.array(bs, pa.float64()),
                 "c": pa.array(bc, pa.float64()),
+                "r": pa.array(br, pa.float64()),
             }
         )
 
     bt = collect(
-        ds.select_columns([key_col, ts_col, val_col]).map_batches(
+        ds.select_columns(list(dict.fromkeys([key_col, ts_col, val_col]))).map_batches(
             base_partial, batch_format="pyarrow"
         )
     )
-    bagg = bt.group_by(["ki", "bin"]).aggregate([("s", "sum"), ("c", "sum")])
+    bagg = bt.group_by(["ki", "bin"]).aggregate(
+        [("s", "sum"), ("c", "sum"), ("r", "sum")]
+    )
     ks = bagg.column("ki").to_numpy(zero_copy_only=False)
     bs_ = bagg.column("bin").to_numpy(zero_copy_only=False)
     ss = bagg.column("s_sum").to_numpy(zero_copy_only=False)
     cs = bagg.column("c_sum").to_numpy(zero_copy_only=False)
+    rs = bagg.column("r_sum").to_numpy(zero_copy_only=False)
     for i in range(len(plan.keys)):
         mask = ks == i
         nb = plan.n_parts(i)
         sums = np.zeros(nb)
         cnts = np.zeros(nb)
+        raws = np.zeros(nb)
         sums[bs_[mask]] = ss[mask]
         cnts[bs_[mask]] = cs[mask]
+        raws[bs_[mask]] = rs[mask]
         pre_s = np.concatenate([[0.0], np.cumsum(sums)[:-1]])
         pre_c = np.concatenate([[0.0], np.cumsum(cnts)[:-1]])
         for b in range(nb):
-            plan.bases[n_buckets + plan.offsets[i] + b] = (
-                float(pre_s[b]),
-                int(pre_c[b]),
-            )
+            part = n_buckets + plan.offsets[i] + b
+            plan.bases[part] = (float(pre_s[b]), int(pre_c[b]))
+            plan.raw_counts[part] = int(raws[b])
     return plan
 
 

@@ -942,6 +942,44 @@ def test_grouped_rank_percent_and_ntile(ray_session):
     assert out.column("tile").to_pylist() == [1, 1, 2, 2, 3, 1]
 
 
+def test_grouped_rank_hot_key_split(ray_session):
+    """A mega-key ranks via order-value bins + count offsets: exact
+    equality with the hash path for ASC and DESC, with duplicate order
+    values (tiebreak), NULL order values (own trailing bin — ranked
+    last under BOTH directions), percent_rank, and ntile."""
+    import numpy as np
+    import ray.data
+
+    rng = np.random.default_rng(41)
+    n = 15_000
+    v = rng.integers(0, 2000, n)  # heavy duplication across bins
+    null_v = rng.random(n) < 0.02
+    t = pa.table({
+        "k": pa.array(["hot"] * n + ["x", "x", "y"]),
+        "v": pa.array(np.concatenate([v, [5, 3, 9]]),
+                      mask=np.concatenate([null_v, np.zeros(3, bool)])),
+        "id": pa.array(np.arange(n + 3), pa.int64()),
+    })
+    ds = ray.data.from_arrow(t).repartition(7)
+    for desc in (True, False):
+        hot = rel.collect(
+            rel.grouped_rank(
+                ds, keys=["k"], order_col="v", tiebreak="id",
+                descending=desc, percent=True, ntile=5,
+                hot_keys="auto", hot_bytes=50_000,
+            )
+        ).sort_by("id")
+        ref = rel.collect(
+            rel.grouped_rank(
+                ds, keys=["k"], order_col="v", tiebreak="id",
+                descending=desc, percent=True, ntile=5,
+            )
+        ).sort_by("id")
+        assert hot.num_rows == ref.num_rows == n + 3
+        for c in ("rn", "pct_rank", "tile"):
+            assert hot.column(c).to_pylist() == ref.column(c).to_pylist(), (desc, c)
+
+
 def test_embedding_decontam(vectors):
     """Rows cosine-close to the broadcast reference set drop; the refs
     themselves (sim 1.0 with themselves) drop; orthogonal rows keep
