@@ -262,6 +262,23 @@ def _filter_pushdown_orders(sf_dir: str):
     )
 
 
+def _filter_pushdown_multi_orders(sf_dir: str):
+    """Multi-conjunct scan pruning (AND semantics end-to-end): every
+    conjunct prunes stripes/chunks via stats, the residual filters all
+    apply inside decode (sources/datasource.py, stages/decode.py)."""
+    from datafusion_orc_ray.sources.stripes import read_stripes
+
+    return read_stripes(
+        _encoded(sf_dir, "orders"),
+        columns=["o_orderkey", "o_totalprice"],
+        predicate=[
+            ("o_orderkey", ">=", 500),
+            ("o_orderkey", "<", 5000),
+            ("o_totalprice", ">", 50000.0),
+        ],
+    )
+
+
 def _distinct_count_orders(sf_dir: str):
     """Distinct-count: per-batch partial distinct -> distributed groupby
     (never a driver-side unique)."""
@@ -1945,6 +1962,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sliding_window_events": _sliding_window_events,
         "asof_join_events": _asof_join_events,
         "filter_pushdown_orders": _filter_pushdown_orders,
+        "filter_pushdown_multi_orders": _filter_pushdown_multi_orders,
         "string_funcs_documents": _string_funcs_documents,
         # training-data ops
         "dedup_exact_documents": _dedup_exact,
@@ -3036,6 +3054,10 @@ GROUP BY k.doc_id, k.n_trans
         ),
         "filter_pushdown_orders": (
             "SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey < 1000"
+        ),
+        "filter_pushdown_multi_orders": (
+            "SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey >= 500 "
+            "AND o_orderkey < 5000 AND o_totalprice > 50000.0"
         ),
         "string_funcs_documents": (
             "SELECT doc_id, upper(substr(text, 1, 10)) AS head10 FROM documents"

@@ -27,30 +27,38 @@ class StripeDatasource(Datasource):
         self,
         out_dir: str,
         columns: list[str] | None = None,
-        predicate: tuple[str, str, object] | None = None,
+        predicate: tuple[str, str, object] | list | None = None,
         rows_per_block: int = 32768,
         split_bytes: int = 128 << 20,
     ) -> None:
+        from ..stripe import _pred_list
         from .stripes import _stats_may_match, stripes_schema
 
-        if predicate is not None and predicate[1] not in ("<", "<=", ">", ">=", "=="):
-            # fail fast on the driver: an unsupported op would pass
-            # stats pruning as "cannot prune" and then crash every read
-            # task mid-job with a bare KeyError from the residual filter
-            raise ValueError(
-                f"unsupported predicate op {predicate[1]!r} "
-                "(use one of <, <=, >, >=, ==)"
-            )
+        preds = _pred_list(predicate)
+        for p in preds:
+            if p[1] not in ("<", "<=", ">", ">=", "=="):
+                # fail fast on the driver: an unsupported op would pass
+                # stats pruning as "cannot prune" and then crash every
+                # read task mid-job with a bare KeyError from the
+                # residual filter
+                raise ValueError(
+                    f"unsupported predicate op {p[1]!r} "
+                    "(use one of <, <=, >, >=, ==)"
+                )
         self._out_dir = out_dir
         self._columns = columns
-        self._predicate = predicate
+        self._predicate = preds or None
         self._rows_per_block = rows_per_block
         self._split_bytes = split_bytes
         entries = manifest.load_manifest(out_dir)
         if not entries:
             raise FileNotFoundError(f"no manifest entries under {out_dir}")
-        if predicate is not None:
-            entries = [e for e in entries if _stats_may_match(e, predicate)]
+        if preds:
+            # AND semantics: a stripe survives only if EVERY conjunct
+            # may match its stats
+            entries = [
+                e for e in entries if all(_stats_may_match(e, p) for p in preds)
+            ]
         self._entries = sorted(entries, key=lambda e: e["path"])
         self._schema = stripes_schema(out_dir)
 

@@ -79,7 +79,7 @@ class Catalog:
         self,
         name: str,
         columns: list[str] | None = None,
-        predicate: tuple[str, str, object] | None = None,
+        predicate: tuple[str, str, object] | list | None = None,
     ) -> ray.data.Dataset:
         return read_stripes(self._tables[name], columns=columns, predicate=predicate)
 
@@ -143,8 +143,9 @@ class Catalog:
     )
 
     def _resolve_filter_pushdown(self, query: str, referenced, schemas):
-        """One (col, op, literal) predicate per table extracted from the
-        query's WHERE clause for stats-driven stripe/chunk pruning.
+        """ALL pushable (col, op, literal) conjuncts per table extracted
+        from the query's WHERE clause (AND semantics) for stats-driven
+        stripe/chunk pruning.
 
         Pushing a conjunct below the scan is only sound when that
         conjunct provably applies to EVERY use of the table, so this is
@@ -212,8 +213,8 @@ class Catalog:
                 if not (pa.types.is_integer(ctype) or pa.types.is_floating(ctype)):
                     continue
                 val = float(lit) if "." in lit else int(lit)
-            if out[name] is None:  # read_stripes takes one predicate
-                out[name] = (col, "==" if op in ("=", "==") else op, val)
+            conj_t = (col, "==" if op in ("=", "==") else op, val)
+            out[name] = [conj_t] if out[name] is None else [*out[name], conj_t]
         return out
 
     def sql(self, query: str):
@@ -322,7 +323,7 @@ def read_stripes(
     out_dir: str,
     columns: list[str] | None = None,
     concurrency: int | None = None,
-    predicate: tuple[str, str, object] | None = None,
+    predicate: tuple[str, str, object] | list | None = None,
 ) -> ray.data.Dataset:
     """Stripe scan via ``StripeDatasource`` (a first-class
     ray.data.Datasource: one read task per stripe carrying row/byte

@@ -19,7 +19,7 @@ from .. import stripe
 
 def make_stripe_decoder(
     columns: list[str] | None = None,
-    predicate: tuple[str, str, object] | None = None,
+    predicate: tuple[str, str, object] | list | None = None,
     unified_schema: pa.Schema | None = None,
     rows_per_block: int = 32768,
 ) -> Callable[[pa.Table], Iterator[pa.Table]]:
@@ -32,9 +32,14 @@ def make_stripe_decoder(
     ``predicate`` applies the residual vectorized row filter after stats
     pruning (see sources.stripes); ``unified_schema`` null-fills columns a
     schema-evolved stripe lacks."""
+    from ..stripe import _pred_list
+
+    preds = _pred_list(predicate)
     read_cols = columns
-    if predicate is not None and columns is not None and predicate[0] not in columns:
-        read_cols = [*columns, predicate[0]]
+    if preds and columns is not None:
+        extra = [p[0] for p in preds if p[0] not in columns]
+        if extra:
+            read_cols = [*columns, *dict.fromkeys(extra)]
 
     def decode_stripes(batch: pa.Table) -> Iterator[pa.Table]:
         import pyarrow.compute as pc
@@ -48,22 +53,22 @@ def make_stripe_decoder(
         his = batch.column("chunk_hi").to_pylist() if has_range else [None] * batch.num_rows
         for path, lo, hi in zip(batch.column("path").to_pylist(), los, his):
             chunk_range = (lo, hi) if lo is not None else None
-            if read_cols is not None or chunk_range is not None or predicate is not None:
+            if read_cols is not None or chunk_range is not None or preds:
                 # projected / split / filtered: ranged reads of just the
                 # selected streams, only the selected row chunks, and only
                 # chunks whose stats may match (row-group skipping)
                 t = stripe.decode_file(
                     path, columns=read_cols, unified_schema=unified_schema,
-                    chunk_range=chunk_range, predicate=predicate,
+                    chunk_range=chunk_range, predicate=preds or None,
                 )
             else:
                 from .. import io as dio
 
                 # full decode: one sequential read (any pyarrow.fs URI)
                 t = stripe.decode_table(dio.read_bytes(path), unified_schema=unified_schema)
-            if predicate is not None:
-                col, op, val = predicate
-                t = t.filter(ops[op](t.column(col), val))
+            if preds:
+                for col, op, val in preds:  # residual AND filter
+                    t = t.filter(ops[op](t.column(col), val))
                 if columns is not None:
                     t = t.select(columns)
             for start in range(0, t.num_rows, rows_per_block):

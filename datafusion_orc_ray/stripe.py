@@ -1007,13 +1007,23 @@ def stats_may_match(st: dict, op: str, val) -> bool:
         return True
 
 
+def _pred_list(predicate) -> list[tuple[str, str, object]]:
+    """Normalize a predicate argument: None -> [], a single (col, op,
+    val) tuple -> [tuple], a list of tuples (AND semantics) -> as-is."""
+    if predicate is None:
+        return []
+    if isinstance(predicate, tuple):
+        return [predicate]
+    return list(predicate)
+
+
 def _decode_from(
     footer: dict,
     blob,
     columns: list[str] | None,
     unified_schema: pa.Schema | None = None,
     chunk_range: tuple[int, int] | None = None,
-    predicate: tuple[str, str, object] | None = None,
+    predicate: tuple[str, str, object] | list | None = None,
 ) -> pa.Table:
     """``unified_schema`` (the directory-wide merged schema from
     stripes_schema) makes schema-evolved directories decode consistently:
@@ -1025,26 +1035,34 @@ def _decode_from(
     ``predicate`` prunes chunks whose per-chunk column stats prove no
     match (ORC row-group-index skipping at chunk granularity; the caller
     still applies the residual row filter)."""
+    preds = _pred_list(predicate)
     if "chunks" in footer:
         chunks = footer["chunks"]
         lo, hi = chunk_range if chunk_range is not None else (0, len(chunks))
         picked = chunks[lo:hi]
-        if predicate is not None:
-            col, op, val = predicate
+        if preds:
             fschema = pa.ipc.read_schema(
                 pa.py_buffer(base64.b64decode(footer["schema_b64"]))
             )
-            btype = fschema.field(col).type if col in fschema.names else None
 
             def chunk_may_match(ch: dict) -> bool:
-                for c in ch["columns"]:
-                    if c["path"] == col:
-                        if not stats_may_match(c.get("stats", {}), op, val):
-                            return False
-                        if op == "==" and "bloom" in c and btype is not None:
-                            return bloom.may_contain(c["bloom"], val, btype)
-                        return True
-                return True  # unknown column -> cannot prune
+                # AND semantics: any conjunct proving no-match prunes
+                for col, op, val in preds:
+                    for c in ch["columns"]:
+                        if c["path"] == col:
+                            if not stats_may_match(c.get("stats", {}), op, val):
+                                return False
+                            if (
+                                op == "=="
+                                and "bloom" in c
+                                and col in fschema.names
+                                and not bloom.may_contain(
+                                    c["bloom"], val, fschema.field(col).type
+                                )
+                            ):
+                                return False
+                            break  # unknown column -> cannot prune on it
+                return True
 
             picked = [ch for ch in picked if chunk_may_match(ch)]
         tabs = [
@@ -1074,11 +1092,12 @@ def _decode_from(
         raise IndexError(f"chunk_range {chunk_range} on a single-chunk stripe")
     schema = pa.ipc.read_schema(pa.py_buffer(base64.b64decode(footer["schema_b64"])))
     by_name = {c["path"]: c for c in footer["columns"]}
-    if predicate is not None and predicate[1] == "==":
+    for col, op, val in preds:
+        if op != "==":
+            continue
         # point lookup: the footer's bloom can prove the value absent from
         # this whole stripe before ANY column-stream read (footer already
         # fetched via tail range)
-        col, _, val = predicate
         cmeta = by_name.get(col)
         if (
             cmeta is not None

@@ -131,16 +131,20 @@ def test_catalog_sql_filter_pushdown(ray_session, tmp_path, monkeypatch):
 
     monkeypatch.setattr(Catalog, "table", spy)
     out = cat.sql("SELECT k, v FROM ft WHERE v >= 4 ORDER BY v")
-    assert seen["ft"] == ("v", ">=", 4)
+    assert seen["ft"] == [("v", ">=", 4)]
     assert out.column("v").to_pylist() == [4.0, 5.0, 6.0]
     # string equality pushes too
     out2 = cat.sql("SELECT sum(v) AS s FROM ft WHERE k = 'a'")
-    assert seen["ft"] == ("k", "==", "a")
+    assert seen["ft"] == [("k", "==", "a")]
     assert out2.column("s")[0].as_py() == 10.0
     # conjunct with extra unpushable condition still pushes the safe one
     out3 = cat.sql("SELECT count(*) AS n FROM ft WHERE v > 1 AND k || 'x' = 'ax'")
-    assert seen["ft"] == ("v", ">", 1)
+    assert seen["ft"] == [("v", ">", 1)]
     assert out3.column("n")[0].as_py() == 2
+    # ALL safe conjuncts push together (AND semantics end-to-end)
+    out3b = cat.sql("SELECT count(*) AS n FROM ft WHERE v >= 2 AND v < 6 AND k = 'a'")
+    assert seen["ft"] == [("v", ">=", 2), ("v", "<", 6), ("k", "==", "a")]
+    assert out3b.column("n")[0].as_py() == 1
     # OR disables pushdown but the answer is still right
     out4 = cat.sql("SELECT count(*) AS n FROM ft WHERE v > 5 OR k = 'c'")
     assert seen["ft"] is None

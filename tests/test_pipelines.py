@@ -146,6 +146,33 @@ def test_encode_clustered_single_shuffle(corpus):
     assert got.equals(wt.sort_by("url"))
 
 
+def test_multi_conjunct_predicate_pushdown(ray_session, tmp_path):
+    """A LIST predicate (AND semantics) prunes stripes with every
+    conjunct and applies the residual filters; equivalent to chaining
+    plain filters."""
+    import pyarrow as pa
+
+    from datafusion_orc_ray.sources.stripes import _stats_may_match, read_stripes
+
+    base = str(tmp_path)
+    ids = pa.table(
+        {
+            "id": pa.array(range(1000), pa.int64()),
+            "v": pa.array([float(i % 100) for i in range(1000)]),
+        }
+    )
+    pq.write_table(ids, f"{base}/ids.parquet", row_group_size=250)
+    out = f"{base}/enc"
+    ep.encode_parquet(f"{base}/ids.parquet", out, concurrency=2).take_all()
+    preds = [("id", ">=", 260), ("id", "<", 510), ("v", "<", 50.0)]
+    entries = man.load_manifest(out)
+    kept = [e for e in entries if all(_stats_may_match(e, p) for p in preds)]
+    assert len(entries) == 4 and len(kept) == 2  # id-range prunes 2 of 4
+    got = collect(read_stripes(out, columns=["id", "v"], predicate=preds)).sort_by("id")
+    want = [i for i in range(260, 510) if (i % 100) < 50]
+    assert got.column("id").to_pylist() == want
+
+
 def test_encode_clustered_dir_input_fragment_fed(corpus):
     """String (parquet dir) input drives the _FragmentFed path — row
     groups read in-task, no object-store hop — in BOTH modes, with
