@@ -178,8 +178,21 @@ class Catalog:
         if len(re.findall(r"(?i)\bselect\b", q)) != 1:
             return none
         if re.search(
-            r"(?i)\b(or|not|between|union|except|intersect|left|right|full|outer)\b", q
+            r"(?i)\b(or|not|union|except|intersect|left|right|full|outer)\b", q
         ):
+            return none
+        # rewrite simple literal BETWEENs to range conjuncts BEFORE the
+        # AND split (the BETWEEN's own AND would otherwise cut it in
+        # half); any BETWEEN that survives the strict rewrite (column
+        # bounds, expressions) disables pushdown entirely. NOT BETWEEN
+        # never reaches here (the NOT guard above).
+        _lit = r"(?:'[^']*'|-?\d+(?:\.\d+)?)"
+        q = re.sub(
+            rf"(?i)((?:\w+\.)?\w+)\s+between\s+({_lit})\s+and\s+({_lit})",
+            r"\1 >= \2 AND \1 <= \3",
+            q,
+        )
+        if re.search(r"(?i)\bbetween\b", q):
             return none
         for name in referenced:
             if len(re.findall(rf"\b{re.escape(name)}\b", q)) != 1:
@@ -191,11 +204,38 @@ class Catalog:
         if not m:
             return none
         out = dict(none)
+        cands: list[tuple[str | None, str, str, str]] = []
         for conj in re.split(r"(?i)\band\b", m.group(1)):
             cm = re.match(self._PUSHABLE_CONJUNCT, conj)
-            if not cm:
+            if cm:
+                cands.append(cm.groups())
                 continue
-            qual, col, op, lit = cm.groups()
+            # a TOP-LEVEL literal IN-list pushes as its [min, max]
+            # envelope — implied by the membership test, so pruning is
+            # sound and DuckDB still applies the exact IN. Anchored to
+            # the whole conjunct, so function-wrapped INs never match.
+            im = re.match(
+                rf"^\s*(?:(\w+)\.)?(\w+)\s+in\s*\(\s*({_lit}(?:\s*,\s*{_lit})*)\s*\)\s*$",
+                conj,
+                re.IGNORECASE,
+            )
+            if not im:
+                continue
+            qual_i, col_i, items = im.groups()
+            lits = [s.strip() for s in re.findall(_lit, items)]
+            if all(s.startswith("'") for s in lits):
+                svals = sorted(s[1:-1] for s in lits)
+                lo, hi = f"'{svals[0]}'", f"'{svals[-1]}'"
+            elif any(s.startswith("'") for s in lits):
+                continue  # mixed kinds: give up on this conjunct
+            else:
+                # keep the ORIGINAL literal text (it already matches the
+                # lit grammar; repr() could produce 1e+20-style forms)
+                pairs = sorted((float(s), s) for s in lits)
+                lo, hi = pairs[0][1], pairs[-1][1]
+            cands.append((qual_i, col_i, ">=", lo))
+            cands.append((qual_i, col_i, "<=", hi))
+        for qual, col, op, lit in cands:
             owners = [n for n in referenced if col in schemas[n].names]
             if len(owners) != 1:
                 continue

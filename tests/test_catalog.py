@@ -149,6 +149,25 @@ def test_catalog_sql_filter_pushdown(ray_session, tmp_path, monkeypatch):
     out4 = cat.sql("SELECT count(*) AS n FROM ft WHERE v > 5 OR k = 'c'")
     assert seen["ft"] is None
     assert out4.column("n")[0].as_py() == 2
+    # BETWEEN rewrites to a pushed range
+    out5 = cat.sql("SELECT count(*) AS n FROM ft WHERE v BETWEEN 2 AND 4")
+    assert seen["ft"] == [("v", ">=", 2), ("v", "<=", 4)]
+    assert out5.column("n")[0].as_py() == 3
+    # literal IN-list pushes its [min, max] envelope; DuckDB still
+    # applies the exact membership test (5.0 excluded from the answer)
+    out6 = cat.sql("SELECT count(*) AS n FROM ft WHERE v IN (2, 6, 4)")
+    assert seen["ft"] == [("v", ">=", 2), ("v", "<=", 6)]
+    assert out6.column("n")[0].as_py() == 3
+    # function-wrapped IN pushes nothing from that conjunct (unsound)
+    out7 = cat.sql(
+        "SELECT count(*) AS n FROM ft WHERE coalesce(v IN (2, 4), FALSE) AND v > 1"
+    )
+    assert seen["ft"] == [("v", ">", 1)]
+    assert out7.column("n")[0].as_py() == 2
+    # string IN envelope
+    out8 = cat.sql("SELECT count(*) AS n FROM ft WHERE k IN ('a', 'b')")
+    assert seen["ft"] == [("k", ">=", "a"), ("k", "<=", "b")]
+    assert out8.column("n")[0].as_py() == 5
 
 
 def test_catalog_sql_aggregate_pushdown(ray_session, tmp_path):
