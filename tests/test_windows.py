@@ -270,6 +270,56 @@ def test_sessionize_hot_key_split_boundary_sessions(ray_session):
     assert plan is not None and 9 in plan.keys and plan.n_parts(plan.keys.index(9)) >= 2
 
 
+def test_hot_split_multiple_hot_keys(ray_session):
+    """Three simultaneous hot keys: part-id blocks are disjoint and
+    dense, and running_total + lag_lead match the hash path across all
+    of them (catches offset-allocation bugs _HotPlan.add could hide
+    with a single key)."""
+    import ray.data
+
+    rng = np.random.default_rng(17)
+    sizes = {101: 6000, 202: 5000, 303: 4000}
+    u = np.concatenate([np.full(n, k) for k, n in sizes.items()])
+    ts = np.concatenate([rng.permutation(n) for n in sizes.values()])
+    v = rng.normal(size=u.size)
+    t = pa.table(
+        {
+            "u": pa.array(u, pa.int64()),
+            "ts": pa.array(ts.astype(np.int64)),
+            "v": pa.array(v),
+            "id": pa.array(np.arange(u.size), pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(6)
+    plan = w._plan_hot_split(ds, "u", "ts", "v", 4, 30_000)
+    assert plan is not None and len(plan.keys) == 3
+    spans = [
+        range(4 + plan.offsets[i], 4 + plan.offsets[i] + plan.n_parts(i))
+        for i in range(3)
+    ]
+    flat = [p for s in spans for p in s]
+    assert len(flat) == len(set(flat))  # disjoint
+    assert flat == list(range(4, 4 + len(flat)))  # dense block layout
+    hot = rel.collect(
+        w.running_total(ds, "u", "ts", "v", tiebreak="id",
+                        hot_keys="auto", hot_bytes=30_000)
+    ).sort_by("id")
+    ref = rel.collect(
+        w.running_total(ds, "u", "ts", "v", tiebreak="id")
+    ).sort_by("id")
+    assert np.allclose(
+        hot.column("running").to_numpy(), ref.column("running").to_numpy(),
+        rtol=1e-9, atol=1e-9,
+    )
+    hot2 = rel.collect(
+        w.lag_lead(ds, "u", "ts", "v", n=1, tiebreak="id",
+                   hot_keys="auto", hot_bytes=30_000)
+    ).sort_by("id")
+    ref2 = rel.collect(w.lag_lead(ds, "u", "ts", "v", n=1, tiebreak="id")).sort_by("id")
+    for c in ("lag", "lead"):
+        assert hot2.column(c).to_pylist() == ref2.column(c).to_pylist(), c
+
+
 def test_running_total_hot_split_no_hot_keys(ray_session):
     """auto mode with nothing hot returns the plain path (plan None)."""
     import ray.data
