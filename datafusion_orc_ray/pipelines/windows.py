@@ -660,10 +660,8 @@ def _hot_boundary_rows(
     previous-tail and next-head sides."""
     order = [(ts_col, "ascending")] + ([(tiebreak, "ascending")] if tiebreak else [])
     cols = [ts_col] + ([tiebreak] if tiebreak else []) + carry_cols
-    key_type = None
 
     def partial(batch: pa.Table) -> pa.Table:
-        nonlocal key_type
         sel = pc.is_in(
             batch.column(key_col),
             value_set=pa.array(plan.keys, batch.schema.field(key_col).type),
