@@ -320,6 +320,62 @@ def test_hot_split_multiple_hot_keys(ray_session):
         assert hot2.column(c).to_pylist() == ref2.column(c).to_pylist(), c
 
 
+def test_hot_split_randomized_equivalence(ray_session):
+    """Randomized adversarial sweep: for several seeded shapes (tie
+    density, null-ts/null-value fractions, bin-unfriendly clustered ts,
+    partition counts), every hot-split op must match its hash-path twin
+    — exactly for lag/lead, to 1e-9 for float accumulations."""
+    import ray.data
+
+    for seed in (3, 11, 29):
+        rng = np.random.default_rng(seed)
+        n = int(rng.integers(3000, 7000))
+        u = np.where(rng.random(n) < 0.8, 55, rng.integers(0, 20, n))
+        # clustered ts: heavy duplication + occasional bursts
+        ts = np.sort(rng.integers(0, n // int(rng.integers(2, 9)), n))[
+            rng.permutation(n)
+        ]
+        v = rng.normal(size=n)
+        null_v = rng.random(n) < float(rng.uniform(0, 0.15))
+        null_ts = rng.random(n) < float(rng.uniform(0, 0.05))
+        t = pa.table(
+            {
+                "u": pa.array(u, pa.int64()),
+                "ts": pa.array(ts.astype(np.int64), mask=null_ts),
+                "v": pa.array(v, mask=null_v),
+                "id": pa.array(np.arange(n), pa.int64()),
+            }
+        )
+        ds = ray.data.from_arrow(t).repartition(int(rng.integers(2, 9)))
+        kw = dict(hot_keys="auto", hot_bytes=25_000)
+        a = rel.collect(
+            w.running_total(ds, "u", "ts", "v", tiebreak="id", **kw)
+        ).sort_by("id").column("running").to_numpy(zero_copy_only=False)
+        b = rel.collect(
+            w.running_total(ds, "u", "ts", "v", tiebreak="id")
+        ).sort_by("id").column("running").to_numpy(zero_copy_only=False)
+        assert np.array_equal(np.isnan(a), np.isnan(b)), seed
+        assert np.allclose(a[~np.isnan(a)], b[~np.isnan(b)], rtol=1e-9, atol=1e-9), seed
+        ll_a = rel.collect(
+            w.lag_lead(ds, "u", "ts", "v", n=2, tiebreak="id", **kw)
+        ).sort_by("id")
+        ll_b = rel.collect(
+            w.lag_lead(ds, "u", "ts", "v", n=2, tiebreak="id")
+        ).sort_by("id")
+        for c in ("lag", "lead"):
+            assert ll_a.column(c).to_pylist() == ll_b.column(c).to_pylist(), (seed, c)
+        ma_a = rel.collect(
+            w.moving_avg(ds, "u", "ts", "v", preceding=4, tiebreak="id", **kw)
+        ).sort_by("id").column("moving_avg").to_numpy(zero_copy_only=False)
+        ma_b = rel.collect(
+            w.moving_avg(ds, "u", "ts", "v", preceding=4, tiebreak="id")
+        ).sort_by("id").column("moving_avg").to_numpy(zero_copy_only=False)
+        assert np.array_equal(np.isnan(ma_a), np.isnan(ma_b)), seed
+        assert np.allclose(
+            ma_a[~np.isnan(ma_a)], ma_b[~np.isnan(ma_b)], rtol=1e-9, atol=1e-12
+        ), seed
+
+
 def test_running_total_hot_split_no_hot_keys(ray_session):
     """auto mode with nothing hot returns the plain path (plan None)."""
     import ray.data
