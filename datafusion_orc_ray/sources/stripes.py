@@ -67,6 +67,9 @@ class Catalog:
     def __init__(self) -> None:
         self._tables: dict[str, str] = {}
         self.last_plan: str | None = None  # 'aggregate_pushdown' | 'stream'
+        # EXPLAIN-lite: per-table pushed projections + predicate
+        # conjuncts of the LAST sql() call (None = full width / nothing)
+        self.last_pushdown: dict | None = None
 
     def register_stripes(self, name: str, out_dir: str) -> None:
         stripes_schema(out_dir)  # validates the directory eagerly
@@ -288,6 +291,12 @@ class Catalog:
         projections = self._resolve_projections(query, referenced)
         schemas = {name: stripes_schema(self._tables[name]) for name in referenced}
         predicates = self._resolve_filter_pushdown(query, referenced, schemas)
+        # observability: what this query actually pushed into each scan
+        # (EXPLAIN-lite; last_plan records which execution path ran)
+        self.last_pushdown = {
+            "projections": dict(projections),
+            "predicates": dict(predicates),
+        }
         plan = None
         if len(referenced) == 1:
             from . import sqlagg

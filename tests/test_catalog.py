@@ -168,6 +168,9 @@ def test_catalog_sql_filter_pushdown(ray_session, tmp_path, monkeypatch):
     out8 = cat.sql("SELECT count(*) AS n FROM ft WHERE k IN ('a', 'b')")
     assert seen["ft"] == [("k", ">=", "a"), ("k", "<=", "b")]
     assert out8.column("n")[0].as_py() == 5
+    # EXPLAIN-lite: the catalog records what it pushed
+    assert cat.last_pushdown["predicates"]["ft"] == [("k", ">=", "a"), ("k", "<=", "b")]
+    assert cat.last_pushdown["projections"]["ft"] == ["k"]
 
 
 def test_catalog_sql_aggregate_pushdown(ray_session, tmp_path):
