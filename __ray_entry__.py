@@ -411,6 +411,26 @@ def _grouped_median_events(sf_dir: str):
     )
 
 
+def _grouped_median_skewed_events(sf_dir: str):
+    """EXACT median for mega-keys without co-location: value-bin counts
+    locate the two middle order statistics, one filtered pass fetches
+    only those bins (relational._hot_exact_quantile) — closes the last
+    'exact quantiles need full co-location' scale limit for hot keys."""
+    import pyarrow.compute as pc
+
+    from datafusion_orc_ray.pipelines import relational as rel
+
+    out = rel.collect(
+        rel.grouped_median(
+            _ds(sf_dir, "events", ["event_type", "value"]), ["event_type"], "value",
+            hot_keys="auto", hot_bytes=1 << 16,
+        )
+    )
+    return pa.table(
+        {"event_type": out.column("event_type"), "med": pc.round(out.column("med"), 4, round_mode="half_towards_infinity")}
+    )
+
+
 def _running_total_events(sf_dir: str):
     """Cumulative window: sum(value) per user ordered by (ts, event_id)
     — co-locate by user hash, vectorized segmented cumsum per bucket."""
@@ -1947,6 +1967,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anti_join_customers": _anti_join_customers,
         "grouped_topk_documents": _grouped_topk_documents,
         "grouped_median_events": _grouped_median_events,
+        "grouped_median_skewed_events": _grouped_median_skewed_events,
         "rank_in_lang_documents": _rank_in_lang_documents,
         "ntile_documents": _ntile_documents,
         "rank_skewed_documents": _rank_skewed_documents,
@@ -2957,6 +2978,10 @@ GROUP BY k.doc_id, k.n_trans
             "FROM documents) WHERE rn <= 3"
         ),
         "grouped_median_events": (
+            "SELECT event_type, round(median(value), 4) AS med FROM events "
+            "GROUP BY event_type"
+        ),
+        "grouped_median_skewed_events": (
             "SELECT event_type, round(median(value), 4) AS med FROM events "
             "GROUP BY event_type"
         ),

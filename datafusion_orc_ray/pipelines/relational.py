@@ -679,21 +679,49 @@ def grouped_quantile(
     q: float = 0.5,
     out_col: str = "qv",
     n_buckets: int | None = None,
+    hot_keys: str | None = None,
+    hot_bytes: int | None = None,
 ) -> ray.data.Dataset:
     """EXACT per-group linear-interpolated quantile (SQL quantile_cont /
     median at q=0.5): one key-hash bucket shuffle co-locates each group,
     then a vectorized per-bucket pass (sort, group boundaries, offset
     picks + interpolation). Exact quantiles need full co-location by key
-    — the inherent cost; nulls are ignored as in SQL."""
-    from ..util import bytes_scaled_buckets
+    — the inherent cost; nulls are ignored as in SQL.
+
+    ``hot_keys="auto"`` (single key): EXACT quantile for mega-keys
+    WITHOUT co-locating them — value-range bin counts (the hot-split
+    bases pass) locate the bin(s) holding the target order statistics,
+    then one filtered pass fetches ONLY those bins' values (~hot_bytes
+    of one column) to interpolate; hot rows never enter the shuffle.
+    The classic histogram-refinement quantile, one refinement level."""
+    from ..util import TARGET_BUCKET_BYTES, bytes_scaled_buckets
 
     if not 0.0 <= q <= 1.0:
         raise ValueError(f"q must be in [0, 1], got {q}")
     if n_buckets is None:
         n_buckets = bytes_scaled_buckets(ds)
+    plan = None
+    if hot_keys == "auto" and len(keys) == 1:
+        from .windows import _plan_hot_split
+
+        plan = _plan_hot_split(
+            ds, keys[0], val_col, val_col, n_buckets,
+            hot_bytes or TARGET_BUCKET_BYTES, with_bases=True,
+        )
+    hot_tbl = None
+    if plan is not None:
+        hot_tbl = _hot_exact_quantile(ds, plan, keys[0], val_col, q, out_col, n_buckets)
 
     def tag(batch: pa.Table) -> pa.Table:
         batch = batch.filter(pc.is_valid(batch.column(val_col)))
+        if plan is not None:
+            # hot keys are answered by the histogram-refinement path —
+            # keep their (giant) row sets out of the hash shuffle
+            sel = pc.is_in(
+                batch.column(keys[0]),
+                value_set=pa.array(plan.keys, batch.schema.field(keys[0]).type),
+            )
+            batch = batch.filter(pc.invert(pc.fill_null(sel, False)))
         h = np.zeros(batch.num_rows, dtype=np.uint64)
         for kcol in keys:
             with np.errstate(over="ignore"):
@@ -729,7 +757,124 @@ def grouped_quantile(
         first = s.select(keys).take(pa.array(starts, pa.int64()))
         return first.append_column(out_col, pa.array(qv, pa.float64()))
 
-    return tagged.groupby("__bucket").map_groups(bucket_quantile, batch_format="pyarrow")
+    out = tagged.groupby("__bucket").map_groups(
+        bucket_quantile, batch_format="pyarrow"
+    )
+    if hot_tbl is not None and hot_tbl.num_rows:
+        out = out.union(ray.data.from_arrow(hot_tbl))
+    return out
+
+
+def _hot_exact_quantile(
+    ds: ray.data.Dataset,
+    plan,
+    key_col: str,
+    val_col: str,
+    q: float,
+    out_col: str,
+    n_buckets: int,
+) -> pa.Table:
+    """Exact interpolated quantile per hot key from its value-bin
+    counts: rank arithmetic on the per-bin NON-NULL counts picks the
+    bin(s) holding order statistics floor((N-1)q) and that +1; one
+    filtered column-pruned pass collects only those bins' values."""
+    targets: dict[int, tuple[int, int]] = {}  # ki -> (lo_rank, hi_rank)
+    need: dict[tuple[int, int], None] = {}  # (ki, bin) to fetch
+    totals: dict[int, int] = {}
+    for i in range(len(plan.keys)):
+        base = n_buckets + plan.offsets[i]
+        nb = plan.n_parts(i)
+        cnts = np.array([plan.valid_counts.get(base + b, 0) for b in range(nb)])
+        n = int(cnts.sum())
+        totals[i] = n
+        if n == 0:
+            continue  # all-null values: no output row (matches cold path)
+        pos = (n - 1) * q
+        lo_rank = int(np.floor(pos))
+        hi_rank = min(lo_rank + 1, n - 1)
+        targets[i] = (lo_rank, hi_rank)
+        cum = np.cumsum(cnts)
+        for r in (lo_rank, hi_rank):
+            need[(i, int(np.searchsorted(cum, r, side="right")))] = None
+    if not targets:
+        return pa.table(
+            {
+                key_col: pa.array([], ds.schema().base_schema.field(key_col).type),
+                out_col: pa.array([], pa.float64()),
+            }
+        )
+    kindex = {k: i for i, k in enumerate(plan.keys)}
+
+    def fetch(batch: pa.Table) -> pa.Table:
+        from .windows import _ts_np
+
+        sel = pc.is_in(
+            batch.column(key_col),
+            value_set=pa.array(plan.keys, batch.schema.field(key_col).type),
+        )
+        sub = batch.filter(pc.fill_null(sel, False))
+        sub = sub.filter(pc.is_valid(sub.column(val_col)))
+        kis, vs = [], []
+        if sub.num_rows:
+            kv = sub.column(key_col).to_numpy(zero_copy_only=False)
+            tsv, tnull = _ts_np(sub.column(val_col))
+            for k, i in kindex.items():
+                pos = np.flatnonzero(kv == k)
+                if not pos.size:
+                    continue
+                bins = plan.bin_of(i, tsv[pos], tnull[pos])
+                keep = np.isin(bins, [b for (ki, b) in need if ki == i])
+                if keep.any():
+                    kis.append(np.full(int(keep.sum()), i, np.int64))
+                    vs.append(tsv[pos[keep]].astype(np.float64))
+        if not kis:
+            return pa.table(
+                {"ki": pa.array([], pa.int64()), "v": pa.array([], pa.float64())}
+            )
+        return pa.table(
+            {
+                "ki": pa.array(np.concatenate(kis)),
+                "v": pa.array(np.concatenate(vs)),
+            }
+        )
+
+    got = collect(
+        ds.select_columns(list(dict.fromkeys([key_col, val_col]))).map_batches(
+            fetch, batch_format="pyarrow"
+        )
+    )
+    gki = got.column("ki").to_numpy(zero_copy_only=False)
+    gv = got.column("v").to_numpy(zero_copy_only=False)
+    out_keys, out_vals = [], []
+    for i, (lo_rank, hi_rank) in targets.items():
+        base = n_buckets + plan.offsets[i]
+        nb = plan.n_parts(i)
+        cnts = np.array([plan.valid_counts.get(base + b, 0) for b in range(nb)])
+        cum = np.concatenate([[0], np.cumsum(cnts)])
+        vals = np.sort(gv[gki == i])
+        fetched_bins = sorted(b for (ki, b) in need if ki == i)
+        # ranks of the fetched values within the GLOBAL key order: the
+        # fetched bins are contiguous-or-not slices whose global offsets
+        # come from the bin count prefix
+        picked = {}
+        off = 0
+        for b in fetched_bins:
+            seg = vals[off : off + int(cnts[b])]
+            for r in (lo_rank, hi_rank):
+                if cum[b] <= r < cum[b + 1]:
+                    picked[r] = float(seg[r - int(cum[b])])
+            off += int(cnts[b])
+        pos = (totals[i] - 1) * q
+        frac = pos - np.floor(pos)
+        out_keys.append(plan.keys[i])
+        out_vals.append(picked[lo_rank] * (1.0 - frac) + picked[hi_rank] * frac)
+    key_type = ds.schema().base_schema.field(key_col).type
+    return pa.table(
+        {
+            key_col: pa.array(out_keys, key_type),
+            out_col: pa.array(out_vals, pa.float64()),
+        }
+    )
 
 
 def grouped_median(
@@ -737,10 +882,15 @@ def grouped_median(
     keys: list[str],
     val_col: str,
     n_buckets: int | None = None,
+    hot_keys: str | None = None,
+    hot_bytes: int | None = None,
 ) -> ray.data.Dataset:
     """EXACT per-group median — grouped_quantile at q=0.5 (identical
     interpolation: even counts average the middle pair)."""
-    return grouped_quantile(ds, keys, val_col, q=0.5, out_col="med", n_buckets=n_buckets)
+    return grouped_quantile(
+        ds, keys, val_col, q=0.5, out_col="med", n_buckets=n_buckets,
+        hot_keys=hot_keys, hot_bytes=hot_bytes,
+    )
 
 
 def histogram(

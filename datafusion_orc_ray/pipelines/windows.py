@@ -447,6 +447,7 @@ class _HotPlan:
         self.offsets: list[int] = []
         self.bases: dict[int, tuple[float, int]] = {}
         self.raw_counts: dict[int, int] = {}
+        self.valid_counts: dict[int, int] = {}  # non-null val rows per bin
 
     def add(self, key, edges: np.ndarray) -> None:
         prev = self.offsets[-1] + self.n_parts(len(self.keys) - 1) if self.keys else 0
@@ -639,6 +640,7 @@ def _plan_hot_split(
             part = n_buckets + plan.offsets[i] + b
             plan.bases[part] = (float(pre_s[b]), int(pre_c[b]))
             plan.raw_counts[part] = int(raws[b])
+            plan.valid_counts[part] = int(cnts[b])
     return plan
 
 

@@ -980,6 +980,40 @@ def test_grouped_rank_hot_key_split(ray_session):
             assert hot.column(c).to_pylist() == ref.column(c).to_pylist(), (desc, c)
 
 
+def test_grouped_quantile_hot_key_histogram_refinement(ray_session):
+    """EXACT quantile for a mega-key WITHOUT co-locating it: value-bin
+    counts locate the target order statistics, one filtered pass
+    fetches only those bins. Matches the co-location path exactly for
+    several q (incl. interpolated even-count medians), with duplicate
+    values, null values, and a second all-null hot key producing no
+    row on either path."""
+    import numpy as np
+    import ray.data
+
+    rng = np.random.default_rng(47)
+    n = 18_000
+    v = rng.integers(0, 500, n).astype(np.float64)  # duplicates across bins
+    null_v = rng.random(n) < 0.03
+    t = pa.table({
+        "k": pa.array(["big"] * n + ["allnull"] * 50 + ["x", "x", "y"]),
+        "v": pa.array(
+            np.concatenate([v, np.zeros(50), [5.0, 3.0, 9.0]]),
+            mask=np.concatenate([null_v, np.ones(50, bool), np.zeros(3, bool)]),
+        ),
+    })
+    ds = ray.data.from_arrow(t).repartition(6)
+    for q in (0.5, 0.9, 0.0, 1.0, 0.123):
+        hot = rel.collect(
+            rel.grouped_quantile(
+                ds, ["k"], "v", q=q, hot_keys="auto", hot_bytes=40_000
+            )
+        ).sort_by("k")
+        ref = rel.collect(rel.grouped_quantile(ds, ["k"], "v", q=q)).sort_by("k")
+        assert hot.column("k").to_pylist() == ref.column("k").to_pylist(), q
+        assert hot.column("qv").to_pylist() == ref.column("qv").to_pylist(), q
+        assert "allnull" not in hot.column("k").to_pylist()
+
+
 def test_embedding_decontam(vectors):
     """Rows cosine-close to the broadcast reference set drop; the refs
     themselves (sim 1.0 with themselves) drop; orthogonal rows keep
