@@ -1475,6 +1475,30 @@ def _asof_partitioned_events(sf_dir: str):
     )
 
 
+def _asof_skewed_events(sf_dir: str):
+    """Large-large ASOF self-join with hot_keys='auto': event_type keys
+    split across ts bins; each bin's right side gains the latest right
+    row from earlier bins as a phantom (windows._hot_boundary_rows),
+    so cross-bin as-of matches stay exact with no mega-key bucket."""
+    import pyarrow.compute as _pc
+
+    from datafusion_orc_ray.pipelines import windows as w
+
+    ev = _ds(sf_dir, "events", ["event_id", "event_type", "ts"])
+    clicks = _ds(sf_dir, "events", ["event_type", "ts", "user_id"]).map_batches(
+        lambda b: b.filter(_pc.equal(_pc.bit_wise_and(b.column("user_id"), 7), 0)),
+        batch_format="pyarrow",
+    )
+    out = w.asof_join_partitioned(
+        ev, clicks, "event_type", "ts", "ts", payload={"mark_ts": "ts"},
+        hot_keys="auto", hot_bytes=1 << 14,
+    )
+    return out.map_batches(
+        lambda b: b.select(["event_id", "event_type", "mark_ts"]),
+        batch_format="pyarrow",
+    )
+
+
 def _entropy_documents(sf_dir: str):
     """Per-doc byte-distribution Shannon entropy (gibberish signal):
     one flat bincount per batch over (doc_index*256 + byte)."""
@@ -2013,6 +2037,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "left_outer_orders": _left_outer_orders,
         "entropy_documents": _entropy_documents,
         "asof_partitioned_events": _asof_partitioned_events,
+        "asof_skewed_events": _asof_skewed_events,
         "daily_rollup_events": _daily_rollup_events,
         "full_outer_users": _full_outer_users,
         "union_nations": _union_nations,
@@ -2755,6 +2780,12 @@ FROM documents d LEFT JOIN cnt c USING (doc_id) WHERE d.doc_id % 37 <> 0
             "FROM events l ASOF LEFT JOIN "
             "(SELECT user_id, ts FROM events WHERE event_type = 'click') r "
             "ON l.user_id = r.user_id AND l.ts >= r.ts"
+        ),
+        "asof_skewed_events": (
+            "SELECT l.event_id, l.event_type, r.ts AS mark_ts "
+            "FROM events l ASOF LEFT JOIN "
+            "(SELECT event_type, ts FROM events WHERE user_id % 8 = 0) r "
+            "ON l.event_type = r.event_type AND l.ts >= r.ts"
         ),
         "entropy_documents": """
 WITH pos AS (

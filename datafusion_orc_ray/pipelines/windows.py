@@ -1150,6 +1150,8 @@ def asof_join_partitioned(
     right_ts: str,
     payload: dict[str, str],
     n_buckets: int | None = None,
+    hot_keys: str | None = None,
+    hot_bytes: int | None = None,
 ) -> ray.data.Dataset:
     """LEFT ASOF join for two LARGE sides (the broadcast variant's
     scale-out sibling): for every left row, the LATEST right row of the
@@ -1164,8 +1166,17 @@ def asof_join_partitioned(
     loop. Guarded: the packing raises loudly if |keys/bucket| x
     time-span overflows int64 (raise n_buckets). Left rows with NULL
     key or ts match nothing (SQL ASOF LEFT JOIN); right rows with NULL
-    key or ts are ignored."""
-    from ..util import bytes_scaled_buckets
+    key or ts are ignored.
+
+    ``hot_keys="auto"``: a mega-key splits across ts-range bins (edges
+    from a thin (key, ts) union of BOTH sides, so left probes and right
+    marks bin identically); each bin's right side gains ONE phantom —
+    the latest right row from any earlier bin (boundary pass, which
+    borrows across empty bins) — making every as-of resolution exact.
+    Phantoms are right-side rows, so no output masking is needed.
+    Detection is row-proportional (the census sees the thin
+    projection), not byte-proportional."""
+    from ..util import TARGET_BUCKET_BYTES, bytes_scaled_buckets
 
     if n_buckets is None:
         n_buckets = bytes_scaled_buckets(left, right)
@@ -1185,8 +1196,66 @@ def asof_join_partitioned(
 
     out_key, out_rts = "__rk", "__rts"
 
+    plan = None
+    right_phantoms: dict[int, pa.Table] = {}
+    part_key: dict[int, object] = {}
+    if hot_keys == "auto":
+
+        def thin_side(ts_name: str):
+            def fn(batch: pa.Table) -> pa.Table:
+                return pa.table(
+                    {
+                        key_col: batch.column(key_col),
+                        "__t": pc.cast(batch.column(ts_name), pa.int64()),
+                    }
+                )
+
+            return fn
+
+        combined = left.map_batches(thin_side(left_ts), batch_format="pyarrow").union(
+            right.map_batches(thin_side(right_ts), batch_format="pyarrow")
+        )
+        plan = _plan_hot_split(
+            combined, key_col, "__t", "__t", n_buckets,
+            hot_bytes or TARGET_BUCKET_BYTES, with_bases=False,
+        )
+    if plan is not None:
+        carry = list(dict.fromkeys([right_ts, *payload.values()]))
+
+        def thin_right(batch: pa.Table) -> pa.Table:
+            batch = batch.select(r_proj)
+            keep = pc.and_(
+                pc.is_valid(batch.column(key_col)), pc.is_valid(batch.column(right_ts))
+            )
+            batch = batch.filter(keep)
+            return batch.append_column(
+                "__t64", pc.cast(batch.column(right_ts), pa.int64())
+            )
+
+        right_phantoms, _ = _hot_boundary_rows(
+            right.map_batches(thin_right, batch_format="pyarrow"),
+            plan, key_col, "__t64", carry, None, 1,
+        )
+        for i, k in enumerate(plan.keys):
+            for b in range(plan.n_parts(i)):
+                part_key[n_buckets + plan.offsets[i] + b] = k
+
+    def _hot_override(batch: pa.Table, b: np.ndarray, ts_name: str) -> np.ndarray:
+        kv = batch.column(key_col).to_numpy(zero_copy_only=False)
+        t64 = pc.cast(batch.column(ts_name), pa.int64())
+        tnull = pc.is_null(t64).to_numpy(zero_copy_only=False)
+        tsv = t64.to_numpy(zero_copy_only=False)
+        for i, k in enumerate(plan.keys):
+            pos = np.flatnonzero(kv == k)
+            if pos.size:
+                bins = plan.bin_of(i, tsv[pos], tnull[pos])
+                b[pos] = n_buckets + plan.offsets[i] + bins
+        return b
+
     def tag_left(batch: pa.Table) -> pa.Table:
         b = (_stable_hash64(batch.column(key_col)) % n_buckets).astype(np.int32)
+        if plan is not None:
+            b = _hot_override(batch, b, left_ts)
         batch = batch.append_column("__bucket", pa.array(b))
         return batch.append_column("__side", pa.array(np.zeros(batch.num_rows, np.int8)))
 
@@ -1197,6 +1266,8 @@ def asof_join_partitioned(
         )
         batch = batch.filter(keep)
         b = (_stable_hash64(batch.column(key_col)) % n_buckets).astype(np.int32)
+        if plan is not None:
+            b = _hot_override(batch, b, right_ts)
         cols = {out_key: batch.column(key_col), out_rts: batch.column(right_ts)}
         for out, src in payload.items():
             cols[out] = batch.column(src)
@@ -1230,7 +1301,28 @@ def asof_join_partitioned(
     def bucket_asof(g: pa.Table) -> pa.Table:
         side = g.column("__side")
         lt = g.filter(pc.equal(side, 0))
-        rt = g.filter(pc.equal(side, 1))
+        rt = g.filter(pc.equal(side, 1)).select([out_key, out_rts, *payload])
+        if plan is not None and g.num_rows:
+            part = g.column("__bucket")[0].as_py()
+            ph = right_phantoms.get(part)
+            if ph is not None and ph.num_rows:
+                # the latest right row from any earlier ts bin joins this
+                # bin's right side (a right row adds no output rows, so
+                # no masking is needed)
+                extra = pa.table(
+                    {
+                        out_key: pa.array(
+                            [part_key[part]] * ph.num_rows,
+                            merged.field(out_key).type,
+                        ),
+                        out_rts: ph.column(right_ts).cast(merged.field(out_rts).type),
+                        **{
+                            o: ph.column(src).cast(merged.field(o).type)
+                            for o, src in payload.items()
+                        },
+                    }
+                )
+                rt = pa.concat_tables([extra, rt])
         lt = lt.select(l_cols)
         if lt.num_rows == 0:
             cols = {c: pa.array([], merged.field(c).type) for c in l_cols}

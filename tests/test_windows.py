@@ -376,6 +376,53 @@ def test_hot_split_randomized_equivalence(ray_session):
         ), seed
 
 
+def test_asof_partitioned_hot_key_split(ray_session):
+    """Large-large ASOF with a mega-key split across ts bins: exact
+    equality with the single-bucket path, including left rows whose
+    as-of match lives bins back (right rows only in the early ts range,
+    so later bins' phantoms are borrowed across empty bins) and left
+    rows before any right row (NULL payload)."""
+    import ray.data
+
+    rng = np.random.default_rng(53)
+    n = 10_000
+    lts = rng.permutation(n).astype(np.int64)
+    left = pa.table(
+        {
+            "k": pa.array(np.where(np.arange(n) % 50 == 0, 2, 7), pa.int64()),
+            "lts": pa.array(lts),
+            "lid": pa.array(np.arange(n), pa.int64()),
+        }
+    )
+    # right marks exist only in ts [500, 2500): every left row later than
+    # that matches across MANY empty bins via the borrowed phantom
+    rts = np.arange(500, 2500, 7).astype(np.int64)
+    right = pa.table(
+        {
+            "k": pa.array(np.full(rts.size, 7), pa.int64()),
+            "rts": pa.array(rts),
+            "mark": pa.array(rts * 10),
+        }
+    )
+    lds = ray.data.from_arrow(left).repartition(5)
+    rds = ray.data.from_arrow(right).repartition(3)
+    kw = dict(payload={"mark": "mark"})
+    hot = rel.collect(
+        w.asof_join_partitioned(
+            lds, rds, "k", "lts", "rts", **kw, hot_keys="auto", hot_bytes=20_000
+        )
+    ).sort_by("lid")
+    ref = rel.collect(
+        w.asof_join_partitioned(lds, rds, "k", "lts", "rts", **kw)
+    ).sort_by("lid")
+    assert hot.num_rows == ref.num_rows == n
+    assert hot.column("mark").to_pylist() == ref.column("mark").to_pylist()
+    # sanity: early rows null, late rows match the last mark
+    got = dict(zip(hot.column("lts").to_pylist(), hot.column("mark").to_pylist()))
+    assert got[0] is None and got[499] is None
+    assert got[n - 1] == (rts.max()) * 10
+
+
 def test_running_total_hot_split_no_hot_keys(ray_session):
     """auto mode with nothing hot returns the plain path (plan None)."""
     import ray.data
