@@ -1092,8 +1092,12 @@ def grouped_string_agg(
     — sort, segment boundaries, ONE ListArray + ``pc.binary_join`` for
     the whole bucket (no per-group Python). SQL semantics: NULL values
     are skipped; a key whose values are all NULL still appears, with a
-    NULL aggregate. Exact per-key ordering needs full co-location by
-    key — the inherent cost, same as grouped_quantile."""
+    NULL aggregate. This is the ONE grouped op where hot-key splitting
+    cannot help: the OUTPUT itself (one concatenated string per key) is
+    key-sized, so a mega-key's result would not fit a task regardless
+    of how the input is partitioned — if a key can exceed a worker
+    heap, aggregate something bounded instead (counts, samples,
+    fingerprints)."""
     from ..util import bytes_scaled_buckets
 
     if n_buckets is None:
