@@ -521,6 +521,17 @@ def _plan_hot_split(
     total_bytes = int(pc.sum(parts.column("bytes")).as_py() or 0)
     if total_rows == 0:
         return None
+    # the census pass reads ONLY the key column, so its byte totals are
+    # key-column bytes — a key carrying 256 MB of text behind 2 MB of
+    # keys would slip the threshold. Scale shares by the FULL-ROW byte
+    # estimate when source metadata offers one (free for reads); thin
+    # bytes remain the fallback for post-transform inputs (then the
+    # threshold is key-bytes-proportional — pass hot_bytes accordingly).
+    from ..util import estimate_size_bytes
+
+    full = estimate_size_bytes(ds)
+    if full is not None and full > total_bytes:
+        total_bytes = int(full)
     agg = parts.group_by("k").aggregate([("n", "sum")])
     cnt = agg.column("n_sum").to_numpy(zero_copy_only=False)
     est_bytes = cnt / total_rows * total_bytes
