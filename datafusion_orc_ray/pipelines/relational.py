@@ -799,7 +799,10 @@ def _hot_exact_quantile(
     if not targets:
         return pa.table(
             {
-                key_col: pa.array([], ds.schema().base_schema.field(key_col).type),
+                key_col: pa.array(
+                    [],
+                    getattr(ds.schema(), "base_schema", ds.schema()).field(key_col).type,
+                ),
                 out_col: pa.array([], pa.float64()),
             }
         )
@@ -868,7 +871,7 @@ def _hot_exact_quantile(
         frac = pos - np.floor(pos)
         out_keys.append(plan.keys[i])
         out_vals.append(picked[lo_rank] * (1.0 - frac) + picked[hi_rank] * frac)
-    key_type = ds.schema().base_schema.field(key_col).type
+    key_type = getattr(ds.schema(), "base_schema", ds.schema()).field(key_col).type
     return pa.table(
         {
             key_col: pa.array(out_keys, key_type),
