@@ -260,6 +260,55 @@ class Catalog:
             out[name] = [conj_t] if out[name] is None else [*out[name], conj_t]
         return out
 
+    def explain(self, query: str) -> str:
+        """Plan summary WITHOUT executing: per referenced table the
+        pushed projection and predicate conjuncts, surviving/total
+        stripes after stats pruning, and whether the distributed
+        aggregate-pushdown path would run. The text mirrors exactly
+        what ``sql()`` will do (same resolution code paths)."""
+        import re
+
+        referenced = [
+            name for name in self._tables if re.search(rf"\b{re.escape(name)}\b", query)
+        ]
+        projections = self._resolve_projections(query, referenced)
+        schemas = {name: stripes_schema(self._tables[name]) for name in referenced}
+        predicates = self._resolve_filter_pushdown(query, referenced, schemas)
+        agg = None
+        if len(referenced) == 1:
+            from . import sqlagg
+
+            agg = sqlagg.plan_aggregate_pushdown(
+                query, referenced[0], schemas[referenced[0]]
+            )
+        lines = [
+            "plan: "
+            + ("distributed aggregate pushdown" if agg is not None else "stream")
+        ]
+        for name in referenced:
+            entries = manifest.load_manifest(self._tables[name])
+            preds = predicates[name]
+            kept = len(entries)
+            if preds:
+                kept = sum(
+                    1
+                    for e in entries
+                    if all(_stats_may_match(e, p) for p in preds)
+                )
+            cols = projections[name]
+            lines.append(
+                f"scan {name}: columns="
+                + ("ALL" if cols is None else f"[{', '.join(cols)}]")
+                + ", predicate="
+                + (
+                    " AND ".join(f"{c} {op} {v!r}" for c, op, v in preds)
+                    if preds
+                    else "none"
+                )
+                + f", stripes={kept}/{len(entries)} after stats pruning"
+            )
+        return "\n".join(lines)
+
     def sql(self, query: str):
         """SQL over registered stripe tables (the reference's headline UX:
         ``register_orc`` -> DataFusion SQL, src/lib.rs:107-169). Tables

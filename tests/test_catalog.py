@@ -171,6 +171,12 @@ def test_catalog_sql_filter_pushdown(ray_session, tmp_path, monkeypatch):
     # EXPLAIN-lite: the catalog records what it pushed
     assert cat.last_pushdown["predicates"]["ft"] == [("k", ">=", "a"), ("k", "<=", "b")]
     assert cat.last_pushdown["projections"]["ft"] == ["k"]
+    # explain() mirrors sql()'s resolution without executing
+    ex = cat.explain("SELECT k, v FROM ft WHERE v >= 4 ORDER BY v")
+    assert "plan: stream" in ex and "scan ft:" in ex
+    assert "v >= 4" in ex and "columns=[k, v]" in ex and "/3 after stats pruning" in ex
+    ex2 = cat.explain("SELECT sum(v) AS s FROM ft")
+    assert "aggregate pushdown" in ex2
 
 
 def test_catalog_sql_aggregate_pushdown(ray_session, tmp_path):
