@@ -36,14 +36,14 @@ class StripeDatasource(Datasource):
 
         preds = _pred_list(predicate)
         for p in preds:
-            if p[1] not in ("<", "<=", ">", ">=", "=="):
+            if p[1] not in ("<", "<=", ">", ">=", "==", "isnull", "notnull"):
                 # fail fast on the driver: an unsupported op would pass
                 # stats pruning as "cannot prune" and then crash every
                 # read task mid-job with a bare KeyError from the
                 # residual filter
                 raise ValueError(
                     f"unsupported predicate op {p[1]!r} "
-                    "(use one of <, <=, >, >=, ==)"
+                    "(use one of <, <=, >, >=, ==, isnull, notnull)"
                 )
         self._out_dir = out_dir
         self._columns = columns

@@ -171,6 +171,11 @@ class Catalog:
 
         none = {name: None for name in referenced}
         q = query
+        # neutralize IS [NOT] NULL before the NOT guard below (its 'not'
+        # would otherwise disable pushdown for the whole query); the
+        # markers are matched as whole conjuncts later
+        q = re.sub(r"(?i)\b((?:\w+\.)?\w+)\s+is\s+not\s+null\b", r"\1 __notnull__", q)
+        q = re.sub(r"(?i)\b((?:\w+\.)?\w+)\s+is\s+null\b", r"\1 __isnull__", q)
         wheres = re.findall(r"(?i)\bwhere\b", q)
         if len(wheres) != 1:
             return none
@@ -213,6 +218,15 @@ class Catalog:
             if cm:
                 cands.append(cm.groups())
                 continue
+            nm = re.match(
+                r"^\s*(?:(\w+)\.)?(\w+)\s+(__isnull__|__notnull__)\s*$", conj
+            )
+            if nm:
+                cands.append(
+                    (nm.group(1), nm.group(2),
+                     "isnull" if nm.group(3) == "__isnull__" else "notnull", None)
+                )
+                continue
             # a TOP-LEVEL literal IN-list pushes as its [min, max]
             # envelope — implied by the membership test, so pruning is
             # sound and DuckDB still applies the exact IN. Anchored to
@@ -248,6 +262,10 @@ class Catalog:
             ctype = schemas[name].field(col).type
             import pyarrow as pa
 
+            if op in ("isnull", "notnull"):  # no literal: any column type
+                conj_t = (col, op, None)
+                out[name] = [conj_t] if out[name] is None else [*out[name], conj_t]
+                continue
             if lit.startswith("'"):
                 if not (pa.types.is_string(ctype) or pa.types.is_large_string(ctype)):
                     continue

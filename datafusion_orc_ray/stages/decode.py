@@ -44,7 +44,12 @@ def make_stripe_decoder(
     def decode_stripes(batch: pa.Table) -> Iterator[pa.Table]:
         import pyarrow.compute as pc
 
-        ops = {"<": pc.less, "<=": pc.less_equal, ">": pc.greater, ">=": pc.greater_equal, "==": pc.equal}
+        ops = {
+            "<": pc.less, "<=": pc.less_equal, ">": pc.greater,
+            ">=": pc.greater_equal, "==": pc.equal,
+            "isnull": lambda c, _v: pc.is_null(c),
+            "notnull": lambda c, _v: pc.is_valid(c),
+        }
         # `batch` is MANIFEST rows (one per stripe/chunk assigned to this
         # task), never data rows — to_pylist here is O(files-per-task)
         # metadata, and each loop iteration is a full file/range read.

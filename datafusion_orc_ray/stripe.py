@@ -990,7 +990,15 @@ def stats_may_match(st: dict, op: str, val) -> bool:
     """False only when stats PROVE no row matches (min/max exact;
     min_bound/max_bound safe outer bounds for truncated strings; temporal
     stats stored as epoch ints — datetime predicate values convert).
-    Any conversion/comparison failure means 'cannot prune'."""
+    Any conversion/comparison failure means 'cannot prune'. ``isnull``
+    / ``notnull`` (val ignored) prune on the null-count stats: a
+    stripe/chunk with zero nulls has no IS NULL match; one that is all
+    nulls has no IS NOT NULL match."""
+    if op == "isnull":
+        return st.get("null_count") != 0  # missing stat (None) -> cannot prune
+    if op == "notnull":
+        nc, n = st.get("null_count"), st.get("n")
+        return not (nc is not None and n is not None and nc >= n)
     mn = st.get("min", st.get("min_bound"))
     mx = st.get("max", st.get("max_bound"))
     unit = st.get("temporal_unit")

@@ -179,6 +179,43 @@ def test_catalog_sql_filter_pushdown(ray_session, tmp_path, monkeypatch):
     assert "aggregate pushdown" in ex2
 
 
+def test_catalog_is_null_pushdown(ray_session, tmp_path, monkeypatch):
+    """IS [NOT] NULL pushes through the NOT guard (marker rewrite) and
+    prunes on null-count stats: an all-null stripe vanishes from IS NOT
+    NULL scans, only it survives IS NULL scans, and results match
+    DuckDB either way."""
+    t = pa.table(
+        {
+            "a": pa.array([1, 2, None, None, 5, 6], pa.int64()),
+            "b": pa.array([10.0, 20.0, 30.0, 40.0, 50.0, 60.0]),
+        }
+    )
+    pq.write_table(t, f"{tmp_path}/t.parquet", row_group_size=2)
+    ep.encode_parquet(f"{tmp_path}/t.parquet", f"{tmp_path}/enc", concurrency=1).take_all()
+    cat = Catalog()
+    cat.register_stripes("nt", f"{tmp_path}/enc")
+    seen = {}
+    orig = Catalog.table
+
+    def spy(self, name, columns=None, predicate=None):
+        seen[name] = predicate
+        return orig(self, name, columns=columns, predicate=predicate)
+
+    monkeypatch.setattr(Catalog, "table", spy)
+    out = cat.sql("SELECT b FROM nt WHERE a IS NOT NULL ORDER BY b")
+    assert seen["nt"] == [("a", "notnull", None)]
+    assert out.column("b").to_pylist() == [10.0, 20.0, 50.0, 60.0]
+    assert "stripes=2/3" in cat.explain("SELECT b FROM nt WHERE a IS NOT NULL")
+    out2 = cat.sql("SELECT sum(b) AS s FROM nt WHERE a IS NULL")
+    assert seen["nt"] == [("a", "isnull", None)]
+    assert out2.column("s")[0].as_py() == 70.0
+    assert "stripes=1/3" in cat.explain("SELECT b FROM nt WHERE a IS NULL")
+    # combines with range conjuncts
+    out3 = cat.sql("SELECT count(*) AS n FROM nt WHERE a IS NOT NULL AND a > 1")
+    assert seen["nt"] == [("a", "notnull", None), ("a", ">", 1)]
+    assert out3.column("n")[0].as_py() == 3
+
+
 def test_catalog_sql_aggregate_pushdown(ray_session, tmp_path):
     """Single-table aggregates run DISTRIBUTED: per-batch partials via
     per-worker DuckDB, driver merges partials only. Every pushed query
