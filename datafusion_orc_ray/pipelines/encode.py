@@ -741,7 +741,7 @@ def _emit_keyed_stripes(
             chunk = body.slice(s, min(cap, stop - s))
             entry = enc.encode_one(chunk, lineage=f"shard={label}:{seq}")
             seq += 1
-            rows.append({k: entry[k] for k in _manifest_names()})
+            rows.append({k: entry.get(k) for k in _manifest_names()})
 
     mixed_start = None
     for i in range(len(bounds) - 1):
@@ -855,7 +855,7 @@ class _CompactWorker:
                         fs.delete_file(fp)
                     except Exception:
                         pass
-            rows.append({k: entry[k] for k in _manifest_names()})
+            rows.append({k: entry.get(k) for k in _manifest_names()})
         return pa.Table.from_pylist(rows, schema=_manifest_schema())
 
 

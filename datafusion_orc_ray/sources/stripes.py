@@ -46,8 +46,13 @@ def stripes_schema(out_dir: str):
     schemas = []
     seen: set[str] = set()
     for e in entries:
-        footer = stripe_mod.read_footer_from_file(e["path"])  # tail read only
-        b64 = footer["schema_b64"]
+        # manifests carry schema_b64 since round 4: metadata-only schema
+        # derivation, no per-stripe footer GET (millions of tail reads
+        # at 100-TB stripe counts). Pre-upgrade entries fall back to the
+        # footer's tail read.
+        b64 = e.get("schema_b64")
+        if b64 is None:
+            b64 = stripe_mod.read_footer_from_file(e["path"])["schema_b64"]
         if b64 not in seen:
             seen.add(b64)
             schemas.append(pa.ipc.read_schema(pa.py_buffer(base64.b64decode(b64))))

@@ -38,6 +38,12 @@ def manifest_row_schema() -> pa.Schema:
             ("encoded_bytes", pa.int64()),
             ("lineage", pa.string()),
             ("columns_json", pa.string()),
+            # serialized Arrow schema: schema derivation from manifests
+            # alone (stripes_schema) — no per-stripe footer GETs, which
+            # at 100 TB / 32 MB stripes would be millions of tail reads
+            # on the driver. Old manifests without it fall back to
+            # footer reads.
+            ("schema_b64", pa.string()),
         ]
     )
 
@@ -98,14 +104,17 @@ class StripeEncoder:
                 "raw_bytes": batch.nbytes,
                 "lineage": lineage or self.lineage,
                 "columns_json": json.dumps(col_metrics, separators=(",", ":")),
+                "schema_b64": footer["schema_b64"],
                 **(extra_entry or {}),
             },
         )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         entry = self.encode_one(batch)
+        # .get: resume can return a pre-upgrade entry without newer keys
         return pa.Table.from_pylist(
-            [{k: entry[k] for k in manifest_row_schema().names}], schema=manifest_row_schema()
+            [{k: entry.get(k) for k in manifest_row_schema().names}],
+            schema=manifest_row_schema(),
         )
 
 
@@ -161,5 +170,7 @@ class FragmentEncoder(StripeEncoder):
                 lineage = frag_key if len(chunks) == 1 else f"{frag_key}#c{i}"
                 entries[i] = self.encode_one(chunks[i], stripe_id=sid, lineage=lineage)
             for entry in entries:
-                rows.append({k: entry[k] for k in manifest_row_schema().names})
+                # .get: resume can return pre-upgrade entries lacking
+                # newer keys (schema_b64)
+                rows.append({k: entry.get(k) for k in manifest_row_schema().names})
         return pa.Table.from_pylist(rows, schema=manifest_row_schema())

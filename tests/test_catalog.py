@@ -28,6 +28,23 @@ def test_stripes_schema_merge(encoded_dir):
     assert schema.equals(wt.schema)
 
 
+def test_stripes_schema_from_manifest_no_footer_io(encoded_dir, monkeypatch):
+    """Manifests carry schema_b64 (round 4): schema derivation must not
+    read a single footer — at 100-TB stripe counts the old per-stripe
+    tail reads were millions of driver GETs."""
+    import datafusion_orc_ray.sources.stripes as ss
+    from datafusion_orc_ray import stripe as stripe_mod
+
+    out, wt = encoded_dir
+    ss._SCHEMA_CACHE.pop(out, None)
+
+    def boom(path):
+        raise AssertionError(f"footer read for {path} — schema should come from manifests")
+
+    monkeypatch.setattr(stripe_mod, "read_footer_from_file", boom)
+    assert stripes_schema(out).equals(wt.schema)
+
+
 def test_catalog_register_and_read(encoded_dir):
     out, wt = encoded_dir
     cat = Catalog()
