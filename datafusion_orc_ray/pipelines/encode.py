@@ -882,4 +882,8 @@ def compact_stripes(
         batch_size=1,
         concurrency=_default_pool(),
     )
-    return mf.count()
+    n = mf.count()
+    # compaction is the natural maintenance point: consolidate manifest
+    # rows so later metadata calls GET one snapshot + the delta
+    man.write_snapshot(out_dir)
+    return n

@@ -73,17 +73,73 @@ def write_stripe(out_dir: str, stripe_id: str, blob: bytes, entry: dict) -> dict
 
 
 COMPACT_PREFIX = "cmp-"
+SNAPSHOT_NAME = "_snapshot.arrow"  # no .json suffix: invisible to row listings
 
 
-def _replaced_ids(out_dir: str, names: list[str]) -> set[str]:
+def write_snapshot(out_dir: str) -> int:
+    """Consolidate every manifest row into ONE Arrow IPC file so later
+    ``load_manifest`` calls GET only the snapshot plus rows written
+    since (1 + delta GETs instead of one per stripe — at 100-TB stripe
+    counts the per-row GETs are hours of driver metadata IO). Safe by
+    construction: rows are immutable once written (append-only, atomic
+    rename), stale snapshot names are ignored because readers iterate
+    the CURRENT listing, and the replaced-id filter runs after the
+    merge — so a snapshot can only be slow (bigger delta), never wrong.
+    Returns the number of rows snapshotted. Run it from maintenance
+    points (compaction does automatically)."""
+    import pyarrow as pa
+    import pyarrow.ipc
+
+    mdir = dio.join(out_dir, MANIFEST_DIR)
+    names = sorted(f for f in dio.list_dir(mdir) if f.endswith(".json"))
+    blobs = [dio.read_bytes(dio.join(mdir, f)) for f in names]
+    tbl = pa.table(
+        {
+            "name": pa.array(names, pa.string()),
+            "entry_json": pa.array([b.decode() for b in blobs], pa.string()),
+        }
+    )
+    import io as _io
+
+    buf = _io.BytesIO()
+    with pa.ipc.new_file(buf, tbl.schema) as w:
+        w.write_table(tbl)
+    dio.write_bytes_atomic(dio.join(mdir, SNAPSHOT_NAME), buf.getvalue())
+    return len(names)
+
+
+def _read_snapshot(mdir: str) -> dict[str, str]:
+    """{manifest name -> entry json} from the snapshot, {} when absent
+    or unreadable (readers fall back to per-row GETs)."""
+    import pyarrow as pa
+    import pyarrow.ipc
+
+    try:
+        raw = dio.read_bytes(dio.join(mdir, SNAPSHOT_NAME))
+    except (FileNotFoundError, OSError):
+        return {}
+    try:
+        tbl = pa.ipc.open_file(pa.py_buffer(raw)).read_all()
+        return dict(
+            zip(tbl.column("name").to_pylist(), tbl.column("entry_json").to_pylist())
+        )
+    except Exception:
+        return {}  # torn/corrupt snapshot: correctness never depends on it
+
+
+def _replaced_ids(
+    out_dir: str, names: list[str], snap: dict[str, str] | None = None
+) -> set[str]:
     """Stripe ids superseded by compacted stripes: each ``cmp-*``
     manifest lists the member ids it replaces. Reading only those
-    manifests keeps the common path names-only."""
+    manifests keeps the common path names-only; snapshot-covered rows
+    need no GET at all."""
     mdir = dio.join(out_dir, MANIFEST_DIR)
     replaced: set[str] = set()
     for f in names:
         if f.startswith(COMPACT_PREFIX) and f.endswith(".json"):
-            entry = json.loads(dio.read_bytes(dio.join(mdir, f)))
+            raw = (snap or {}).get(f)
+            entry = json.loads(raw if raw is not None else dio.read_bytes(dio.join(mdir, f)))
             replaced.update(entry.get("replaces", []))
     return replaced
 
@@ -107,10 +163,14 @@ def load_manifest(out_dir: str) -> list[dict]:
     surfaces duplicate rows."""
     mdir = dio.join(out_dir, MANIFEST_DIR)
     names = [f for f in dio.list_dir(mdir) if f.endswith(".json")]
-    replaced = _replaced_ids(out_dir, names)
+    snap = _read_snapshot(mdir)
+    replaced = _replaced_ids(out_dir, names, snap)
     entries = []
     for f in names:
         if f[: -len(".json")] in replaced:
             continue
-        entries.append(json.loads(dio.read_bytes(dio.join(mdir, f))))
+        raw = snap.get(f)
+        entries.append(
+            json.loads(raw if raw is not None else dio.read_bytes(dio.join(mdir, f)))
+        )
     return entries

@@ -146,6 +146,56 @@ def test_encode_clustered_single_shuffle(corpus):
     assert got.equals(wt.sort_by("url"))
 
 
+def test_manifest_snapshot_consolidation(ray_session, tmp_path):
+    """write_snapshot consolidates manifest rows into one file;
+    load_manifest then GETs the snapshot plus only post-snapshot rows,
+    returns identical entries, stays correct when rows are ADDED after
+    the snapshot, when compaction tombstones snapshot-covered rows, and
+    when the snapshot is corrupt (silent per-row fallback)."""
+    import pyarrow as pa
+
+    from datafusion_orc_ray import io as dio
+
+    base = str(tmp_path)
+    t = pa.table({"x": pa.array(range(400), pa.int64())})
+    pq.write_table(t, f"{base}/a.parquet", row_group_size=100)
+    out = f"{base}/enc"
+    ep.encode_parquet(f"{base}/a.parquet", out, concurrency=2).take_all()
+    before = sorted(man.load_manifest(out), key=lambda e: e["stripe_id"])
+    assert man.write_snapshot(out) == 4
+    # snapshot-covered reads: identical entries, and no per-row GETs
+    n_gets = 0
+    orig_read = dio.read_bytes
+
+    def counting_read(path, *a, **k):
+        nonlocal n_gets
+        if str(path).endswith(".json"):
+            n_gets += 1
+        return orig_read(path, *a, **k)
+
+    try:
+        dio.read_bytes = counting_read
+        after = sorted(man.load_manifest(out), key=lambda e: e["stripe_id"])
+    finally:
+        dio.read_bytes = orig_read
+    assert after == before and n_gets == 0
+    # rows added AFTER the snapshot surface via the delta path
+    pq.write_table(t.slice(0, 100), f"{base}/b.parquet")
+    ep.encode_parquet(f"{base}/b.parquet", out, concurrency=1).take_all()
+    assert len(man.load_manifest(out)) == 5
+    # compaction replaces snapshot-covered rows: tombstone filter wins
+    # over the (now stale) snapshot, and compaction refreshed it
+    merged = ep.compact_stripes(out, target_bytes=1 << 30, min_members=2)
+    assert merged == 1
+    entries = man.load_manifest(out)
+    assert len(entries) == 1 and entries[0]["stripe_id"].startswith("cmp-")
+    # corrupt snapshot: readers silently fall back to per-row GETs
+    dio.write_bytes_atomic(
+        dio.join(out, man.MANIFEST_DIR, man.SNAPSHOT_NAME), b"garbage"
+    )
+    assert man.load_manifest(out) == entries
+
+
 def test_multi_conjunct_predicate_pushdown(ray_session, tmp_path):
     """A LIST predicate (AND semantics) prunes stripes with every
     conjunct and applies the residual filters; equivalent to chaining
