@@ -69,6 +69,9 @@ def main(argv: list[str] | None = None) -> int:
     va = sub.add_parser("validate", parents=[common])
     va.add_argument("--stripes", required=True)
 
+    sn = sub.add_parser("snapshot", parents=[common])
+    sn.add_argument("--stripes", required=True)
+
     lk = sub.add_parser("lookup", parents=[common])
     lk.add_argument("--stripes", required=True)
     lk.add_argument("--col", required=True)
@@ -113,6 +116,10 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "compact":
         n = ep.compact_stripes(args.stripes, target_bytes=args.target_mb << 20)
         print(json.dumps({"merged_stripes": n}))
+    elif args.cmd == "snapshot":
+        from .state import manifest as man
+
+        print(json.dumps({"snapshotted_rows": man.write_snapshot(args.stripes)}))
     elif args.cmd == "validate":
         import pyarrow.compute as pc
 

@@ -148,11 +148,10 @@ def completed_ids(out_dir: str) -> set[str]:
     """Ids that need no re-encode: present manifests PLUS ids replaced by
     compaction (their files may be gone, but the data lives on in the
     merged stripes — resume must not redo those fragments)."""
-    names = [
-        f for f in dio.list_dir(dio.join(out_dir, MANIFEST_DIR)) if f.endswith(".json")
-    ]
+    mdir = dio.join(out_dir, MANIFEST_DIR)
+    names = [f for f in dio.list_dir(mdir) if f.endswith(".json")]
     ids = {f[: -len(".json")] for f in names}
-    return ids | _replaced_ids(out_dir, names)
+    return ids | _replaced_ids(out_dir, names, _read_snapshot(mdir))
 
 
 def load_manifest(out_dir: str) -> list[dict]:
