@@ -381,6 +381,20 @@ def _est_dataset_bytes(ds: ray.data.Dataset) -> int:
     return max(1, probe.nbytes)
 
 
+# one schema for BOTH the empty- and nonempty-batch returns (ADVICE r4:
+# the empty path typed batch_index int32 while from_pylist inferred
+# int64, so mixed blocks could fail Ray's concat in iter_batches)
+_SPILL_INDEX_SCHEMA = pa.schema(
+    [
+        ("path", pa.string()),
+        ("batch_index", pa.int64()),
+        ("shard", pa.string()),
+        ("rows", pa.int64()),
+        ("bytes", pa.int64()),
+    ]
+)
+
+
 class _ShardSpillWriter:
     """Pass-1 stage of the global clustered encode: a map-side shuffle
     writer. Each input batch (sized ~``batch_bytes``) is sorted by
@@ -417,11 +431,7 @@ class _ShardSpillWriter:
         from .. import io as dio
 
         if batch.num_rows == 0:
-            return pa.table(
-                {"path": pa.array([], pa.string()), "batch_index": pa.array([], pa.int32()),
-                 "shard": pa.array([], pa.string()), "rows": pa.array([], pa.int64()),
-                 "bytes": pa.array([], pa.int64())}
-            )
+            return _SPILL_INDEX_SCHEMA.empty_table()
         ck = batch.column(self.key)
         if isinstance(ck, pa.ChunkedArray):
             ck = ck.combine_chunks()
@@ -463,7 +473,7 @@ class _ShardSpillWriter:
                              "bytes": int(run.nbytes // max(1, n_batches))}
                         )
                     bi += n_batches
-        return pa.Table.from_pylist(rows)
+        return pa.Table.from_pylist(rows, schema=_SPILL_INDEX_SCHEMA)
 
 
 class _SpillTaskEncoder:

@@ -371,15 +371,36 @@ def hash_join(
         right_count = right.count()
     except Exception:
         right_count = None
-    try:
-        right_bytes = right.size_bytes()
-    except Exception:
-        right_bytes = None
+    # metadata-only byte estimate (ADVICE r4: Dataset.size_bytes()
+    # MATERIALIZES the whole right pipeline when metadata is missing —
+    # a full extra execution just to pick the join path). A known-big
+    # estimate routes to the bucket path without executing; an unknown
+    # (post-transform) estimate defers the byte gate to the collected
+    # table's exact nbytes below, so wide rows still can't slip a
+    # 500k-row multi-gigabyte table into every task.
+    from ..util import estimate_size_bytes as _est_bytes
+
+    right_bytes = _est_bytes(right)
     small_right = (
         right_count is not None
         and right_count <= broadcast_rows
         and (right_bytes is None or right_bytes <= broadcast_bytes)
     )
+    right_tbl: pa.Table | None = None
+    if small_right and not full_outer:
+        right_tbl = collect(right)
+        if right_tbl.nbytes > broadcast_bytes:
+            # exact check failed: bucket path, reusing the collected
+            # table instead of re-executing the right pipeline
+            small_right = False
+            right_bytes = right_tbl.nbytes
+            right = ray.data.from_arrow(
+                [
+                    right_tbl.slice(o, 65536)
+                    for o in range(0, max(right_tbl.num_rows, 1), 65536)
+                ]
+            )
+            right_tbl = None
     _log_join_decision(
         "broadcast" if small_right and not full_outer else "bucket",
         right_count,
@@ -388,7 +409,6 @@ def hash_join(
     # full outer cannot broadcast: every batch-local join would re-emit
     # the right side's unmatched rows once per batch
     if small_right and not full_outer:
-        right_tbl = collect(right)
         rt_ref = ray.put(right_tbl)
 
         def join_broadcast(batch: pa.Table) -> pa.Table:

@@ -113,16 +113,23 @@ def _session_offsets(
 
     def summarize(group: pa.Table) -> pa.Table:
         part = int(group.column("__part")[0].as_py())
-        us = np.sort(
-            group.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
-        )  # np.sort puts NaN last, matching Arrow's nulls-at-end
-        k = 1 + int((np.diff(us) > gap_us).sum())
+        # first/last stay EXACT int64 (ADVICE r4: float64 rounds >2^53
+        # ns timestamps by ~hundreds of ns, which can flip the cross-bin
+        # merge decision when a boundary gap lies within ~1µs of
+        # gap_us). Null ts rows glue to the previous session (NaN-safe
+        # cold-path comparisons), so sessions are counted among the
+        # NON-null values; an all-null bin is one session and carries
+        # has_ts=False instead of NaN — the stitch always merges it.
+        iv = pc.drop_null(group.column(ts_col).cast(pa.int64()))
+        us = np.sort(iv.to_numpy(zero_copy_only=False).astype(np.int64))
+        k = 1 + int((np.diff(us) > gap_us).sum()) if us.size else 1
         return pa.table(
             {
                 "part": pa.array([part], pa.int64()),
                 "k": pa.array([k], pa.int64()),
-                "first": pa.array([float(us[0])], pa.float64()),
-                "last": pa.array([float(us[-1])], pa.float64()),
+                "first": pa.array([int(us[0]) if us.size else 0], pa.int64()),
+                "last": pa.array([int(us[-1]) if us.size else 0], pa.int64()),
+                "has_ts": pa.array([bool(us.size)], pa.bool_()),
             }
         )
 
@@ -136,16 +143,23 @@ def _session_offsets(
     ks = summ.column("k").to_numpy(zero_copy_only=False)
     firsts = summ.column("first").to_numpy(zero_copy_only=False)
     lasts = summ.column("last").to_numpy(zero_copy_only=False)
+    has = summ.column("has_ts").to_numpy(zero_copy_only=False)
     for i in range(len(plan.keys)):
         lo = plan.n_buckets + plan.offsets[i]
         hi = lo + plan.n_parts(i)
-        base, prev_k, prev_last = 0, None, None
+        base, prev_k, prev_last, prev_has = 0, None, None, True
         for j in np.flatnonzero((parts >= lo) & (parts < hi)):
             if prev_k is not None:
-                merged = not (firsts[j] - prev_last > gap_us)  # NaN -> merge
+                # a missing boundary ts on EITHER side means the cold
+                # path's gap comparison is False -> no new session: merge
+                merged = (
+                    not prev_has
+                    or not has[j]
+                    or not (int(firsts[j]) - int(prev_last) > gap_us)
+                )
                 base += prev_k - (1 if merged else 0)
             offsets[int(parts[j])] = base
-            prev_k, prev_last = int(ks[j]), lasts[j]
+            prev_k, prev_last, prev_has = int(ks[j]), lasts[j], bool(has[j])
     return offsets
 
 
@@ -495,6 +509,15 @@ def _plan_hot_split(
     * bases: per (hot key, bin) exact sum/valid-count of ``val`` — a
       COMMUTATIVE aggregate, so it needs no co-location; the driver
       prefixes bins into carry-over bases keyed by final part id.
+
+    DETERMINISM REQUIREMENT (ADVICE r4): every pre-pass and the main
+    pass re-execute the upstream pipeline independently, so ``ds`` must
+    re-execute deterministically (sources, maps, filters are; random
+    sampling or wall-clock-dependent transforms are NOT). A
+    nondeterministic upstream makes carry-over bases / fetched bins
+    disagree with the tagged rows — wrong results or a KeyError, not
+    just extra cost. Materialize such an input first
+    (``ds.materialize()``) before passing ``hot_keys="auto"``.
     """
 
     def census(batch: pa.Table) -> pa.Table:

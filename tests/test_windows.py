@@ -476,3 +476,37 @@ def test_range_join_broadcast(ray_session):
     bad = tiers.set_column(1, "lo", pa.array([0.0, 5.0, 30.0]))  # overlap
     with pytest.raises(ValueError, match="non-overlapping"):
         w.range_join_broadcast(ray.data.from_arrow(left), bad, "v", "lo", "hi")
+
+
+def test_sessionize_hot_split_int64_ns_exact(ray_session):
+    """ADVICE r4: the hot-split stitch once carried bin boundary ts as
+    float64, rounding >2^53 int64 order values by ~256 units — enough to
+    flip a cross-bin merge decision when a boundary gap sits within one
+    rounding step of gap_us. Order values near 2^60 with gaps of exactly
+    gap_us-1 / gap_us / gap_us+1 make any float rounding observable: the
+    hot-split result must equal the cold single-pass result exactly."""
+    import ray.data
+
+    rng = np.random.default_rng(5)
+    n = 6_000
+    gap_us = 1_000
+    gaps = rng.choice([gap_us - 1, gap_us, gap_us + 1], n)
+    ts = (1 << 60) + np.cumsum(gaps.astype(np.int64))
+    t = pa.table(
+        {
+            "user_id": pa.array(np.full(n, 7), pa.int64()),
+            "ts": pa.array(ts, pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(5)
+    hot = rel.collect(
+        w.sessionize(ds, gap_us=gap_us, hot_keys="auto", hot_bytes=15_000)
+    ).sort_by([("user_id", "ascending"), ("sid", "ascending")])
+    ref = rel.collect(w.sessionize(ds, gap_us=gap_us)).sort_by(
+        [("user_id", "ascending"), ("sid", "ascending")]
+    )
+    assert hot.num_rows == ref.num_rows
+    for c in ("user_id", "sid", "n_events", "session_start"):
+        assert hot.column(c).to_pylist() == ref.column(c).to_pylist(), c
+    plan = w._plan_hot_split(ds, "user_id", "ts", "ts", 4, 15_000, with_bases=False)
+    assert plan is not None and plan.n_parts(0) >= 2
