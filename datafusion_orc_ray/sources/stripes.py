@@ -160,9 +160,11 @@ class Catalog:
         deliberately conservative — all of the following must hold, else
         nothing is pushed for anything:
         * exactly one WHERE in the whole query (no subquery/HAVING WHEREs)
-        * no OR / NOT / BETWEEN / UNION / EXCEPT / INTERSECT and no outer
-          joins (a pushed filter under a LEFT JOIN's null-supplied side
-          changes results)
+        * no NOT / UNION / EXCEPT / INTERSECT and no outer joins (a
+          pushed filter under a LEFT JOIN's null-supplied side changes
+          results); OR is supported as ("or", [conj_list, ...]) groups —
+          a stripe is pruned only when NO disjunct may match — and a
+          BETWEEN rewrites to its range conjuncts
         * each table referenced exactly once
         * a conjunct is pushed only when its column belongs to exactly
           ONE referenced table, and the literal's kind matches the column
@@ -191,7 +193,7 @@ class Catalog:
         if len(re.findall(r"(?i)\bselect\b", q)) != 1:
             return none
         if re.search(
-            r"(?i)\b(or|not|union|except|intersect|left|right|full|outer)\b", q
+            r"(?i)\b(not|union|except|intersect|left|right|full|outer)\b", q
         ):
             return none
         # rewrite simple literal BETWEENs to range conjuncts BEFORE the
@@ -216,71 +218,186 @@ class Catalog:
         )
         if not m:
             return none
-        out = dict(none)
-        cands: list[tuple[str | None, str, str, str]] = []
-        for conj in re.split(r"(?i)\band\b", m.group(1)):
-            cm = re.match(self._PUSHABLE_CONJUNCT, conj)
+
+        # ---- quote- and paren-aware boolean structure over the WHERE
+        # body: top-level OR binds looser than AND (SQL precedence), so
+        # split on OR first; parenthesized groups recurse. An OR is
+        # pushed as ("or", [conj_list, ...]) — the scan prunes a stripe
+        # only when NO disjunct may match, so a disjunct that loses an
+        # unanalyzable conjunct merely WEAKENS (sound), while a disjunct
+        # with no analyzable conjunct at all kills the whole group.
+        def _split0(s: str, word: str) -> list[str]:
+            parts, depth, i, last = [], 0, 0, 0
+            low, wl, n = s.lower(), len(word), len(s)
+            while i < n:
+                ch = s[i]
+                if ch == "'":
+                    i += 1
+                    while i < n and s[i] != "'":
+                        i += 1
+                elif ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                elif (
+                    depth == 0
+                    and low.startswith(word, i)
+                    and (i == 0 or not (low[i - 1].isalnum() or low[i - 1] == "_"))
+                    and (
+                        i + wl >= n
+                        or not (low[i + wl].isalnum() or low[i + wl] == "_")
+                    )
+                ):
+                    parts.append(s[last:i])
+                    last = i + wl
+                    i = last
+                    continue
+                i += 1
+            parts.append(s[last:])
+            return parts
+
+        def _strip(s: str) -> str:
+            s = s.strip()
+            while s.startswith("(") and s.endswith(")"):
+                depth, i, n, close = 0, 0, len(s), -1
+                while i < n:
+                    ch = s[i]
+                    if ch == "'":
+                        i += 1
+                        while i < n and s[i] != "'":
+                            i += 1
+                    elif ch == "(":
+                        depth += 1
+                    elif ch == ")":
+                        depth -= 1
+                        if depth == 0:
+                            close = i
+                            break
+                    i += 1
+                if close != n - 1:
+                    break
+                s = s[1:-1].strip()
+            return s
+
+        def parse_atoms(s: str) -> list | None:
+            """One comparison / IS-NULL marker / literal IN atom -> raw
+            (qual, col, op, lit) candidates (IN yields its [min, max]
+            envelope pair — implied by membership, so pruning is sound
+            and DuckDB still applies the exact IN); None if unparsable."""
+            cm = re.match(self._PUSHABLE_CONJUNCT, s)
             if cm:
-                cands.append(cm.groups())
-                continue
-            nm = re.match(
-                r"^\s*(?:(\w+)\.)?(\w+)\s+(__isnull__|__notnull__)\s*$", conj
-            )
+                return [cm.groups()]
+            nm = re.match(r"^\s*(?:(\w+)\.)?(\w+)\s+(__isnull__|__notnull__)\s*$", s)
             if nm:
-                cands.append(
+                return [
                     (nm.group(1), nm.group(2),
                      "isnull" if nm.group(3) == "__isnull__" else "notnull", None)
-                )
-                continue
-            # a TOP-LEVEL literal IN-list pushes as its [min, max]
-            # envelope — implied by the membership test, so pruning is
-            # sound and DuckDB still applies the exact IN. Anchored to
-            # the whole conjunct, so function-wrapped INs never match.
+                ]
             im = re.match(
                 rf"^\s*(?:(\w+)\.)?(\w+)\s+in\s*\(\s*({_lit}(?:\s*,\s*{_lit})*)\s*\)\s*$",
-                conj,
+                s,
                 re.IGNORECASE,
             )
             if not im:
-                continue
+                return None
             qual_i, col_i, items = im.groups()
-            lits = [s.strip() for s in re.findall(_lit, items)]
-            if all(s.startswith("'") for s in lits):
-                svals = sorted(s[1:-1] for s in lits)
+            lits = [x.strip() for x in re.findall(_lit, items)]
+            if all(x.startswith("'") for x in lits):
+                svals = sorted(x[1:-1] for x in lits)
                 lo, hi = f"'{svals[0]}'", f"'{svals[-1]}'"
-            elif any(s.startswith("'") for s in lits):
-                continue  # mixed kinds: give up on this conjunct
+            elif any(x.startswith("'") for x in lits):
+                return None  # mixed kinds: give up on this atom
             else:
                 # keep the ORIGINAL literal text (it already matches the
                 # lit grammar; repr() could produce 1e+20-style forms)
-                pairs = sorted((float(s), s) for s in lits)
+                pairs = sorted((float(x), x) for x in lits)
                 lo, hi = pairs[0][1], pairs[-1][1]
-            cands.append((qual_i, col_i, ">=", lo))
-            cands.append((qual_i, col_i, "<=", hi))
-        for qual, col, op, lit in cands:
+            return [(qual_i, col_i, ">=", lo), (qual_i, col_i, "<=", hi)]
+
+        def parse_bool(s: str, depth: int):
+            """-> list of items (AND semantics): raw cand 4-tuples and
+            ("or", [[cand, ...], ...]) groups; None = unanalyzable."""
+            if depth > 8:
+                return None
+            s = _strip(s)
+            ors = _split0(s, "or")
+            if len(ors) > 1:
+                djs = []
+                for d in ors:
+                    sub = parse_bool(d, depth + 1)
+                    if sub is None or not sub:
+                        return None  # unconstrained disjunct: group dead
+                    if any(isinstance(it, tuple) and len(it) == 2 for it in sub):
+                        return None  # nested or-group: stay conservative
+                    djs.append(sub)
+                return [("or", djs)]
+            ands = _split0(s, "and")
+            if len(ands) > 1:
+                items = []
+                for a in ands:
+                    sub = parse_bool(a, depth + 1)
+                    if sub is None:
+                        continue  # dropping an AND element is sound
+                    items.extend(sub)
+                return items
+            return parse_atoms(s)
+
+        items = parse_bool(m.group(1), 0)
+        if not items:
+            return none
+        out = dict(none)
+        import pyarrow as pa
+
+        def typed(cand):
+            """Raw cand -> (table, (col, op, val)) or None when the
+            column doesn't bind to exactly one table / literal kind
+            mismatches the column type."""
+            qual, col, op, lit = cand
             owners = [n for n in referenced if col in schemas[n].names]
             if len(owners) != 1:
-                continue
+                return None
             name = owners[0]
             if qual is not None and qual != name:
-                continue  # alias-qualified: can't verify the alias binding
+                return None  # alias-qualified: can't verify the binding
             ctype = schemas[name].field(col).type
-            import pyarrow as pa
-
             if op in ("isnull", "notnull"):  # no literal: any column type
-                conj_t = (col, op, None)
-                out[name] = [conj_t] if out[name] is None else [*out[name], conj_t]
-                continue
+                return name, (col, op, None)
             if lit.startswith("'"):
                 if not (pa.types.is_string(ctype) or pa.types.is_large_string(ctype)):
-                    continue
-                val: object = lit[1:-1]
+                    return None
+                return name, (col, "==" if op in ("=", "==") else op, lit[1:-1])
+            if not (pa.types.is_integer(ctype) or pa.types.is_floating(ctype)):
+                return None
+            val = float(lit) if "." in lit else int(lit)
+            return name, (col, "==" if op in ("=", "==") else op, val)
+
+        def add(name: str, elem) -> None:
+            out[name] = [elem] if out[name] is None else [*out[name], elem]
+
+        for item in items:
+            if isinstance(item, tuple) and len(item) == 2 and item[0] == "or":
+                # an or-group pushes only when every disjunct keeps at
+                # least one typed conjunct and ALL bind the same table
+                tables: set[str] = set()
+                typed_djs, ok = [], True
+                for d in item[1]:
+                    td = []
+                    for cand in d:
+                        tc = typed(cand)
+                        if tc is None:
+                            continue  # weaken this disjunct: sound
+                        tables.add(tc[0])
+                        td.append(tc[1])
+                    if not td:
+                        ok = False
+                        break
+                    typed_djs.append(td)
+                if ok and len(tables) == 1:
+                    add(tables.pop(), ("or", typed_djs))
             else:
-                if not (pa.types.is_integer(ctype) or pa.types.is_floating(ctype)):
-                    continue
-                val = float(lit) if "." in lit else int(lit)
-            conj_t = (col, "==" if op in ("=", "==") else op, val)
-            out[name] = [conj_t] if out[name] is None else [*out[name], conj_t]
+                tc = typed(item)
+                if tc is not None:
+                    add(tc[0], tc[1])
         return out
 
     def explain(self, query: str) -> str:
@@ -323,11 +440,7 @@ class Catalog:
                 f"scan {name}: columns="
                 + ("ALL" if cols is None else f"[{', '.join(cols)}]")
                 + ", predicate="
-                + (
-                    " AND ".join(f"{c} {op} {v!r}" for c, op, v in preds)
-                    if preds
-                    else "none"
-                )
+                + (" AND ".join(_pred_str(p) for p in preds) if preds else "none")
                 + f", stripes={kept}/{len(entries)} after stats pruning"
             )
         return "\n".join(lines)
@@ -461,21 +574,43 @@ def read_stripes(
     return ray.data.read_datasource(src, concurrency=concurrency)
 
 
-def _stats_may_match(entry: dict, predicate: tuple[str, str, object]) -> bool:
+def _stats_may_match(entry: dict, predicate) -> bool:
     """False only when the stripe PROVABLY has no matching row. min/max are
     exact; min_bound/max_bound are safe outer bounds for truncated string
     stats (a truncated max is never a plain prefix — see stripe._inc_prefix).
-    Any conversion/comparison failure means 'cannot prune'. The same core
-    (stripe.stats_may_match) also prunes per-ROW-CHUNK inside the decoder."""
+    Any conversion/comparison failure means 'cannot prune'. ``predicate``
+    is one plain conjunct or an ``("or", [conj_list, ...])`` group — the
+    group prunes only when NO disjunct may match (union of per-disjunct
+    may-match). The same core (stripe.stats_may_match) also prunes
+    per-ROW-CHUNK inside the decoder."""
     import json
 
     from .. import stripe as stripe_mod
 
-    col, op, val = predicate
-    for c in json.loads(entry.get("columns_json", "[]")):
-        if c["path"] == col:
-            return stripe_mod.stats_may_match(c.get("stats", {}), op, val)
-    return True  # unknown column/stats -> cannot prune
+    cols = {c["path"]: c for c in json.loads(entry.get("columns_json", "[]"))}
+
+    def conj_ok(col: str, op: str, val) -> bool:
+        c = cols.get(col)
+        if c is None:
+            return True  # unknown column/stats -> cannot prune
+        return stripe_mod.stats_may_match(c.get("stats", {}), op, val)
+
+    return stripe_mod.pred_may_match(predicate, conj_ok)
+
+
+def _pred_str(p) -> str:
+    """Human-readable predicate element for explain()/logs."""
+    if isinstance(p, tuple) and len(p) == 2 and p[0] == "or":
+        return (
+            "("
+            + " OR ".join(
+                "(" + " AND ".join(f"{c} {op} {v!r}" for c, op, v in d) + ")"
+                for d in p[1]
+            )
+            + ")"
+        )
+    c, op, v = p
+    return f"{c} {op} {v!r}"
 
 
 def validate_stripes(out_dir: str, concurrency: int | None = None) -> ray.data.Dataset:

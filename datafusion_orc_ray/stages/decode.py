@@ -32,12 +32,12 @@ def make_stripe_decoder(
     ``predicate`` applies the residual vectorized row filter after stats
     pruning (see sources.stripes); ``unified_schema`` null-fills columns a
     schema-evolved stripe lacks."""
-    from ..stripe import _pred_list
+    from ..stripe import _is_or, _pred_list, pred_flat_conjuncts
 
     preds = _pred_list(predicate)
     read_cols = columns
     if preds and columns is not None:
-        extra = [p[0] for p in preds if p[0] not in columns]
+        extra = [p[0] for p in pred_flat_conjuncts(preds) if p[0] not in columns]
         if extra:
             read_cols = [*columns, *dict.fromkeys(extra)]
 
@@ -72,8 +72,23 @@ def make_stripe_decoder(
                 # full decode: one sequential read (any pyarrow.fs URI)
                 t = stripe.decode_table(dio.read_bytes(path), unified_schema=unified_schema)
             if preds:
-                for col, op, val in preds:  # residual AND filter
-                    t = t.filter(ops[op](t.column(col), val))
+                # residual AND filter; or-groups combine their disjuncts
+                # with SQL (Kleene) OR semantics — null OR true is true —
+                # and Table.filter drops null mask slots, matching SQL
+                # WHERE for the nulls that remain
+                for p in preds:
+                    if _is_or(p):
+                        m = None
+                        for d in p[1]:
+                            dm = None
+                            for col, op, val in d:
+                                c = ops[op](t.column(col), val)
+                                dm = c if dm is None else pc.and_kleene(dm, c)
+                            m = dm if m is None else pc.or_kleene(m, dm)
+                        t = t.filter(m)
+                    else:
+                        col, op, val = p
+                        t = t.filter(ops[op](t.column(col), val))
                 if columns is not None:
                     t = t.select(columns)
             for start in range(0, t.num_rows, rows_per_block):

@@ -1015,14 +1015,51 @@ def stats_may_match(st: dict, op: str, val) -> bool:
         return True
 
 
-def _pred_list(predicate) -> list[tuple[str, str, object]]:
+def _pred_list(predicate) -> list:
     """Normalize a predicate argument: None -> [], a single (col, op,
-    val) tuple -> [tuple], a list of tuples (AND semantics) -> as-is."""
+    val) tuple -> [tuple], a list (AND semantics) -> as-is. Elements are
+    either plain conjuncts ``(col, op, val)`` or a DISJUNCTION group
+    ``("or", [conj_list, ...])`` whose disjuncts are each a list of
+    plain conjuncts — i.e. the list is an AND of atoms and OR-of-AND
+    groups. The reference feeds arbitrary DataFusion filter trees above
+    its scan (src/file_source.rs:95-102); the "or" group is the shape
+    that lets our stats pruning act on the common disjunctive filters
+    (a = 1 OR a = 5) instead of scanning unpruned."""
     if predicate is None:
         return []
     if isinstance(predicate, tuple):
         return [predicate]
     return list(predicate)
+
+
+def _is_or(p) -> bool:
+    """True for an ``("or", [conj_list, ...])`` predicate element (2-tuple
+    marker; plain conjuncts are 3-tuples, so the shapes never collide)."""
+    return isinstance(p, tuple) and len(p) == 2 and p[0] == "or"
+
+
+def pred_flat_conjuncts(preds) -> list[tuple[str, str, object]]:
+    """Every plain conjunct reachable in a predicate list, including
+    those inside or-groups (for column collection / op validation)."""
+    out = []
+    for p in _pred_list(preds):
+        if _is_or(p):
+            for d in p[1]:
+                out.extend(d)
+        else:
+            out.append(p)
+    return out
+
+
+def pred_may_match(pred, conj_may_match) -> bool:
+    """Evaluate one predicate element against a stats oracle:
+    ``conj_may_match(col, op, val)`` returns False only when stats PROVE
+    no row matches that conjunct. An or-group may match unless EVERY
+    disjunct is proven empty (a disjunct is empty when any of its
+    conjuncts is)."""
+    if _is_or(pred):
+        return any(all(conj_may_match(*c) for c in d) for d in pred[1])
+    return conj_may_match(*pred)
 
 
 def _decode_from(
@@ -1054,23 +1091,28 @@ def _decode_from(
             )
 
             def chunk_may_match(ch: dict) -> bool:
-                # AND semantics: any conjunct proving no-match prunes
-                for col, op, val in preds:
-                    for c in ch["columns"]:
-                        if c["path"] == col:
-                            if not stats_may_match(c.get("stats", {}), op, val):
-                                return False
-                            if (
-                                op == "=="
-                                and "bloom" in c
-                                and col in fschema.names
-                                and not bloom.may_contain(
-                                    c["bloom"], val, fschema.field(col).type
-                                )
-                            ):
-                                return False
-                            break  # unknown column -> cannot prune on it
-                return True
+                by_path = {c["path"]: c for c in ch["columns"]}
+
+                def conj_ok(col: str, op: str, val) -> bool:
+                    c = by_path.get(col)
+                    if c is None:
+                        return True  # unknown column -> cannot prune on it
+                    if not stats_may_match(c.get("stats", {}), op, val):
+                        return False
+                    if (
+                        op == "=="
+                        and "bloom" in c
+                        and col in fschema.names
+                        and not bloom.may_contain(
+                            c["bloom"], val, fschema.field(col).type
+                        )
+                    ):
+                        return False
+                    return True
+
+                # AND across elements; an or-group prunes only when
+                # EVERY disjunct is proven empty (pred_may_match)
+                return all(pred_may_match(p, conj_ok) for p in preds)
 
             picked = [ch for ch in picked if chunk_may_match(ch)]
         tabs = [
@@ -1100,24 +1142,27 @@ def _decode_from(
         raise IndexError(f"chunk_range {chunk_range} on a single-chunk stripe")
     schema = pa.ipc.read_schema(pa.py_buffer(base64.b64decode(footer["schema_b64"])))
     by_name = {c["path"]: c for c in footer["columns"]}
-    for col, op, val in preds:
+
+    def _footer_conj_ok(col: str, op: str, val) -> bool:
+        # point lookup: the footer's bloom can prove the value absent
+        # from this whole stripe before ANY column-stream read (footer
+        # already fetched via tail range); other ops cannot prune here
         if op != "==":
-            continue
-        # point lookup: the footer's bloom can prove the value absent from
-        # this whole stripe before ANY column-stream read (footer already
-        # fetched via tail range)
+            return True
         cmeta = by_name.get(col)
-        if (
+        return not (
             cmeta is not None
             and "bloom" in cmeta
             and col in schema.names
             and not bloom.may_contain(cmeta["bloom"], val, schema.field(col).type)
-        ):
-            base = unified_schema if unified_schema is not None else schema
-            wanted = columns if columns is not None else list(base.names)
-            return pa.schema(
-                [base.field(n) if n in base.names else schema.field(n) for n in wanted]
-            ).empty_table()
+        )
+
+    if preds and not all(pred_may_match(p, _footer_conj_ok) for p in preds):
+        base = unified_schema if unified_schema is not None else schema
+        wanted = columns if columns is not None else list(base.names)
+        return pa.schema(
+            [base.field(n) if n in base.names else schema.field(n) for n in wanted]
+        ).empty_table()
     if columns is not None:
         wanted = list(columns)
     elif unified_schema is not None:
