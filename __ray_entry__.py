@@ -1680,6 +1680,49 @@ def _rollup_orders(sf_dir: str):
     )
 
 
+def _cube_orders(sf_dir: str):
+    """GROUP BY CUBE over (status, priority): all 4 grouping sets from
+    ONE distributed leaf pass (VERDICT r4 #7 — completes the SQL
+    grouping shapes next to ROLLUP)."""
+    import pyarrow.compute as _pc
+
+    from datafusion_orc_ray.pipelines import relational as rel
+
+    ds = _ds(sf_dir, "orders", ["o_orderstatus", "o_orderpriority", "o_totalprice"])
+    t = rel.cube_agg(
+        ds,
+        ["o_orderstatus", "o_orderpriority"],
+        {"n": ("count", "o_orderstatus"), "sum_price": ("sum", "o_totalprice")},
+    )
+    return t.set_column(
+        t.schema.get_field_index("sum_price"),
+        "sum_price",
+        _pc.round(t.column("sum_price"), 2, round_mode="half_towards_infinity"),
+    )
+
+
+def _grouping_sets_orders(sf_dir: str):
+    """Explicit GROUPING SETS (the non-chain, non-cube shape): status
+    totals, priority totals, and the grand total — still one corpus
+    pass re-aggregated from the leaf."""
+    import pyarrow.compute as _pc
+
+    from datafusion_orc_ray.pipelines import relational as rel
+
+    ds = _ds(sf_dir, "orders", ["o_orderstatus", "o_orderpriority", "o_totalprice"])
+    t = rel.grouping_sets_agg(
+        ds,
+        ["o_orderstatus", "o_orderpriority"],
+        [["o_orderstatus"], ["o_orderpriority"], []],
+        {"n": ("count", "o_orderstatus"), "sum_price": ("sum", "o_totalprice")},
+    )
+    return t.set_column(
+        t.schema.get_field_index("sum_price"),
+        "sum_price",
+        _pc.round(t.column("sum_price"), 2, round_mode="half_towards_infinity"),
+    )
+
+
 def _pivot_documents(sf_dir: str):
     """Pivot: per-source document counts with one column per language
     (single grouped pass + driver scatter)."""
@@ -2071,6 +2114,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mode_documents": _mode_documents,
         "sample_per_lang_documents": _sample_per_lang,
         "rollup_orders": _rollup_orders,
+        "cube_orders": _cube_orders,
+        "grouping_sets_orders": _grouping_sets_orders,
         "pivot_documents": _pivot_documents,
         "kmeans_embeddings": _kmeans_embeddings,
         "argmax_orders": _argmax_orders,
@@ -2885,6 +2930,16 @@ FROM st
             "SELECT o_orderstatus, o_orderpriority, count(*) AS n, "
             "round(sum(o_totalprice), 2) AS sum_price "
             "FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)"
+        ),
+        "cube_orders": (
+            "SELECT o_orderstatus, o_orderpriority, count(*) AS n, "
+            "round(sum(o_totalprice), 2) AS sum_price "
+            "FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)"
+        ),
+        "grouping_sets_orders": (
+            "SELECT o_orderstatus, o_orderpriority, count(*) AS n, "
+            "round(sum(o_totalprice), 2) AS sum_price FROM orders "
+            "GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())"
         ),
         "pivot_documents": (
             "SELECT source, "

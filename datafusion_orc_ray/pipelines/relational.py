@@ -1334,6 +1334,52 @@ def except_distinct(left, right, left_cols, right_cols) -> ray.data.Dataset:
 # ---- ROLLUP (subtotal levels derived from the leaf aggregate)
 
 
+def grouping_sets_agg(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    sets: list[list[str]],
+    exprs: dict[str, tuple[str, str]],
+    fanin: int = 8,
+) -> pa.Table:
+    """GROUP BY GROUPING SETS: each entry of ``sets`` is a subset of
+    ``keys`` to aggregate at, absent key columns NULL-filled. The corpus
+    is read ONCE — the leaf aggregate over the FULL key list runs
+    through grouped_agg's distributed partial+tree path, and every set
+    re-aggregates the LEAF table (sum/min/max re-aggregate
+    associatively; count re-aggregates as sum), which is
+    key-cardinality-sized driver work. Output rows follow ``sets``
+    order; duplicate sets duplicate their rows, like SQL. Matches SQL on
+    non-null key data; like SQL without GROUPING(), an actual NULL key
+    value is indistinguishable from a subtotal row."""
+    for s in sets:
+        unknown = [k for k in s if k not in keys]
+        if unknown:
+            raise ValueError(f"grouping set {s} has keys not in {keys}: {unknown}")
+    leaf = grouped_agg(ds, keys, exprs)
+    refinal = {"count": "sum", "sum": "sum", "min": "min", "max": "max"}
+    gb = [(out, refinal[agg]) for out, (agg, _) in exprs.items()]
+    levels = []
+    for s in sets:
+        gkeys = [k for k in keys if k in s]  # canonical key order
+        if len(gkeys) == len(keys):
+            lvl = leaf
+        elif gkeys:
+            lvl = pa.TableGroupBy(leaf, gkeys).aggregate(gb)
+            lvl = lvl.rename_columns(gkeys + [out for out, _ in exprs.items()])
+        else:
+            cols = {}
+            for out, (agg, _) in exprs.items():
+                col = leaf.column(out)
+                v = getattr(pc, refinal[agg])(col)
+                cols[out] = pa.array([v.as_py()], type=col.type)
+            lvl = pa.table(cols)
+        for k in keys:
+            if k not in gkeys:
+                lvl = lvl.append_column(k, pa.nulls(lvl.num_rows, leaf.column(k).type))
+        levels.append(lvl.select(leaf.column_names))
+    return pa.concat_tables(levels)
+
+
 def rollup_agg(
     ds: ray.data.Dataset,
     keys: list[str],
@@ -1341,34 +1387,30 @@ def rollup_agg(
     fanin: int = 8,
 ) -> pa.Table:
     """GROUP BY ROLLUP(keys): every prefix level of ``keys`` plus the
-    grand total, subtotal key columns NULL-filled. The corpus is read
-    ONCE — the leaf aggregate runs through grouped_agg's partial+tree
-    path, and every coarser level re-aggregates the LEAF table (sum/min/
-    max re-aggregate associatively; count re-aggregates as sum), which
-    is key-cardinality-sized work on the driver. Matches SQL ROLLUP on
-    non-null key data; like SQL without GROUPING(), an actual NULL key
-    value is indistinguishable from a subtotal row."""
-    leaf = grouped_agg(ds, keys, exprs)
-    refinal = {"count": "sum", "sum": "sum", "min": "min", "max": "max"}
-    levels = [leaf]
-    for depth in range(len(keys) - 1, -1, -1):
-        gkeys = keys[:depth]
-        gb = [(out, refinal[agg]) for out, (agg, _) in exprs.items()]
-        if gkeys:
-            lvl = pa.TableGroupBy(leaf, gkeys).aggregate(gb)
-            lvl = lvl.rename_columns(gkeys + [out for out, _ in exprs.items()])
-        else:
-            cols = {}
-            for out, (agg, _) in exprs.items():
-                col = leaf.column(out)
-                f = refinal[agg]
-                v = getattr(pc, f)(col)
-                cols[out] = pa.array([v.as_py()], type=col.type)
-            lvl = pa.table(cols)
-        for k in keys[depth:]:
-            lvl = lvl.append_column(k, pa.nulls(lvl.num_rows, leaf.column(k).type))
-        levels.append(lvl.select(leaf.column_names))
-    return pa.concat_tables(levels)
+    grand total — the prefix-chain special case of grouping_sets_agg
+    (one corpus pass, coarser levels re-aggregated from the leaf)."""
+    sets = [keys[:d] for d in range(len(keys), -1, -1)]
+    return grouping_sets_agg(ds, keys, sets, exprs, fanin=fanin)
+
+
+def cube_agg(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    exprs: dict[str, tuple[str, str]],
+    fanin: int = 8,
+) -> pa.Table:
+    """GROUP BY CUBE(keys): all 2^|keys| grouping sets from ONE
+    distributed leaf pass (VERDICT r4 #7). Set order matches the
+    conventional CUBE expansion: by decreasing arity, tie-broken by key
+    position, grand total last."""
+    from itertools import combinations
+
+    sets = [
+        list(c)
+        for r in range(len(keys), -1, -1)
+        for c in combinations(keys, r)
+    ]
+    return grouping_sets_agg(ds, keys, sets, exprs, fanin=fanin)
 
 
 # ---- pivot (wide matrix from a grouped aggregate)

@@ -110,3 +110,44 @@ def test_chunk_documents_validation(ray_session):
 
     with _pytest.raises(ValueError):
         tx.chunk_documents(_ds(pa.table({"doc_id": [1], "text": ["x"]})), 4, overlap=4)
+
+
+def test_cube_all_subsets(ray_session):
+    """CUBE = all 2^k grouping sets from one leaf pass; the (b)-only
+    margin exists (which ROLLUP lacks) and totals agree across levels."""
+    tbl = pa.table(
+        {
+            "a": ["x", "x", "y", "y"],
+            "b": ["p", "q", "p", "p"],
+            "v": pa.array([1, 2, 3, 4], pa.int64()),
+        }
+    )
+    out = rel.cube_agg(_ds(tbl), ["a", "b"], {"n": ("count", "a"), "s": ("sum", "v")})
+    rows = {(r["a"], r["b"]): (r["n"], r["s"]) for r in out.to_pylist()}
+    # leaf + a-margin + b-margin + grand total = 3 + 2 + 2 + 1
+    assert len(rows) == 8
+    assert rows[(None, "p")] == (3, 8) and rows[(None, "q")] == (1, 2)
+    assert rows[("x", None)] == (2, 3) and rows[(None, None)] == (4, 10)
+
+
+def test_grouping_sets_explicit_and_validation(ray_session):
+    import pytest
+
+    tbl = pa.table(
+        {
+            "a": ["x", "x", "y"],
+            "b": ["p", "q", "p"],
+            "v": pa.array([1, 2, 3], pa.int64()),
+        }
+    )
+    out = rel.grouping_sets_agg(
+        _ds(tbl), ["a", "b"], [["b"], []], {"s": ("sum", "v")}
+    )
+    rows = {(r["a"], r["b"]): r["s"] for r in out.to_pylist()}
+    # only the requested sets appear: b-margins + grand total, no leaf
+    assert rows == {(None, "p"): 4, (None, "q"): 2, (None, None): 6}
+    # duplicate sets duplicate rows (SQL semantics)
+    dup = rel.grouping_sets_agg(_ds(tbl), ["a"], [[], []], {"s": ("sum", "v")})
+    assert dup.column("s").to_pylist() == [6, 6]
+    with pytest.raises(ValueError, match="not in"):
+        rel.grouping_sets_agg(_ds(tbl), ["a"], [["zz"]], {"s": ("sum", "v")})
