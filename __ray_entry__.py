@@ -1630,6 +1630,19 @@ def _string_agg_events(sf_dir: str):
     )
 
 
+def _string_agg_chunked_events(sf_dir: str):
+    """Chunked string_agg (VERDICT r4 #2 escape hatch): event trails as
+    (user, chunk_idx, trail) rows of <= 50 values, reassembling to the
+    whole-key aggregate — the bounded-output path a mega-user needs."""
+    from datafusion_orc_ray.pipelines import windows as w
+
+    ds = _ds(sf_dir, "events", ["user_id", "ts", "event_type", "event_id"])
+    return w.grouped_string_agg(
+        ds, "user_id", "ts", "event_type", sep=",", tiebreak="event_id",
+        out_col="trail", chunk_values=50,
+    )
+
+
 def _sample_per_lang(sf_dir: str):
     """Deterministic 5-docs-per-language inspection sample (hash-coin
     ranking, same rows at any parallelism)."""
@@ -2121,6 +2134,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "json_extract_events": _json_extract_events,
         "chunk_documents": _chunk_documents,
         "string_agg_events": _string_agg_events,
+        "string_agg_chunked_events": _string_agg_chunked_events,
         "multikey_join_events": _multikey_join_events,
         "nunique_events": _nunique_events,
         "left_outer_orders": _left_outer_orders,
@@ -2857,6 +2871,17 @@ FROM documents d LEFT JOIN cnt c USING (doc_id) WHERE d.doc_id % 37 <> 0
         "string_agg_events": (
             "SELECT user_id, string_agg(event_type, ',' ORDER BY ts, event_id) "
             "AS trail FROM events GROUP BY user_id"
+        ),
+        "string_agg_chunked_events": (
+            "WITH v AS (SELECT user_id, ts, event_id, event_type, "
+            "row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 "
+            "AS rn FROM events WHERE event_type IS NOT NULL) "
+            "SELECT user_id, (rn // 50)::BIGINT AS chunk_idx, "
+            "string_agg(event_type, ',' ORDER BY ts, event_id) AS trail "
+            "FROM v GROUP BY user_id, chunk_idx "
+            "UNION ALL SELECT user_id, 0::BIGINT AS chunk_idx, "
+            "NULL::VARCHAR AS trail FROM events GROUP BY user_id "
+            "HAVING count(event_type) = 0"
         ),
         "nunique_events": (
             "SELECT user_id, count(DISTINCT event_type) AS n_distinct "

@@ -1120,22 +1120,58 @@ def grouped_string_agg(
     tiebreak: str | None = None,
     out_col: str = "vals",
     n_buckets: int | None = None,
+    chunk_values: int | None = None,
+    chunk_col: str = "chunk_idx",
+    hot_keys: str | None = None,
+    hot_bytes: int | None = None,
 ) -> ray.data.Dataset:
     """string_agg(val, sep ORDER BY order [, tiebreak]) GROUP BY key:
     one key-hash co-location shuffle, then a vectorized per-bucket pass
     — sort, segment boundaries, ONE ListArray + ``pc.binary_join`` for
     the whole bucket (no per-group Python). SQL semantics: NULL values
     are skipped; a key whose values are all NULL still appears, with a
-    NULL aggregate. This is the ONE grouped op where hot-key splitting
-    cannot help: the OUTPUT itself (one concatenated string per key) is
+    NULL aggregate.
+
+    Whole-key mode is the ONE grouped op where hot-key splitting cannot
+    help: the OUTPUT itself (one concatenated string per key) is
     key-sized, so a mega-key's result would not fit a task regardless
-    of how the input is partitioned — if a key can exceed a worker
-    heap, aggregate something bounded instead (counts, samples,
-    fingerprints)."""
-    from ..util import bytes_scaled_buckets
+    of input partitioning. The scale escape hatch (VERDICT r4 #2) is
+    CHUNKED emission: ``chunk_values=N`` switches the output to
+    (key, chunk_idx, vals) rows of at most N non-null values each, in
+    order — the full aggregate is ``sep``-join of a key's non-null
+    chunks by ascending chunk_idx (NULL iff every chunk is NULL). With
+    ``hot_keys="auto"`` a mega-key additionally splits across
+    order-range bins (``_plan_hot_split``; chunks never span bins, so
+    no phantom rows are needed) and NO task ever holds the mega-key's
+    full value set OR its full output. chunk_idx is ordered but not
+    dense across bins (bin index rides the high 32 bits); without hot
+    splitting it is dense per key (0, 1, ...). If even one chunk row
+    must not exceed the task budget, keep chunk_values modest — a chunk
+    is at most chunk_values * max_value_len bytes."""
+    from ..util import TARGET_BUCKET_BYTES, bytes_scaled_buckets
 
     if n_buckets is None:
         n_buckets = bytes_scaled_buckets(ds)
+    if hot_keys is not None and chunk_values is None:
+        raise ValueError(
+            "hot_keys requires chunk_values: without chunking, the whole-key "
+            "output is key-sized and splitting the input cannot bound the task"
+        )
+    if chunk_values is not None:
+        if chunk_values < 1:
+            raise ValueError("chunk_values must be >= 1")
+        plan = (
+            _plan_hot_split(
+                ds, key_col, order_col, order_col, n_buckets,
+                hot_bytes or TARGET_BUCKET_BYTES, with_bases=False,
+            )
+            if hot_keys == "auto"
+            else None
+        )
+        return _grouped_string_agg_chunked(
+            ds, key_col, order_col, val_col, sep, tiebreak, out_col,
+            n_buckets, chunk_values, chunk_col, plan,
+        )
 
     def tag(batch: pa.Table) -> pa.Table:
         cols = [key_col, order_col, val_col] + ([tiebreak] if tiebreak else [])
@@ -1177,6 +1213,122 @@ def grouped_string_agg(
 
     return ds.map_batches(tag, batch_format="pyarrow").groupby("__bucket").map_groups(
         bucket_agg, batch_format="pyarrow"
+    )
+
+
+def _grouped_string_agg_chunked(
+    ds: ray.data.Dataset,
+    key_col: str,
+    order_col: str,
+    val_col: str,
+    sep: str,
+    tiebreak: str | None,
+    out_col: str,
+    n_buckets: int,
+    chunk_values: int,
+    chunk_col: str,
+    plan: _HotPlan | None,
+) -> ray.data.Dataset:
+    """Chunked string_agg backend (see grouped_string_agg). Each output
+    row holds <= chunk_values consecutive non-null values of one key;
+    chunk_idx = bin_index * 2^32 + local_chunk so ordering across a hot
+    key's order-range bins follows the global sort order (bin edges are
+    searchsorted(side='right'), so equal order values never split and
+    null order values land in the LAST bin, matching sort nulls-last)."""
+    cols = [key_col, order_col, val_col] + ([tiebreak] if tiebreak else [])
+    cols = list(dict.fromkeys(cols))
+    ds = ds.select_columns(cols)
+    tag = _hot_tag_fn(key_col, order_col, n_buckets, plan)
+    # driver-side (part -> bin index) map: hot parts only, tiny
+    part_bin: dict[int, int] = {}
+    if plan is not None:
+        for i in range(len(plan.keys)):
+            for b in range(plan.n_parts(i)):
+                part_bin[n_buckets + plan.offsets[i] + b] = b
+
+    sort_keys = [(key_col, "ascending"), (order_col, "ascending")] + (
+        [(tiebreak, "ascending")] if tiebreak else []
+    )
+
+    def bucket_chunks(group: pa.Table) -> pa.Table:
+        part = int(group.column("__bucket")[0].as_py())
+        bin_idx = part_bin.get(part, 0)
+        g = group.drop_columns(["__bucket"]).sort_by(sort_keys)
+        key_type = g.column(key_col).type
+        empty = pa.table(
+            {
+                key_col: pa.array([], key_type),
+                chunk_col: pa.array([], pa.int64()),
+                out_col: pa.array([], pa.string()),
+            }
+        )
+        if g.num_rows == 0:
+            return empty
+        keys = g.column(key_col).to_numpy(zero_copy_only=False)
+        all_first = np.concatenate([[True], keys[1:] != keys[:-1]])
+        all_keys = g.column(key_col).take(pa.array(np.flatnonzero(all_first)))
+        seg = np.cumsum(all_first) - 1
+        valid = pc.is_valid(g.column(val_col)).to_numpy(zero_copy_only=False)
+        counts = np.bincount(seg[valid], minlength=len(all_keys))
+        sv = g.filter(pa.array(valid))
+        vals = pc.cast(sv.column(val_col), pa.string())
+        if isinstance(vals, pa.ChunkedArray):
+            vals = vals.combine_chunks()
+        segv = seg[valid]
+        # position of each valid value within its key segment
+        seg_starts = np.cumsum(counts) - counts  # first filtered idx per seg
+        pos = np.arange(len(segv), dtype=np.int64) - seg_starts[segv]
+        chunk_local = pos // chunk_values
+        if len(chunk_local) and int(chunk_local.max()) >= 1 << 32:
+            raise ValueError(
+                "over 2^32 chunks for one key in one bin — raise chunk_values"
+            )
+        if len(segv):
+            cb = np.flatnonzero(
+                np.concatenate(
+                    [
+                        [True],
+                        (segv[1:] != segv[:-1]) | (chunk_local[1:] != chunk_local[:-1]),
+                    ]
+                )
+            )
+            offsets = pa.array(
+                np.append(cb, len(segv)).astype(np.int32), pa.int32()
+            )
+            agg = pc.binary_join(pa.ListArray.from_arrays(offsets, vals), sep)
+            chunk_keys = all_keys.take(pa.array(segv[cb]))
+            chunk_ids = (np.int64(bin_idx) << 32) + chunk_local[cb]
+            parts = [
+                pa.table(
+                    {
+                        key_col: chunk_keys,
+                        chunk_col: pa.array(chunk_ids, pa.int64()),
+                        out_col: agg,
+                    }
+                )
+            ]
+        else:
+            parts = [empty]
+        # SQL: a key whose values are ALL NULL still appears, with a
+        # NULL aggregate — one NULL chunk row per such key in this bin
+        zmask = counts == 0
+        if zmask.any():
+            zk = all_keys.filter(pa.array(zmask))
+            parts.append(
+                pa.table(
+                    {
+                        key_col: zk,
+                        chunk_col: pa.array(
+                            np.full(len(zk), np.int64(bin_idx) << 32), pa.int64()
+                        ),
+                        out_col: pa.nulls(len(zk), pa.string()),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    return ds.map_batches(tag, batch_format="pyarrow").groupby("__bucket").map_groups(
+        bucket_chunks, batch_format="pyarrow"
     )
 
 
