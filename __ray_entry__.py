@@ -1164,6 +1164,37 @@ def _ann_ivf(sf_dir: str):
     )
 
 
+def _ann_ivf_append(sf_dir: str):
+    """IVF incremental append (VERDICT r4 #8) in the exact regime: build
+    the index on even vec_ids, append the odd half WITHOUT rebuilding
+    (frozen centroids; drift logged), probe all cells — the answer must
+    equal brute-force top-k over the FULL table, proving appended
+    vectors are first-class index members."""
+    import pyarrow.compute as pc
+
+    from datafusion_orc_ray.pipelines import similarity as sim
+
+    ds = _ds(sf_dir, "embeddings")
+
+    def half(rem):
+        def f(b):
+            return b.filter(
+                pc.equal(pc.bit_wise_and(b.column("vec_id"), 1), rem)
+            )
+
+        return f
+
+    idx = sim.build_ivf_index(ds.map_batches(half(0), batch_format="pyarrow"), n_cells=16)
+    idx.append(ds.map_batches(half(1), batch_format="pyarrow"))
+    out = idx.query(_query_vec(sf_dir), k=10, n_probe=16)
+    return pa.table(
+        {
+            "vec_id": out.column("vec_id"),
+            "cos_sim": pc.round(out.column("cos_sim"), 4, round_mode="half_towards_infinity"),
+        }
+    )
+
+
 def _near_dup_embeddings(sf_dir: str):
     """Hard oracle: LSH candidates + exact per-pair cosine vs DuckDB's
     exact all-pairs self-join. Identical vectors collide in every hash
@@ -2184,6 +2215,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences_documents": _pack_sequences_documents,
         "jaccard_pairs_documents": _jaccard_pairs,
         "ann_ivf_embeddings": _ann_ivf,
+        "ann_ivf_append_embeddings": _ann_ivf_append,
         "near_dup_embeddings": _near_dup_embeddings,
         "media_features_documents": _media_features,  # decode seam stubbed; plumbing hard-oracled
         "frame_samples_documents": _frame_samples,  # decode seam stubbed; plumbing hard-oracled
@@ -3280,6 +3312,13 @@ GROUP BY k.doc_id, k.n_trans
         ),
         # all-cells IVF probe == exact top-k, so brute-force SQL is a
         # hard oracle for the full index machinery (see _ann_ivf)
+        "ann_ivf_append_embeddings": (
+            "SELECT vec_id, round(list_cosine_similarity(embedding, "
+            "(SELECT embedding FROM embeddings WHERE vec_id = 0)), 4) AS cos_sim "
+            "FROM embeddings "
+            "ORDER BY list_cosine_similarity(embedding, "
+            "(SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC, vec_id LIMIT 10"
+        ),
         "ann_ivf_embeddings": (
             "SELECT vec_id, round(list_cosine_similarity(embedding, "
             "(SELECT embedding FROM embeddings WHERE vec_id = 0)), 4) AS cos_sim "

@@ -161,6 +161,82 @@ class IVFIndex:
         self.centroids = centroids
         self.assigned = assigned
         self.out_dir = out_dir
+        self.drift_log: list[dict] = []
+
+    def append(self, ds: ray.data.Dataset) -> dict:
+        """Incremental append (VERDICT r4 #8): assign new vectors to the
+        EXISTING cells — centroids stay FIXED, so prior assignments and
+        persisted cell-clustered stripes remain valid and nothing is
+        rebuilt. In-memory mode unions the assigned rows; persisted mode
+        encodes them as additional cell-clustered stripes into the same
+        directory (stripe ids are content-addressed, so the append is
+        idempotent, and load_manifest's snapshot+delta listing picks the
+        new rows up on the next probe). Returns — and accumulates in
+        ``drift_log`` / ``ivf_drift.json`` — centroid-drift stats for
+        the appended batch: per-cell counts and mean cosine of new
+        members to their assigned centroid. A falling mean_cos across
+        appends means the data distribution has drifted off the frozen
+        centroids: recall for existing regions is unaffected (cells
+        still partition the space exactly), but new outlier regions
+        cluster poorly — raise n_probe, or rebuild when mean_cos drops
+        materially below the first appends'."""
+        cent = _normalize(self.centroids)
+        cent_ref = ray.put(self.centroids)
+        assigned = ds.map_batches(
+            IVFIndexStage,
+            fn_constructor_kwargs={"centroids_ref": cent_ref},
+            batch_format="pyarrow",
+            concurrency=default_concurrency(),
+        ).materialize()
+
+        def drift_partial(batch: pa.Table) -> pa.Table:
+            m = _normalize(_batch_matrix(batch, "embedding"))
+            cells = batch.column("__cell").to_numpy(zero_copy_only=False)
+            cos = (m * cent[cells]).sum(axis=1)
+            n = np.bincount(cells, minlength=cent.shape[0])
+            s = np.bincount(cells, weights=cos, minlength=cent.shape[0])
+            return pa.table(
+                {
+                    "cell": pa.array(np.arange(cent.shape[0], dtype=np.int32)),
+                    "n": pa.array(n.astype(np.int64)),
+                    "sum_cos": pa.array(s),
+                }
+            )
+
+        part = collect(assigned.map_batches(drift_partial, batch_format="pyarrow"))
+        n = np.zeros(cent.shape[0], np.int64)
+        s = np.zeros(cent.shape[0], np.float64)
+        cells_np = part.column("cell").to_numpy(zero_copy_only=False)
+        np.add.at(n, cells_np, part.column("n").to_numpy(zero_copy_only=False))
+        np.add.at(s, cells_np, part.column("sum_cos").to_numpy(zero_copy_only=False))
+        with np.errstate(invalid="ignore"):
+            per_cell = np.where(n > 0, s / np.maximum(n, 1), np.nan)
+        drift = {
+            "n": int(n.sum()),
+            "mean_cos": float(s.sum() / n.sum()) if n.sum() else float("nan"),
+            "per_cell_n": n.tolist(),
+            "per_cell_mean_cos": [None if not c == c else float(c) for c in per_cell],
+        }
+        self.drift_log.append(drift)
+        if self.assigned is not None:
+            self.assigned = self.assigned.union(assigned).materialize()
+        else:
+            import json as _json
+
+            from .. import io as dio
+            from .encode import encode_clustered
+
+            encode_clustered(
+                assigned, self.out_dir, key="__cell", salt_col="__cell"
+            ).materialize()
+            dpath = dio.join(self.out_dir, "ivf_drift.json")
+            try:
+                log = _json.loads(dio.read_bytes(dpath))
+            except Exception:
+                log = []
+            log.append(drift)
+            dio.write_bytes_atomic(dpath, _json.dumps(log).encode())
+        return drift
 
     def query(self, q: np.ndarray, k: int = 10, n_probe: int = 4, id_col: str = "vec_id") -> pa.Table:
         q = np.asarray(q, dtype=np.float64)
