@@ -50,9 +50,11 @@ def _decoded(sf_dir: str, table: str, columns: list[str] | None = None):
 
 
 def _ds(sf_dir: str, table: str, columns: list[str] | None = None):
-    import ray.data
+    from datafusion_orc_ray.util import read_parquet_clean
 
-    return ray.data.read_parquet(_table_path(sf_dir, table), columns=columns)
+    # metadata-stripped schema at the read: pandas parquet metadata made
+    # hash(schema) raise, spamming a WARNING per block (VERDICT r4 #9)
+    return read_parquet_clean(_table_path(sf_dir, table), columns=columns)
 
 
 def entry() -> Any:

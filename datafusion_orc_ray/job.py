@@ -104,9 +104,9 @@ def main(argv: list[str] | None = None) -> int:
         ).count()
         print(json.dumps({"stripes_written": n}))
     elif args.cmd == "encode-clustered":
-        import ray.data
+        from .util import read_parquet_clean
 
-        ds = ray.data.read_parquet(args.input)
+        ds = read_parquet_clean(args.input)
         n = ep.encode_clustered(ds, args.out, key=args.key, salt_col=args.salt_col).count()
         print(json.dumps({"stripes_written": n}))
     elif args.cmd == "decode":
