@@ -1789,6 +1789,26 @@ def _grouping_sets_orders(sf_dir: str):
     )
 
 
+def _topk_sql_orders(sf_dir: str):
+    """Distributed SQL top-k pushdown (sources/sqlagg.plan_topk_pushdown):
+    ORDER BY ... LIMIT n over one stripe table runs as per-batch local
+    top-n partials + a driver re-sort of partials only — the Ray-native
+    analogue of DataFusion's SortExec fetch pushdown the reference
+    inherits (src/lib.rs:107-169 registers tables for exactly this kind
+    of SQL). Unique o_orderkey tie-break keeps the result deterministic."""
+    from datafusion_orc_ray.sources.stripes import Catalog
+
+    cat = Catalog()
+    cat.register_stripes("orders_t", _encoded(sf_dir, "orders"))
+    out = cat.sql(
+        "SELECT o_orderkey, o_custkey, o_totalprice FROM orders_t "
+        "WHERE o_orderstatus = 'O' "
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 25"
+    )
+    assert cat.last_plan == "topk_pushdown", cat.last_plan
+    return out
+
+
 def _pivot_documents(sf_dir: str):
     """Pivot: per-source document counts with one column per language
     (single grouped pass + driver scatter)."""
@@ -2184,6 +2204,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orc_export_roundtrip": _orc_export_roundtrip,
         "cube_orders": _cube_orders,
         "grouping_sets_orders": _grouping_sets_orders,
+        "topk_sql_orders": _topk_sql_orders,
         "pivot_documents": _pivot_documents,
         "kmeans_embeddings": _kmeans_embeddings,
         "argmax_orders": _argmax_orders,
@@ -3282,6 +3303,11 @@ GROUP BY k.doc_id, k.n_trans
         "filter_pushdown_or_orders": (
             "SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey < 500 "
             "OR (o_orderkey >= 14000 AND o_totalprice > 100000.0)"
+        ),
+        "topk_sql_orders": (
+            "SELECT o_orderkey, o_custkey, o_totalprice FROM orders "
+            "WHERE o_orderstatus = 'O' "
+            "ORDER BY o_totalprice DESC, o_orderkey LIMIT 25"
         ),
         "string_funcs_documents": (
             "SELECT doc_id, upper(substr(text, 1, 10)) AS head10 FROM documents"

@@ -298,6 +298,128 @@ def plan_aggregate_pushdown(query: str, table: str, schema) -> AggPlan | None:
     return AggPlan(table=table, partial_sql=partial_sql, final_sql=final_sql)
 
 
+_TOPK_MAX_LIMIT = 100_000  # beyond this, n rows/batch of partials stop being "small"
+
+
+def plan_topk_pushdown(query: str, table: str, schema) -> AggPlan | None:
+    """Distributed ORDER BY ... LIMIT n pushdown (top-k): rewrite
+
+        SELECT <plain items> FROM t [WHERE row-local] ORDER BY <keys> LIMIT n
+
+    into a partial that keeps only each batch's local top-n (every order
+    expression aliased ``__ob{i}`` so the merge can re-sort partials
+    that don't select their order keys) and a final that re-sorts the
+    <= n * n_batches partial rows. Only k rows per block reach the
+    driver instead of every decoded row — the Ray-native analogue of
+    DataFusion's SortExec fetch pushdown (the reference inherits
+    TopK/limit pushdown through DataFusion physical plans).
+
+    Soundness gates mirror plan_aggregate_pushdown (single plain table,
+    no JOIN/DISTINCT/window/subquery, both rewrites must bind); plus:
+    no aggregate calls (that's the aggregate planner's shape), ORDER BY
+    and LIMIT both present, LIMIT <= 100k, non-aliased select items must
+    be bare columns (output names must survive the rewrite), integer
+    ORDER BY positions resolve to the matching select item. Ties beyond
+    position n are broken by which batch reached the merge — the same
+    unspecified-order freedom single-node SQL has; use a unique
+    tie-break key for fully deterministic results."""
+    q = query.strip().rstrip(";").strip()
+    if _FORBIDDEN.search(q) or _SUBQUERY.search(q):
+        return None
+    m = re.match(r"(?is)^select\s+(.*)$", q)
+    if not m:
+        return None
+    body_start = len(q) - len(m.group(1))
+    spans = _find_clauses(q)
+    if spans is None:
+        return None
+    spans = [s for s in spans if s[1] >= body_start]
+    order = [s[0] for s in spans]
+    expected = [k for k in ("from", "where", "order by", "limit") if k in order]
+    if order != expected or not {"from", "order by", "limit"} <= set(order):
+        return None
+    ends = [s[1] for s in spans] + [len(q)]
+    texts: dict[str, str] = {}
+    for idx, (kw, kw_start, text_start) in enumerate(spans):
+        texts[kw] = q[text_start : ends[idx + 1]].strip()
+    select_text = q[body_start : spans[0][1]].strip()
+    fm = re.match(r"^(\w+)$", texts["from"])
+    if not fm or fm.group(1) != table:
+        return None
+    if not re.match(r"^\d+$", texts["limit"]) or int(texts["limit"]) > _TOPK_MAX_LIMIT:
+        return None
+
+    # output column names (the final projects these out of __partials)
+    shadowing: set[str] = set()  # alias == a real column, item != that column
+    if select_text == "*":
+        out_names = list(schema.names)
+    else:
+        out_names = []
+        for item in _split_top_commas(select_text):
+            item = item.strip()
+            if not item or "*" in item or _AGG_CALL.search(item):
+                return None
+            am = re.search(r"(?is)\s+as\s+(\w+)\s*$", item)
+            if am:
+                out_names.append(am.group(1))
+                if am.group(1) in schema.names and item[: am.start()].strip() != am.group(1):
+                    shadowing.add(am.group(1).lower())
+            elif re.match(r"^\w+$", item):
+                out_names.append(item)
+            else:
+                return None  # unaliased expression: output name wouldn't survive
+
+    # ORDER BY items -> (expr, suffix); positions resolve to select items
+    ob_exprs: list[tuple[str, str]] = []
+    for item in _split_top_commas(texts["order by"]):
+        im = re.match(
+            r"(?is)^\s*(.*?)(\s+(?:asc|desc))?(\s+nulls\s+(?:first|last))?\s*$", item
+        )
+        expr = im.group(1).strip()
+        suffix = (im.group(2) or "") + (im.group(3) or "")
+        if not expr or _AGG_CALL.search(expr):
+            return None
+        if re.match(r"^\d+$", expr):  # positional: ORDER BY 2
+            pos = int(expr)
+            if not 1 <= pos <= len(out_names):
+                return None
+            expr = out_names[pos - 1]
+        # an identifier naming BOTH a select alias (of a non-trivial
+        # expression) and a real column is ambiguous: ORDER BY prefers
+        # the alias but the partial's select-list reference may bind the
+        # base column — silently different sort keys. Veto.
+        if shadowing and any(
+            tok.lower() in shadowing for tok in re.findall(r"[A-Za-z_]\w*", expr)
+        ):
+            return None
+        ob_exprs.append((expr, suffix))
+
+    limit = texts["limit"]
+    partial_sql = (
+        "SELECT "
+        + select_text
+        + ", "
+        + ", ".join(f"{e} AS __ob{i}" for i, (e, _) in enumerate(ob_exprs))
+        + " FROM __batch"
+        + (f" WHERE {texts['where']}" if "where" in texts else "")
+        + " ORDER BY "
+        + ", ".join(f"__ob{i}{sfx}" for i, (_, sfx) in enumerate(ob_exprs))
+        + f" LIMIT {limit}"
+    )
+    final_sql = (
+        "SELECT "
+        + ", ".join(out_names)
+        + " FROM __partials ORDER BY "
+        + ", ".join(f"__ob{i}{sfx}" for i, (_, sfx) in enumerate(ob_exprs))
+        + f" LIMIT {limit}"
+    )
+    if any(n.lower().startswith("__ob") for n in out_names):
+        return None  # collision with the synthetic order-key aliases
+    if not _binds(partial_sql, "__batch", schema, final_sql):
+        return None
+    return AggPlan(table=table, partial_sql=partial_sql, final_sql=final_sql)
+
+
 def _binds(partial_sql: str, batch_name: str, schema, final_sql: str) -> bool:
     """Both rewritten queries must bind in DuckDB: the partial against an
     empty table with the real schema, the final against the partial's

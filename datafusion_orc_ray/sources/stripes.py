@@ -414,16 +414,26 @@ class Catalog:
         projections = self._resolve_projections(query, referenced)
         schemas = {name: stripes_schema(self._tables[name]) for name in referenced}
         predicates = self._resolve_filter_pushdown(query, referenced, schemas)
-        agg = None
+        agg = topk = None
         if len(referenced) == 1:
             from . import sqlagg
 
             agg = sqlagg.plan_aggregate_pushdown(
                 query, referenced[0], schemas[referenced[0]]
             )
+            if agg is None:
+                topk = sqlagg.plan_topk_pushdown(
+                    query, referenced[0], schemas[referenced[0]]
+                )
         lines = [
             "plan: "
-            + ("distributed aggregate pushdown" if agg is not None else "stream")
+            + (
+                "distributed aggregate pushdown"
+                if agg is not None
+                else "distributed top-k pushdown"
+                if topk is not None
+                else "stream"
+            )
         ]
         for name in referenced:
             entries = manifest.load_manifest(self._tables[name])
@@ -462,8 +472,11 @@ class Catalog:
         is pre-aggregated on its worker and only the partials stream to
         the driver's merge query — the Ray-native analogue of the
         partial/final split datafusion-orc inherits from DataFusion's
-        physical plans. ``self.last_plan`` records which path ran
-        ('aggregate_pushdown' or 'stream').
+        physical plans. Single-table ORDER BY ... LIMIT n queries get
+        DISTRIBUTED top-k the same way (per-batch local top-n, driver
+        re-sorts partials — DataFusion's SortExec fetch pushdown
+        analogue). ``self.last_plan`` records which path ran
+        ('aggregate_pushdown', 'topk_pushdown' or 'stream').
 
         Returns a pyarrow.Table."""
         import re
@@ -483,12 +496,21 @@ class Catalog:
             "predicates": dict(predicates),
         }
         plan = None
+        plan_kind = "aggregate_pushdown"
         if len(referenced) == 1:
             from . import sqlagg
 
             plan = sqlagg.plan_aggregate_pushdown(
                 query, referenced[0], schemas[referenced[0]]
             )
+            if plan is None:
+                # ORDER BY ... LIMIT n over one table: per-batch local
+                # top-n on the workers, the driver re-sorts <= n rows
+                # per block instead of receiving every decoded row
+                plan = sqlagg.plan_topk_pushdown(
+                    query, referenced[0], schemas[referenced[0]]
+                )
+                plan_kind = "topk_pushdown"
         con = duckdb.connect()
         readers = []  # keep referenced readers alive until fetch
         try:
@@ -520,7 +542,7 @@ class Catalog:
                 reader = _dataset_reader(partials, fallback_schema=fallback)
                 readers.append(reader)
                 con.register("__partials", reader)
-                self.last_plan = "aggregate_pushdown"
+                self.last_plan = plan_kind
                 return con.sql(plan.final_sql).fetch_arrow_table()
             for name in referenced:
                 reader = _dataset_reader(

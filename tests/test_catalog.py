@@ -460,3 +460,103 @@ def test_catalog_or_pushdown(ray_session, tmp_path, monkeypatch):
     )
     got = sorted(x["v"] for x in ds.take_all())
     assert got == [2.0, 5.0, 6.0]
+
+
+def test_catalog_sql_topk_pushdown(ray_session, tmp_path):
+    """Single-table ORDER BY ... LIMIT n runs DISTRIBUTED top-k: each
+    batch keeps its local top-n (order keys aliased __ob{i} so partials
+    can re-sort even when the select list drops them), the driver
+    re-sorts partial rows only. Every pushed query must equal DuckDB
+    over the source table; unsafe shapes fall back to streaming."""
+    import duckdb
+    import math
+
+    rows = 600
+    t = pa.table(
+        {
+            "k": pa.array([f"g{i % 7}" for i in range(rows)]),
+            "v": pa.array(
+                [None if i % 97 == 0 else float((i * 37) % 211) for i in range(rows)],
+                pa.float64(),
+            ),
+            "n": pa.array([(i * 13) % 401 for i in range(rows)], pa.int64()),
+        }
+    )
+    pq.write_table(t, f"{tmp_path}/t.parquet", row_group_size=64)
+    ep.encode_parquet(f"{tmp_path}/t.parquet", f"{tmp_path}/enc", concurrency=2).take_all()
+    cat = Catalog()
+    cat.register_stripes("tk", f"{tmp_path}/enc")
+
+    pushed = [
+        "SELECT k, v FROM tk ORDER BY v DESC NULLS LAST, n, k LIMIT 11",
+        "SELECT * FROM tk WHERE n > 50 ORDER BY n DESC, k LIMIT 9",
+        "SELECT k FROM tk ORDER BY n, k LIMIT 5",          # order col not selected
+        "SELECT n + 1 AS n1, k FROM tk ORDER BY n1 DESC, k LIMIT 4",
+        "SELECT k, n FROM tk ORDER BY 2 DESC, 1 LIMIT 7",  # positional keys
+        "SELECT k, v FROM tk ORDER BY v ASC NULLS FIRST, n, k LIMIT 6",
+        "SELECT k, n FROM tk ORDER BY n % 7, n, k LIMIT 8",  # expression key
+        "SELECT n FROM tk ORDER BY n LIMIT 100000",        # limit > rows
+    ]
+    fallback = [
+        "SELECT k, v FROM tk ORDER BY v, k, n",            # no LIMIT
+        "SELECT DISTINCT k FROM tk ORDER BY k LIMIT 3",    # DISTINCT
+        "SELECT n + 1 FROM tk ORDER BY n LIMIT 3",         # unaliased expression
+        "SELECT n + 1 AS n FROM tk ORDER BY n LIMIT 3",    # alias shadows column
+    ]
+
+    def eq(got, want):
+        ga, wa = got.to_pydict(), want.to_pydict()
+        assert list(ga) == list(wa)
+        for col in ga:
+            for x, y in zip(ga[col], wa[col], strict=True):
+                same = (x == y) or (
+                    isinstance(x, float) and isinstance(y, float)
+                    and math.isnan(x) and math.isnan(y)
+                )
+                assert same, (col, x, y)
+
+    con = duckdb.connect()
+    con.register("tk", t)
+    try:
+        for q in pushed + fallback:
+            got = cat.sql(q)
+            want = con.sql(q).fetch_arrow_table()
+            expect_plan = "topk_pushdown" if q in pushed else "stream"
+            assert cat.last_plan == expect_plan, (q, cat.last_plan)
+            assert got.num_rows == want.num_rows, q
+            eq(got, want)
+        assert "distributed top-k pushdown" in cat.explain(pushed[0])
+    finally:
+        con.close()
+
+
+def test_topk_planner_shapes():
+    """Planner-level gates (no Ray): supported shapes produce a plan,
+    unsafe shapes are vetoed."""
+    from datafusion_orc_ray.sources import sqlagg
+
+    schema = pa.schema([("a", pa.int64()), ("b", pa.string()), ("c", pa.float64())])
+    ok = [
+        "SELECT a, b FROM t WHERE c > 1.5 ORDER BY a DESC LIMIT 10",
+        "SELECT * FROM t ORDER BY c DESC NULLS LAST, a LIMIT 5",
+        "SELECT b FROM t ORDER BY a LIMIT 3",
+        "SELECT upper(b) AS ub FROM t ORDER BY ub LIMIT 2",
+        "SELECT a, c FROM t ORDER BY 2 DESC LIMIT 7",
+    ]
+    veto = [
+        "SELECT a FROM t LIMIT 5",                      # no ORDER BY
+        "SELECT a FROM t ORDER BY a",                   # no LIMIT
+        "SELECT count(*) AS n FROM t ORDER BY n LIMIT 1",  # aggregate shape
+        "SELECT a FROM t ORDER BY a LIMIT 200000",      # over the row cap
+        "SELECT a + 1 FROM t ORDER BY a LIMIT 5",       # unaliased expression
+        "SELECT DISTINCT a FROM t ORDER BY a LIMIT 5",
+        "SELECT a FROM t ORDER BY 5 LIMIT 5",           # bad position
+        "SELECT a FROM t ORDER BY a LIMIT 5 OFFSET 2",  # OFFSET unsupported
+        "SELECT a+1 AS a FROM t ORDER BY a LIMIT 5",    # alias shadows column
+        "SELECT a AS __ob0 FROM t ORDER BY a LIMIT 5",  # synthetic-name collision
+        "SELECT a, b FROM t JOIN u USING (a) ORDER BY a LIMIT 5",
+    ]
+    for q in ok:
+        assert sqlagg.plan_topk_pushdown(q, "t", schema) is not None, q
+    for q in veto:
+        assert sqlagg.plan_topk_pushdown(q, "t", schema) is None, q
