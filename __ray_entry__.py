@@ -1809,6 +1809,28 @@ def _topk_sql_orders(sf_dir: str):
     return out
 
 
+def _stats_sql_orders(sf_dir: str):
+    """Metadata-only SQL aggregates (sources/sqlagg.plan_stats_answer):
+    count/min/max with no WHERE resolve from manifest stats — zero
+    stripes decoded, zero tasks launched. The 100-TB version of
+    ``SELECT count(*)`` is a manifest-snapshot GET, not a scan.
+    Floats are deliberately excluded (NaN ordering), so the query uses
+    int / string / timestamp columns only."""
+    from datafusion_orc_ray.sources.stripes import Catalog
+
+    cat = Catalog()
+    cat.register_stripes("orders_s", _encoded(sf_dir, "orders"))
+    out = cat.sql(
+        "SELECT count(*) AS n_rows, count(o_custkey) AS n_cust, "
+        "min(o_orderkey) AS min_key, max(o_orderkey) AS max_key, "
+        "min(o_orderstatus) AS min_status, max(o_orderstatus) AS max_status, "
+        "min(o_orderdate) AS min_date, max(o_orderdate) AS max_date "
+        "FROM orders_s"
+    )
+    assert cat.last_plan == "stats_answer", cat.last_plan
+    return out
+
+
 def _pivot_documents(sf_dir: str):
     """Pivot: per-source document counts with one column per language
     (single grouped pass + driver scatter)."""
@@ -2205,6 +2227,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cube_orders": _cube_orders,
         "grouping_sets_orders": _grouping_sets_orders,
         "topk_sql_orders": _topk_sql_orders,
+        "stats_sql_orders": _stats_sql_orders,
         "pivot_documents": _pivot_documents,
         "kmeans_embeddings": _kmeans_embeddings,
         "argmax_orders": _argmax_orders,
@@ -3308,6 +3331,13 @@ GROUP BY k.doc_id, k.n_trans
             "SELECT o_orderkey, o_custkey, o_totalprice FROM orders "
             "WHERE o_orderstatus = 'O' "
             "ORDER BY o_totalprice DESC, o_orderkey LIMIT 25"
+        ),
+        "stats_sql_orders": (
+            "SELECT count(*) AS n_rows, count(o_custkey) AS n_cust, "
+            "min(o_orderkey) AS min_key, max(o_orderkey) AS max_key, "
+            "min(o_orderstatus) AS min_status, max(o_orderstatus) AS max_status, "
+            "min(o_orderdate) AS min_date, max(o_orderdate) AS max_date "
+            "FROM orders"
         ),
         "string_funcs_documents": (
             "SELECT doc_id, upper(substr(text, 1, 10)) AS head10 FROM documents"

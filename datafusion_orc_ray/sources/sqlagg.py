@@ -298,6 +298,111 @@ def plan_aggregate_pushdown(query: str, table: str, schema) -> AggPlan | None:
     return AggPlan(table=table, partial_sql=partial_sql, final_sql=final_sql)
 
 
+def plan_stats_answer(query: str, table: str, schema, entries: list[dict]):
+    """Answer ``SELECT count(*)/count(col)/min(col)/max(col) [AS a], ...
+    FROM t`` (no WHERE / GROUP BY / anything else) from MANIFEST STATS
+    alone — zero stripes decoded, zero tasks launched; at 100-TB corpus
+    sizes this is the difference between a metadata lookup and a full
+    scan. Returns the one-row pyarrow.Table or None (shape unsupported /
+    stats insufficient — caller falls back, so this can never change a
+    result).
+
+    Soundness: manifest min/max are EXACT when stored under ``min``/
+    ``max`` (``*_bound`` keys are truncation bounds — refused);
+    null_count/n are always exact. min/max are answered only for
+    integer, exact-string and temporal stats — floats are refused
+    because NaN ordering in Arrow's min_max need not match SQL's.
+    Every stripe must carry the column's stats; all-null stripes
+    contribute nothing (SQL min/max ignore NULL); an all-null column
+    yields NULL. Output types are pinned by binding the original query
+    against an empty table, so count is BIGINT and min/max keep the
+    column's exact type."""
+    import duckdb
+    import pyarrow as pa
+
+    q = query.strip().rstrip(";").strip()
+    if _FORBIDDEN.search(q) or _SUBQUERY.search(q):
+        return None
+    m = re.match(r"(?is)^select\s+(.*?)\s+from\s+(\w+)\s*$", q)
+    if not m or m.group(2) != table:
+        return None
+    calls: list[tuple[str, str, str]] = []  # (fn, col_or_*, alias)
+    for item in _split_top_commas(m.group(1)):
+        im = re.match(
+            r"(?is)^\s*(count|min|max)\s*\(\s*(\*|\w+)\s*\)\s+as\s+(\w+)\s*$",
+            item,
+        )
+        if not im:
+            return None
+        fn, col, alias = im.group(1).lower(), im.group(2), im.group(3)
+        if col != "*" and col not in schema.names:
+            return None
+        if fn in ("min", "max") and col == "*":
+            return None
+        calls.append((fn, col, alias))
+    if not calls or not entries:
+        return None
+    if len({a for _, _, a in calls}) != len(calls):
+        return None  # duplicate output names: the values map would conflate them
+
+    import json
+
+    per_stripe = []  # {col -> stats} per stripe
+    for e in entries:
+        per_stripe.append(
+            {c["path"]: c.get("stats", {}) for c in json.loads(e.get("columns_json", "[]"))}
+        )
+
+    def col_type_ok(col: str) -> bool:
+        t = schema.field(col).type
+        return (
+            pa.types.is_integer(t)
+            or pa.types.is_string(t)
+            or pa.types.is_large_string(t)
+            or pa.types.is_timestamp(t)
+            or pa.types.is_date(t)
+        )
+
+    try:
+        values: dict[str, object] = {}
+        for fn, col, alias in calls:
+            if fn == "count" and col == "*":
+                values[alias] = sum(int(e.get("n_rows", e.get("rows"))) for e in entries)
+                continue
+            stats = [s.get(col) for s in per_stripe]
+            if any(st is None or "n" not in st or "null_count" not in st for st in stats):
+                return None
+            if fn == "count":
+                values[alias] = sum(int(st["n"]) - int(st["null_count"]) for st in stats)
+                continue
+            if not col_type_ok(col):
+                return None
+            vals = []
+            for st in stats:
+                if int(st["null_count"]) == int(st["n"]):
+                    continue  # all-null stripe: contributes nothing
+                if fn not in st or st[fn] is None:
+                    return None  # exact stat missing (e.g. truncated bound)
+                vals.append(st[fn])
+            values[alias] = (min(vals) if fn == "min" else max(vals)) if vals else None
+
+        # pin output names AND types by binding the original query empty
+        con = duckdb.connect()
+        try:
+            con.register(table, schema.empty_table())
+            out_schema = con.sql(q).fetch_arrow_table().schema
+        finally:
+            con.close()
+        cols = []
+        for field in out_schema:
+            v = values[field.name]
+            arr = pa.array([v], pa.int64() if isinstance(v, int) else None)
+            cols.append(arr.cast(field.type))
+        return pa.table(cols, schema=out_schema)
+    except Exception:
+        return None  # any conversion surprise -> decode path answers it
+
+
 _TOPK_MAX_LIMIT = 100_000  # beyond this, n rows/batch of partials stop being "small"
 
 

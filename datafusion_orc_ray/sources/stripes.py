@@ -415,20 +415,30 @@ class Catalog:
         schemas = {name: stripes_schema(self._tables[name]) for name in referenced}
         predicates = self._resolve_filter_pushdown(query, referenced, schemas)
         agg = topk = None
+        stats_ans = None
         if len(referenced) == 1:
             from . import sqlagg
 
-            agg = sqlagg.plan_aggregate_pushdown(
-                query, referenced[0], schemas[referenced[0]]
+            stats_ans = sqlagg.plan_stats_answer(
+                query,
+                referenced[0],
+                schemas[referenced[0]],
+                manifest.load_manifest(self._tables[referenced[0]]),
             )
-            if agg is None:
+            if stats_ans is None:
+                agg = sqlagg.plan_aggregate_pushdown(
+                    query, referenced[0], schemas[referenced[0]]
+                )
+            if stats_ans is None and agg is None:
                 topk = sqlagg.plan_topk_pushdown(
                     query, referenced[0], schemas[referenced[0]]
                 )
         lines = [
             "plan: "
             + (
-                "distributed aggregate pushdown"
+                "metadata-only stats answer (zero stripes decoded)"
+                if stats_ans is not None
+                else "distributed aggregate pushdown"
                 if agg is not None
                 else "distributed top-k pushdown"
                 if topk is not None
@@ -500,6 +510,15 @@ class Catalog:
         if len(referenced) == 1:
             from . import sqlagg
 
+            # metadata-only answer first: count/min/max with no WHERE
+            # resolve from manifest stats without decoding one stripe
+            name = referenced[0]
+            stats_result = sqlagg.plan_stats_answer(
+                query, name, schemas[name], manifest.load_manifest(self._tables[name])
+            )
+            if stats_result is not None:
+                self.last_plan = "stats_answer"
+                return stats_result
             plan = sqlagg.plan_aggregate_pushdown(
                 query, referenced[0], schemas[referenced[0]]
             )

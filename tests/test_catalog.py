@@ -113,11 +113,13 @@ def test_catalog_sql_projection_pushdown(encoded_dir, monkeypatch):
     res2 = cat.sql("SELECT lang, max(url) AS mx FROM webtext GROUP BY lang ORDER BY lang")
     assert sorted(seen["webtext"]) == ["lang", "url"]
     assert res2.num_rows == len(langs)  # GROUP BY keeps the NULL group
-    # count(*) needs only one stream, never full width
+    # count(*) with no WHERE needs ZERO streams now: manifest stats
+    # answer it without creating a scan at all (round 5)
     seen.clear()
     n = cat.sql("SELECT count(*) AS n FROM webtext").column("n")[0].as_py()
     assert n == wt.num_rows
-    assert seen["webtext"] is not None and len(seen["webtext"]) == 1
+    assert cat.last_plan == "stats_answer"
+    assert "webtext" not in seen
     # star expansion falls back to full width and stays correct
     seen.clear()
     full = cat.sql("SELECT * FROM webtext ORDER BY url LIMIT 3")
@@ -254,8 +256,12 @@ def test_catalog_sql_aggregate_pushdown(ray_session, tmp_path):
     cat = Catalog()
     cat.register_stripes("agt", f"{tmp_path}/enc")
 
-    pushed = [
+    stats_answered = [
+        # no-WHERE count: answered from manifest stats, zero decode
         "SELECT count(*) AS n FROM agt",
+    ]
+    pushed = [
+        "SELECT count(*) AS n FROM agt WHERE v >= 0",
         "SELECT k, sum(v) AS total, count(*) AS c FROM agt GROUP BY k ORDER BY k",
         "SELECT k, min(v) AS lo, max(v) AS hi, avg(n) AS a FROM agt GROUP BY k ORDER BY k",
         "SELECT sum(CASE WHEN n > 6 THEN v ELSE 0 END) AS s FROM agt WHERE v >= 1",
@@ -269,10 +275,16 @@ def test_catalog_sql_aggregate_pushdown(ray_session, tmp_path):
     con = duckdb.connect()
     con.register("agt", t)
     try:
-        for q in pushed + fallback:
+        for q in stats_answered + pushed + fallback:
             got = cat.sql(q)
             want = con.sql(q).fetch_arrow_table()
-            expect_plan = "aggregate_pushdown" if q in pushed else "stream"
+            expect_plan = (
+                "stats_answer"
+                if q in stats_answered
+                else "aggregate_pushdown"
+                if q in pushed
+                else "stream"
+            )
             assert cat.last_plan == expect_plan, (q, cat.last_plan)
             assert got.equals(want), (q, got.to_pydict(), want.to_pydict())
     finally:
@@ -560,3 +572,71 @@ def test_topk_planner_shapes():
         assert sqlagg.plan_topk_pushdown(q, "t", schema) is not None, q
     for q in veto:
         assert sqlagg.plan_topk_pushdown(q, "t", schema) is None, q
+
+
+def test_catalog_sql_stats_answer(ray_session, tmp_path, monkeypatch):
+    """count/min/max with no WHERE answer from manifest stats with ZERO
+    stripes decoded: results equal DuckDB over the source table, and a
+    poisoned decode path proves nothing was read."""
+    import duckdb
+    import datetime
+
+    t = pa.table(
+        {
+            "k": pa.array(["b", "a", None, "c", "a", None]),
+            "n": pa.array([5, None, 2, 9, -3, 7], pa.int64()),
+            "f": pa.array([1.5, 2.5, None, 0.5, 3.5, 4.5], pa.float64()),
+            "ts": pa.array(
+                [datetime.datetime(2024, 1, 1 + i) for i in range(6)],
+                pa.timestamp("us"),
+            ),
+            "allnull": pa.array([None] * 6, pa.int64()),
+        }
+    )
+    pq.write_table(t, f"{tmp_path}/t.parquet", row_group_size=2)
+    ep.encode_parquet(f"{tmp_path}/t.parquet", f"{tmp_path}/enc", concurrency=2).take_all()
+    cat = Catalog()
+    cat.register_stripes("st", f"{tmp_path}/enc")
+
+    answered = [
+        "SELECT count(*) AS n_rows FROM st",
+        "SELECT count(k) AS nk, count(n) AS nn, count(allnull) AS na FROM st",
+        "SELECT min(n) AS lo, max(n) AS hi FROM st",
+        "SELECT min(k) AS lo, max(k) AS hi FROM st",       # string stats
+        "SELECT min(ts) AS lo, max(ts) AS hi FROM st",     # temporal stats
+        "SELECT min(allnull) AS lo FROM st",               # all-null -> NULL
+        "SELECT count(*) AS a, min(n) AS b, max(k) AS c FROM st",
+    ]
+    not_answered = [
+        "SELECT count(*) AS n FROM st WHERE n > 0",        # WHERE -> decode
+        "SELECT min(f) AS lo FROM st",                     # float: NaN ordering
+        "SELECT sum(n) AS s FROM st",                      # not stats-derivable
+        "SELECT min(n) AS x, max(n) AS x FROM st",         # duplicate aliases
+    ]
+
+    con = duckdb.connect()
+    con.register("st", t)
+    try:
+        # poison the decode path: a stats answer must not build a scan
+        import datafusion_orc_ray.sources.datasource as dsrc
+
+        real = dsrc.StripeDatasource.__init__
+
+        def boom(self, *a, **kw):
+            raise AssertionError("stats_answer must not touch the decode path")
+
+        monkeypatch.setattr(dsrc.StripeDatasource, "__init__", boom)
+        for q in answered:
+            got = cat.sql(q)
+            assert cat.last_plan == "stats_answer", (q, cat.last_plan)
+            want = con.sql(q).fetch_arrow_table()
+            assert got.equals(want), (q, got.to_pydict(), want.to_pydict())
+        assert "metadata-only stats answer" in cat.explain(answered[0])
+        monkeypatch.setattr(dsrc.StripeDatasource, "__init__", real)
+        for q in not_answered:
+            got = cat.sql(q)
+            assert cat.last_plan != "stats_answer", q
+            want = con.sql(q).fetch_arrow_table()
+            assert got.equals(want), (q, got.to_pydict(), want.to_pydict())
+    finally:
+        con.close()
