@@ -377,6 +377,16 @@ def plan_stats_answer(query: str, table: str, schema, entries: list[dict]):
                 continue
             if not col_type_ok(col):
                 return None
+            t = schema.field(col).type
+            if pa.types.is_timestamp(t) or pa.types.is_date(t):
+                # temporal stats are raw epoch ints in the STRIPE's own
+                # unit: a unit drifting from the merged schema's would
+                # cast to a wrong instant — require exact agreement
+                from .. import stripe as stripe_mod
+
+                want_unit = stripe_mod._temporal_unit(t)
+                if any(st.get("temporal_unit") != want_unit for st in stats):
+                    return None
             vals = []
             for st in stats:
                 if int(st["null_count"]) == int(st["n"]):
@@ -396,8 +406,12 @@ def plan_stats_answer(query: str, table: str, schema, entries: list[dict]):
         cols = []
         for field in out_schema:
             v = values[field.name]
-            arr = pa.array([v], pa.int64() if isinstance(v, int) else None)
-            cols.append(arr.cast(field.type))
+            if isinstance(v, int):
+                # date32 only casts from int32; everything else from int64
+                src = pa.int32() if pa.types.is_date32(field.type) else pa.int64()
+            else:
+                src = None
+            cols.append(pa.array([v], src).cast(field.type))
         return pa.table(cols, schema=out_schema)
     except Exception:
         return None  # any conversion surprise -> decode path answers it
