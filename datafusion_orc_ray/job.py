@@ -15,6 +15,10 @@ Subcommands:
     lookup   point lookup (== predicate): manifest min/max prune stripes,
              footer bloom filters prove absent values absent after a
              footer-only read, survivors decode with a residual filter
+    sql      SQL over registered stripe dirs (--table name=dir, repeat
+             for joins); prints rows as JSON plus which execution path
+             ran (stats_answer / aggregate_pushdown / topk_pushdown /
+             stream); --explain prints the plan without executing
 
 Inside a submitted job the cluster is already running; this script only
 calls ray.init() when nothing else has (the library itself never does —
@@ -78,6 +82,15 @@ def main(argv: list[str] | None = None) -> int:
     lk.add_argument("--value", required=True)
     lk.add_argument("--columns", default=None, help="comma-separated projection")
     lk.add_argument("--limit", type=int, default=20)
+
+    sq = sub.add_parser("sql", parents=[common])
+    sq.add_argument(
+        "--table", action="append", required=True, metavar="NAME=DIR",
+        help="register a stripe dir under NAME (repeatable)",
+    )
+    sq.add_argument("--query", required=True)
+    sq.add_argument("--limit", type=int, default=1000, help="max rows printed")
+    sq.add_argument("--explain", action="store_true", help="print the plan, don't run")
 
     args = p.parse_args(argv)
     from .pipelines import encode as ep
@@ -165,6 +178,31 @@ def main(argv: list[str] | None = None) -> int:
         )
         rows = ds.limit(args.limit).take_all()
         print(json.dumps({"n": len(rows), "rows": rows}, default=str))
+    elif args.cmd == "sql":
+        from .sources.stripes import Catalog
+
+        cat = Catalog()
+        for spec in args.table:
+            name, _, path = spec.partition("=")
+            if not path:
+                raise SystemExit(f"--table {spec!r}: expected NAME=DIR")
+            cat.register_stripes(name, path)
+        if args.explain:
+            print(cat.explain(args.query))
+            return 0
+        t = cat.sql(args.query)
+        out_rows = t.slice(0, args.limit).to_pylist()
+        print(
+            json.dumps(
+                {
+                    "n": t.num_rows,
+                    "plan": cat.last_plan,
+                    "rows": out_rows,
+                    "truncated": t.num_rows > args.limit,
+                },
+                default=str,
+            )
+        )
     return 0
 
 

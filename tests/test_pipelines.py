@@ -357,6 +357,49 @@ def test_job_cli_end_to_end(ray_session, tmp_path):
     assert job.main(["lookup", "--stripes", out, "--col", "a", "--value", "7"]) == 0
 
 
+def test_job_cli_sql(ray_session, tmp_path, capsys):
+    """sql subcommand: register NAME=DIR tables, run a query, report
+    which execution path answered; --explain prints without running."""
+    import json as _json
+
+    import pyarrow as pa
+
+    from datafusion_orc_ray import job
+
+    t = pa.table(
+        {
+            "a": pa.array(range(100), pa.int64()),
+            "k": pa.array([f"g{i % 3}" for i in range(100)]),
+        }
+    )
+    pq.write_table(t, f"{tmp_path}/in.parquet", row_group_size=25)
+    out = f"{tmp_path}/out"
+    assert job.main(["encode", "--input", f"{tmp_path}/in.parquet", "--out", out]) == 0
+    capsys.readouterr()
+
+    assert job.main(["sql", "--table", f"t={out}",
+                     "--query", "SELECT count(*) AS n, max(a) AS hi FROM t"]) == 0
+    res = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["rows"] == [{"n": 100, "hi": 99}]
+    assert res["plan"] == "stats_answer"  # no WHERE: manifest stats, zero decode
+
+    assert job.main(["sql", "--table", f"t={out}", "--limit", "2",
+                     "--query", "SELECT k, sum(a) AS s FROM t GROUP BY k ORDER BY k"]) == 0
+    res2 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res2["plan"] == "aggregate_pushdown"
+    assert res2["n"] == 3 and res2["truncated"] and len(res2["rows"]) == 2
+    # sum(BIGINT) is HUGEINT -> json default=str serializes it
+    assert res2["rows"][0]["k"] == "g0" and int(res2["rows"][0]["s"]) == 1683
+
+    assert job.main(["sql", "--table", f"t={out}", "--explain",
+                     "--query", "SELECT a FROM t WHERE a < 10 ORDER BY a LIMIT 3"]) == 0
+    plan = capsys.readouterr().out
+    assert "distributed top-k pushdown" in plan
+
+    with pytest.raises(SystemExit):
+        job.main(["sql", "--table", "badspec", "--query", "SELECT 1 AS x"])
+
+
 def test_compaction_across_schema_evolution(ray_session, tmp_path):
     """Members with different column sets merge through the unified
     schema (null-filled), and the merged stripe decodes consistently."""
