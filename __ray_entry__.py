@@ -1732,12 +1732,17 @@ def _orc_export_roundtrip(sf_dir: str):
     source — closing the write half of the reference's interop loop
     (its ecosystem exchanges ORC bytes, src/lib.rs:107-118). Gated on
     pyarrow's ORC module like the read side."""
-    import tempfile
+    import shutil
 
     from datafusion_orc_ray.sources import orc as orc_src
 
     orc_src._require_orc()
-    out = tempfile.mkdtemp(prefix="orc_export_", dir="/tmp")
+    # deterministic scratch path, cleared first: a fresh mkdtemp per
+    # invocation accumulated an unbounded pile of table copies in /tmp
+    # (r5 review finding #5 — the exact scratch hazard the bench notes
+    # warn about) and made repeated runs write to different dirs
+    out = os.path.join("/tmp", f"orc_export_{os.path.basename(os.path.normpath(sf_dir))}")
+    shutil.rmtree(out, ignore_errors=True)
     mf = orc_src.write_orc(
         _ds(sf_dir, "documents", ["doc_id", "text", "lang", "source", "n_chars"]),
         out,

@@ -388,19 +388,33 @@ def hash_join(
     )
     right_tbl: pa.Table | None = None
     if small_right and not full_outer:
-        right_tbl = collect(right)
-        if right_tbl.nbytes > broadcast_bytes:
-            # exact check failed: bucket path, reusing the collected
-            # table instead of re-executing the right pipeline
+        # Stream the right side onto the driver with a RUNNING byte cap
+        # (r5 review finding #2): a row-gate-passing but byte-huge right
+        # side (unknown post-transform estimate, 500k wide web rows =
+        # gigabytes) must flip to the bucket path without ever being
+        # concentrated whole in the driver heap. Aborting mid-stream
+        # means the bucket path re-executes the right pipeline — the
+        # same cost the r4 size_bytes() probe paid, but only on this
+        # narrow unknown-estimate + actually-huge path, and never with
+        # a driver-resident copy.
+        got_batches: list[pa.Table] = []
+        got_bytes = 0
+        for b in right.iter_batches(batch_size=None, batch_format="pyarrow"):
+            got_batches.append(b)
+            got_bytes += b.nbytes
+            if got_bytes > broadcast_bytes:
+                break
+        if got_bytes > broadcast_bytes:
             small_right = False
-            right_bytes = right_tbl.nbytes
-            right = ray.data.from_arrow(
-                [
-                    right_tbl.slice(o, 65536)
-                    for o in range(0, max(right_tbl.num_rows, 1), 65536)
-                ]
+            right_bytes = got_bytes  # lower bound (stream was aborted)
+            got_batches = []
+        elif got_batches:
+            right_tbl = pa.concat_tables(got_batches).combine_chunks()
+        else:  # empty right: synthesize the 0-row table from metadata
+            schema = right.schema()
+            right_tbl = pa.Table.from_pylist(
+                [], schema=getattr(schema, "base_schema", schema)
             )
-            right_tbl = None
     _log_join_decision(
         "broadcast" if small_right and not full_outer else "bucket",
         right_count,

@@ -35,6 +35,21 @@ class StripeDatasource(Datasource):
         from .stripes import _stats_may_match, stripes_schema
 
         preds = _pred_list(predicate)
+        # or-group SHAPE validation (r5 review finding #3): an empty
+        # disjunct means (empty AND) == TRUE, but the residual filter
+        # would silently skip it (stronger filter) or crash on an
+        # all-empty group — and stats pruning would disagree. Reject on
+        # the driver before any task launches.
+        from ..stripe import _is_or
+
+        for p in preds or []:
+            if _is_or(p):
+                if not p[1] or any(not d for d in p[1]):
+                    raise ValueError(
+                        "or-group predicate with an empty disjunct list: "
+                        "an empty conjunct list means TRUE — drop the "
+                        "predicate instead of passing a vacuous branch"
+                    )
         for p in pred_flat_conjuncts(preds):  # incl. inside or-groups
             if p[1] not in ("<", "<=", ">", ">=", "==", "isnull", "notnull"):
                 # fail fast on the driver: an unsupported op would pass

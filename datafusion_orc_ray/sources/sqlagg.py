@@ -298,6 +298,45 @@ def plan_aggregate_pushdown(query: str, table: str, schema) -> AggPlan | None:
     return AggPlan(table=table, partial_sql=partial_sql, final_sql=final_sql)
 
 
+_TICKS_PER_DAY = {
+    "date32": 1,
+    "s": 86_400,
+    "ms": 86_400_000,
+    "date64": 86_400_000,  # date64 stores epoch milliseconds
+    "us": 86_400_000_000,
+    "ns": 86_400_000_000_000,
+}
+
+
+def _epoch_convert(v: int, src_unit: str, dst_unit: str) -> int | None:
+    """Exact epoch-int unit conversion; None when the value does not
+    divide evenly (a lossy downcast would move the instant)."""
+    a = _TICKS_PER_DAY.get(src_unit)
+    b = _TICKS_PER_DAY.get(dst_unit)
+    if a is None or b is None:
+        return None
+    if a == b:
+        return v
+    q, r = divmod(v * b, a)
+    return q if r == 0 else None
+
+
+def stats_answer_may_match(query: str) -> bool:
+    """Cheap textual pre-check for plan_stats_answer's shape, so callers
+    can skip the manifest load entirely for queries that can never be
+    stats-answered (r5 review finding #4: Catalog.sql paid a full
+    100k-entry manifest parse on every filtered query just to have the
+    planner's regex reject it)."""
+    q = query.strip().rstrip(";").strip()
+    return (
+        re.match(r"(?is)^select\s+.*?\s+from\s+\w+\s*$", q) is not None
+        and not _FORBIDDEN.search(q)
+        and not _SUBQUERY.search(q)
+        and re.search(r"(?i)\b(where|group\s+by|order\s+by|limit)\b", q) is None
+        and re.search(r"(?i)\b(count|min|max)\s*\(", q) is not None
+    )
+
+
 def plan_stats_answer(query: str, table: str, schema, entries: list[dict]):
     """Answer ``SELECT count(*)/count(col)/min(col)/max(col) [AS a], ...
     FROM t`` (no WHERE / GROUP BY / anything else) from MANIFEST STATS
@@ -403,9 +442,26 @@ def plan_stats_answer(query: str, table: str, schema, entries: list[dict]):
             out_schema = con.sql(q).fetch_arrow_table().schema
         finally:
             con.close()
+        from .. import stripe as stripe_mod
+
+        alias_col = {alias: col for _, col, alias in calls}
         cols = []
         for field in out_schema:
             v = values[field.name]
+            if isinstance(v, int) and (
+                pa.types.is_timestamp(field.type) or pa.types.is_date(field.type)
+            ):
+                # epoch ints are in the COLUMN's unit; DuckDB may bind
+                # the OUTPUT in a different one (ms timestamp -> us,
+                # date64 -> date32). Convert exactly or refuse — casting
+                # the raw int into the wrong unit silently shifts the
+                # instant (r5 review finding #1).
+                src_unit = stripe_mod._temporal_unit(
+                    schema.field(alias_col[field.name]).type
+                )
+                v = _epoch_convert(v, src_unit, stripe_mod._temporal_unit(field.type))
+                if v is None:
+                    return None
             if isinstance(v, int):
                 # date32 only casts from int32; everything else from int64
                 src = pa.int32() if pa.types.is_date32(field.type) else pa.int64()

@@ -419,11 +419,15 @@ class Catalog:
         if len(referenced) == 1:
             from . import sqlagg
 
-            stats_ans = sqlagg.plan_stats_answer(
-                query,
-                referenced[0],
-                schemas[referenced[0]],
-                manifest.load_manifest(self._tables[referenced[0]]),
+            stats_ans = (
+                sqlagg.plan_stats_answer(
+                    query,
+                    referenced[0],
+                    schemas[referenced[0]],
+                    manifest.load_manifest(self._tables[referenced[0]]),
+                )
+                if sqlagg.stats_answer_may_match(query)
+                else None
             )
             if stats_ans is None:
                 agg = sqlagg.plan_aggregate_pushdown(
@@ -511,14 +515,20 @@ class Catalog:
             from . import sqlagg
 
             # metadata-only answer first: count/min/max with no WHERE
-            # resolve from manifest stats without decoding one stripe
+            # resolve from manifest stats without decoding one stripe.
+            # The textual pre-check keeps the manifest load off every
+            # query that can never match the shape.
             name = referenced[0]
-            stats_result = sqlagg.plan_stats_answer(
-                query, name, schemas[name], manifest.load_manifest(self._tables[name])
-            )
-            if stats_result is not None:
-                self.last_plan = "stats_answer"
-                return stats_result
+            if sqlagg.stats_answer_may_match(query):
+                stats_result = sqlagg.plan_stats_answer(
+                    query,
+                    name,
+                    schemas[name],
+                    manifest.load_manifest(self._tables[name]),
+                )
+                if stats_result is not None:
+                    self.last_plan = "stats_answer"
+                    return stats_result
             plan = sqlagg.plan_aggregate_pushdown(
                 query, referenced[0], schemas[referenced[0]]
             )

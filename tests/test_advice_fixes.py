@@ -751,3 +751,86 @@ def test_read_parquet_clean_strips_pandas_metadata(ray_session, tmp_path):
     proj = read_parquet_clean(path, columns=["b"])
     assert proj.schema().base_schema.names == ["b"]
     assert proj.take_all() == [{"b": "x"}, {"b": "y"}, {"b": "z"}]
+
+
+def test_hash_join_byte_cap_streams_not_collects(ray_session):
+    """r5 review finding #2: a row-gate-passing but byte-huge right side
+    (unknown post-transform estimate) must flip to the bucket path via
+    a STREAMED running byte cap — never a full driver collect. The cap
+    is set below the right side's bytes so the abort branch runs; the
+    join result must still be exact."""
+    import ray.data as rdata
+
+    import datafusion_orc_ray.pipelines.relational as rel
+
+    left = rdata.from_arrow(
+        pa.table({"k": pa.array(list(range(200)), pa.int64())})
+    )
+    # post-transform right (size metadata unknown): few rows, wide payload
+    wide = pa.table(
+        {
+            "k": pa.array(list(range(100)), pa.int64()),
+            "payload": pa.array([b"x" * 4096] * 100, pa.binary()),
+        }
+    )
+
+    def ident(b: pa.Table) -> pa.Table:
+        return b
+
+    right = rdata.from_arrow(
+        [wide.slice(i, 20) for i in range(0, 100, 20)]
+    ).map_batches(ident, batch_format="pyarrow")
+
+    decisions = []
+    real_log = rel._log_join_decision
+
+    def spy(path, rows, est_bytes):
+        decisions.append((path, rows, est_bytes))
+        real_log(path, rows, est_bytes)
+
+    orig = rel._log_join_decision
+    rel._log_join_decision = spy
+    try:
+        out = rel.hash_join(
+            left, right, "k", "k", broadcast_bytes=64 * 1024  # < 100 * 4 KiB
+        )
+        got = rel.collect(out).sort_by("k")
+    finally:
+        rel._log_join_decision = orig
+
+    assert decisions and decisions[0][0] == "bucket"
+    assert decisions[0][2] is not None and decisions[0][2] > 64 * 1024
+    assert got.num_rows == 100
+    assert got.column("k").to_pylist() == list(range(100))
+
+    # and the small case still broadcasts with an exact streamed total
+    decisions.clear()
+    rel._log_join_decision = spy
+    try:
+        out2 = rel.hash_join(left, right, "k", "k", broadcast_bytes=256 << 20)
+        got2 = rel.collect(out2)
+    finally:
+        rel._log_join_decision = orig
+    assert decisions and decisions[0][0] == "broadcast"
+    assert got2.num_rows == 100
+
+
+def test_datasource_rejects_empty_or_disjunct(ray_session, tmp_path):
+    """r5 review finding #3: (empty AND) == TRUE, but the residual
+    filter silently skips empty disjuncts — reject the malformed shape
+    on the driver before tasks launch."""
+    import ray.data as rdata
+
+    from datafusion_orc_ray.sources.stripes import read_stripes
+
+    out = str(tmp_path / "t")
+    ep.encode_dataset(
+        rdata.from_arrow(pa.table({"x": pa.array([1, 2], pa.int64())})), out
+    ).materialize()
+    with pytest.raises(ValueError, match="empty disjunct"):
+        read_stripes(out, predicate=[("or", [[], [("x", "<", 1)]])])
+    with pytest.raises(ValueError, match="empty disjunct"):
+        read_stripes(out, predicate=[("or", [])])
+    # well-formed groups still work
+    ds = read_stripes(out, predicate=[("or", [[("x", "<", 2)], [("x", ">", 1)]])])
+    assert ds.count() == 2

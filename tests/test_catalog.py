@@ -640,3 +640,71 @@ def test_catalog_sql_stats_answer(ray_session, tmp_path, monkeypatch):
             assert got.equals(want), (q, got.to_pydict(), want.to_pydict())
     finally:
         con.close()
+
+
+def test_stats_answer_temporal_unit_conversion(ray_session, tmp_path):
+    """r5 review finding #1: DuckDB binds min(timestamp[ms, tz]) output
+    as timestamp[us, tz] — the raw ms epoch int cast as us silently
+    shifted the instant by 1000x. Epoch ints must convert exactly to
+    the OUTPUT unit (or the planner must refuse)."""
+    import datetime
+    import duckdb
+
+    ts = [
+        datetime.datetime(2023, 11, 14, 22, 13, 20, tzinfo=datetime.timezone.utc)
+        + datetime.timedelta(hours=i)
+        for i in range(5)
+    ]
+    t = pa.table(
+        {
+            "ts_ms": pa.array(ts, pa.timestamp("ms", tz="UTC")),
+            "ts_s": pa.array(ts, pa.timestamp("s", tz="UTC")),
+            "d64": pa.array([x.date() for x in ts], pa.date64()),
+            "d32": pa.array([x.date() for x in ts], pa.date32()),
+        }
+    )
+    pq.write_table(t, f"{tmp_path}/t.parquet", row_group_size=2)
+    ep.encode_parquet(f"{tmp_path}/t.parquet", f"{tmp_path}/enc", concurrency=2).take_all()
+    cat = Catalog()
+    cat.register_stripes("tt", f"{tmp_path}/enc")
+
+    q = (
+        "SELECT min(ts_ms) AS a, max(ts_ms) AS b, min(ts_s) AS c, "
+        "min(d64) AS d, max(d32) AS e FROM tt"
+    )
+    got = cat.sql(q)
+    con = duckdb.connect()
+    try:
+        con.register("tt", t)
+        want = con.sql(q).fetch_arrow_table()
+    finally:
+        con.close()
+    assert got.equals(want), (got.to_pydict(), want.to_pydict())
+    # the point of the test: the values must be the REAL instants
+    assert got.column("a")[0].as_py() == ts[0]
+    assert cat.last_plan == "stats_answer"
+
+
+def test_stats_answer_textual_precheck():
+    """r5 review finding #4: the manifest load is gated behind a cheap
+    shape pre-check; it must never reject a shape the planner answers."""
+    from datafusion_orc_ray.sources import sqlagg
+
+    matching = [
+        "SELECT count(*) AS n FROM t",
+        "SELECT min(a) AS lo, max(a) AS hi, count(b) AS nb FROM t",
+        "select COUNT(*) as n from t;",
+    ]
+    rejected = [
+        "SELECT k FROM t WHERE k < 5",
+        "SELECT count(*) AS n FROM t WHERE a > 0",
+        "SELECT k, count(*) AS n FROM t GROUP BY k",
+        "SELECT a FROM t ORDER BY a LIMIT 5",
+        "SELECT sum(a) AS s FROM t",           # no count/min/max call
+        "SELECT a, b FROM t",                  # plain projection
+        "SELECT count(DISTINCT a) AS n FROM t",
+    ]
+    for q in matching:
+        assert sqlagg.stats_answer_may_match(q), q
+    for q in rejected:
+        assert not sqlagg.stats_answer_may_match(q), q
