@@ -834,3 +834,27 @@ def test_datasource_rejects_empty_or_disjunct(ray_session, tmp_path):
     # well-formed groups still work
     ds = read_stripes(out, predicate=[("or", [[("x", "<", 2)], [("x", ">", 1)]])])
     assert ds.count() == 2
+
+
+def test_read_parquet_clean_directory_and_remote_fallback(ray_session, tmp_path):
+    """Directory inputs take the first file's (stripped) schema; non-local
+    URIs skip the probe entirely and fall back to the plain reader."""
+    import pandas as pd
+
+    from datafusion_orc_ray.util import read_parquet_clean
+
+    d = tmp_path / "dir"
+    d.mkdir()
+    pd.DataFrame({"a": [1, 2]}).to_parquet(str(d / "p0.parquet"))
+    pd.DataFrame({"a": [3]}).to_parquet(str(d / "p1.parquet"))
+    ds = read_parquet_clean(str(d))
+    assert ds.schema().base_schema.metadata is None
+    assert ds.count() == 3
+
+    # a remote URI must not try a local schema probe (it would raise
+    # before read_parquet could even start); expect the plain-reader
+    # fallback path to surface ray's own error for the fake bucket
+    try:
+        read_parquet_clean("s3://definitely-not-a-bucket-xyz/t").count()
+    except Exception as exc:  # any ray/fs error is fine; probe errors are not
+        assert "read_schema" not in str(exc)
