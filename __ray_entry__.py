@@ -1836,6 +1836,25 @@ def _stats_sql_orders(sf_dir: str):
     return out
 
 
+def _semijoin_sql_orders(sf_dir: str):
+    """Two-table SQL with semi-join reduction (sqlagg.plan_join_prefilter):
+    when the byte/asymmetry gates engage, the customer side's distinct
+    keys filter the orders scan worker-side before batches stream to
+    the query node — DataFusion's sideways-information-passing analogue.
+    The result is identical on either path (the driver re-runs the full
+    query); the plan taken is recorded in last_plan."""
+    from datafusion_orc_ray.sources.stripes import Catalog
+
+    cat = Catalog()
+    cat.register_stripes("orders_j", _encoded(sf_dir, "orders"))
+    cat.register_stripes("customer_j", _encoded(sf_dir, "customer"))
+    return cat.sql(
+        "SELECT c_mktsegment, count(*) AS n, round(sum(o_totalprice), 2) AS total "
+        "FROM orders_j JOIN customer_j ON o_custkey = c_custkey "
+        "GROUP BY c_mktsegment ORDER BY c_mktsegment"
+    )
+
+
 def _pivot_documents(sf_dir: str):
     """Pivot: per-source document counts with one column per language
     (single grouped pass + driver scatter)."""
@@ -2233,6 +2252,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouping_sets_orders": _grouping_sets_orders,
         "topk_sql_orders": _topk_sql_orders,
         "stats_sql_orders": _stats_sql_orders,
+        "semijoin_sql_orders": _semijoin_sql_orders,
         "pivot_documents": _pivot_documents,
         "kmeans_embeddings": _kmeans_embeddings,
         "argmax_orders": _argmax_orders,
@@ -3336,6 +3356,11 @@ GROUP BY k.doc_id, k.n_trans
             "SELECT o_orderkey, o_custkey, o_totalprice FROM orders "
             "WHERE o_orderstatus = 'O' "
             "ORDER BY o_totalprice DESC, o_orderkey LIMIT 25"
+        ),
+        "semijoin_sql_orders": (
+            "SELECT c_mktsegment, count(*) AS n, round(sum(o_totalprice), 2) AS total "
+            "FROM orders JOIN customer ON o_custkey = c_custkey "
+            "GROUP BY c_mktsegment ORDER BY c_mktsegment"
         ),
         "stats_sql_orders": (
             "SELECT count(*) AS n_rows, count(o_custkey) AS n_cust, "

@@ -595,6 +595,86 @@ def plan_topk_pushdown(query: str, table: str, schema) -> AggPlan | None:
     return AggPlan(table=table, partial_sql=partial_sql, final_sql=final_sql)
 
 
+_JOIN_FORBIDDEN = re.compile(
+    r"(?i)\b(left|right|full|outer|cross|natural|semi|anti|lateral|with|"
+    r"union|except|intersect|values|unnest|exists|qualify|sample)\b"
+)
+
+
+def plan_join_prefilter(query: str, schemas: dict) -> tuple[str, str, str, str] | None:
+    """Semi-join reduction for the two-table INNER equi-join shape
+    (DataFusion's sideways information passing / dynamic filters):
+
+        SELECT ... FROM t1 [AS a] JOIN t2 [AS b]
+        ON <ref> = <ref> | USING (k)  [WHERE/GROUP BY/ORDER BY/LIMIT ...]
+
+    Returns (t1, key1, t2, key2) — the caller picks the small side,
+    collects its DISTINCT keys, and pre-filters the big side's scan
+    with an is_in mask BEFORE batches stream to the query node. Sound
+    for any downstream clauses: rows dropped by the prefilter cannot
+    appear in the inner-join result, so WHERE/aggregates/windows over
+    the join see an identical input. None when the shape has anything
+    other than one plain inner equi-join of two distinct registered
+    tables (outer variants would resurrect dropped rows; subqueries /
+    set ops could reference the tables a second time)."""
+    q = query.strip().rstrip(";").strip()
+    if _JOIN_FORBIDDEN.search(q) or _SUBQUERY.search(q):
+        return None
+    if len(re.findall(r"(?i)\bjoin\b", q)) != 1:
+        return None
+    spans = _find_clauses(q)
+    if spans is None:
+        return None
+    from_spans = [s for s in spans if s[0] == "from"]
+    if len(from_spans) != 1:
+        return None
+    idx = spans.index(from_spans[0])
+    end = spans[idx + 1][1] if idx + 1 < len(spans) else len(q)
+    from_text = q[from_spans[0][2] : end].strip()
+
+    m = re.match(
+        r"(?is)^(\w+)(?:\s+(?:as\s+)?(?!join\b)(\w+))?\s+join\s+"
+        r"(\w+)(?:\s+(?:as\s+)?(?!on\b|using\b)(\w+))?\s+"
+        r"(?:on\s+([\w.]+)\s*=\s*([\w.]+)|using\s*\(\s*(\w+)\s*\))\s*$",
+        from_text,
+    )
+    if not m:
+        return None
+    t1, a1, t2, a2, lref, rref, using = m.groups()
+    if t1 not in schemas or t2 not in schemas or t1 == t2:
+        return None
+    names = {t1: t1, t2: t2}
+    if a1:
+        names[a1] = t1
+    if a2:
+        names[a2] = t2
+
+    def resolve(ref: str) -> tuple[str, str] | None:
+        if "." in ref:
+            owner, _, col = ref.partition(".")
+            table = names.get(owner)
+            if table is None or col not in schemas[table].names:
+                return None
+            return table, col
+        hits = [t for t in (t1, t2) if ref in schemas[t].names]
+        return (hits[0], ref) if len(hits) == 1 else None
+
+    if using:
+        if using not in schemas[t1].names or using not in schemas[t2].names:
+            return None
+        sides = [(t1, using), (t2, using)]
+    else:
+        s1, s2 = resolve(lref), resolve(rref)
+        if s1 is None or s2 is None or s1[0] == s2[0]:
+            return None
+        sides = [s1, s2]
+    (ta, ka), (tb, kb) = sides
+    # the mask compares the two key columns directly: types must agree
+    if not schemas[ta].field(ka).type.equals(schemas[tb].field(kb).type):
+        return None
+    return ta, ka, tb, kb
+
+
 def _binds(partial_sql: str, batch_name: str, schema, final_sql: str) -> bool:
     """Both rewritten queries must bind in DuckDB: the partial against an
     empty table with the real schema, the final against the partial's

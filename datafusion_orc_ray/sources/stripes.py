@@ -467,7 +467,89 @@ class Catalog:
                 + (" AND ".join(_pred_str(p) for p in preds) if preds else "none")
                 + f", stripes={kept}/{len(entries)} after stats pruning"
             )
+        if len(referenced) == 2 and stats_ans is None and agg is None and topk is None:
+            from . import sqlagg as _sa
+
+            pj = _sa.plan_join_prefilter(query, schemas)
+            if pj is not None:
+                ta, ka, tb, kb = pj
+                lines.append(
+                    f"semi-join prefilter candidate: {ta}.{ka} = {tb}.{kb} "
+                    "(small side's distinct keys filter the big scan "
+                    "worker-side, subject to the byte/asymmetry gates)"
+                )
         return "\n".join(lines)
+
+    # small side must fit comfortably on the query node, and the big
+    # side must be meaningfully bigger for the extra key pass to pay
+    _PREFILTER_SMALL_BYTES = 256 << 20
+    _PREFILTER_ASYMMETRY = 4
+
+    def _plan_semijoin_prefilter(self, query, referenced, schemas):
+        """Semi-join reduction for streamed two-table INNER equi-joins
+        (sqlagg.plan_join_prefilter gates the shape): collect the small
+        side's DISTINCT join keys (one key-column scan, byte-capped),
+        broadcast them via ray.put, and return a batch filter for the
+        BIG side's scan — batches shed non-joining rows on the workers
+        instead of streaming them to the query node. Sound for any
+        downstream clauses: prefiltered rows cannot appear in the
+        inner-join output. Returns {"big", "fn", ...} or None."""
+        if len(referenced) != 2:
+            return None
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from . import sqlagg
+
+        pj = sqlagg.plan_join_prefilter(query, schemas)
+        if pj is None:
+            return None
+        ta, ka, tb, kb = pj
+
+        def raw_bytes(name: str) -> int:
+            return sum(
+                e.get("raw_bytes", 0) for e in manifest.load_manifest(self._tables[name])
+            )
+
+        ba, bb = raw_bytes(ta), raw_bytes(tb)
+        (small, skey, big, bkey) = (ta, ka, tb, kb) if ba <= bb else (tb, kb, ta, ka)
+        if min(ba, bb) > self._PREFILTER_SMALL_BYTES:
+            return None
+        if max(ba, bb) < self._PREFILTER_ASYMMETRY * min(ba, bb):
+            return None  # near-symmetric: the key pass wouldn't pay
+
+        key_batches: list[pa.Table] = []
+        got = 0
+        for t in self.table(small, columns=[skey]).iter_batches(
+            batch_size=None, batch_format="pyarrow"
+        ):
+            key_batches.append(t)
+            got += t.nbytes
+            if got > self._PREFILTER_SMALL_BYTES:
+                return None  # byte estimate lied: stay on the plain path
+        if key_batches:
+            keys = pc.unique(
+                pa.concat_tables(key_batches).column(skey).combine_chunks()
+            ).drop_null()
+        else:  # empty small side: inner join is empty — filter all
+            keys = pa.array([], type=schemas[small].field(skey).type)
+        keys_ref = ray.put(keys)
+
+        def prefilter(batch: pa.Table, _ref=keys_ref, _col=bkey) -> pa.Table:
+            import pyarrow.compute as _pc
+
+            return batch.filter(
+                _pc.is_in(batch.column(_col), value_set=ray.get(_ref))
+            )
+
+        self.last_pushdown["semijoin_prefilter"] = {
+            "big": big,
+            "big_key": bkey,
+            "small": small,
+            "small_key": skey,
+            "n_keys": len(keys),
+        }
+        return {"big": big, "fn": prefilter}
 
     def sql(self, query: str):
         """SQL over registered stripe tables (the reference's headline UX:
@@ -573,14 +655,21 @@ class Catalog:
                 con.register("__partials", reader)
                 self.last_plan = plan_kind
                 return con.sql(plan.final_sql).fetch_arrow_table()
+            prefilter = self._plan_semijoin_prefilter(query, referenced, schemas)
             for name in referenced:
-                reader = _dataset_reader(
-                    self.table(name, columns=projections[name], predicate=predicates[name]),
-                    fallback_schema=proj_schema(name),
+                ds = self.table(
+                    name, columns=projections[name], predicate=predicates[name]
                 )
+                if prefilter is not None and name == prefilter["big"]:
+                    ds = ds.map_batches(
+                        prefilter["fn"], batch_format="pyarrow"
+                    )
+                reader = _dataset_reader(ds, fallback_schema=proj_schema(name))
                 readers.append(reader)
                 con.register(name, reader)
-            self.last_plan = "stream"
+            self.last_plan = (
+                "stream+semijoin_prefilter" if prefilter is not None else "stream"
+            )
             return con.sql(query).fetch_arrow_table()
         finally:
             con.close()

@@ -708,3 +708,111 @@ def test_stats_answer_textual_precheck():
         assert sqlagg.stats_answer_may_match(q), q
     for q in rejected:
         assert not sqlagg.stats_answer_may_match(q), q
+
+
+def test_catalog_sql_semijoin_prefilter(ray_session, tmp_path, monkeypatch):
+    """Two-table INNER equi-join with a small side: the big scan sheds
+    non-joining rows worker-side (semi-join reduction) and every query
+    still equals DuckDB over the raw tables; unsafe shapes stay on the
+    plain stream path."""
+    import duckdb
+
+    n_big, n_small = 5000, 40
+    big = pa.table(
+        {
+            "k": pa.array([i % 400 for i in range(n_big)], pa.int64()),
+            "v": pa.array([float(i) for i in range(n_big)]),
+        }
+    )
+    small = pa.table(
+        {
+            "k": pa.array(list(range(0, 80, 2)), pa.int64()),  # 40 keys: 0..78 even
+            "tag": pa.array([f"t{i}" for i in range(n_small)]),
+        }
+    )
+    pq.write_table(big, f"{tmp_path}/big.parquet", row_group_size=500)
+    pq.write_table(small, f"{tmp_path}/small.parquet", row_group_size=20)
+    ep.encode_parquet(f"{tmp_path}/big.parquet", f"{tmp_path}/ebig", concurrency=2).take_all()
+    ep.encode_parquet(f"{tmp_path}/small.parquet", f"{tmp_path}/esmall", concurrency=2).take_all()
+    cat = Catalog()
+    cat.register_stripes("big_t", f"{tmp_path}/ebig")
+    cat.register_stripes("small_t", f"{tmp_path}/esmall")
+    # the bench tables are tiny: drop the asymmetry/byte gates so the
+    # path engages (their thresholds are exercised by the gate test below)
+    monkeypatch.setattr(Catalog, "_PREFILTER_ASYMMETRY", 1)
+
+    prefiltered = [
+        "SELECT big_t.k, v, tag FROM big_t JOIN small_t ON big_t.k = small_t.k ORDER BY v",
+        "SELECT b.k AS k, sum(v) AS s FROM big_t b JOIN small_t s ON b.k = s.k GROUP BY b.k ORDER BY k",
+        "SELECT count(*) AS n FROM big_t JOIN small_t USING (k)",
+        "SELECT tag, count(*) AS n FROM big_t JOIN small_t ON small_t.k = big_t.k "
+        "WHERE v > 100 GROUP BY tag ORDER BY tag",
+    ]
+    plain = [
+        "SELECT count(*) AS n FROM big_t LEFT JOIN small_t ON big_t.k = small_t.k",
+        "SELECT count(*) AS n FROM big_t, small_t WHERE big_t.k = small_t.k",  # no JOIN kw
+    ]
+    con = duckdb.connect()
+    con.register("big_t", big)
+    con.register("small_t", small)
+    try:
+        for q in prefiltered:
+            got = cat.sql(q)
+            assert cat.last_plan == "stream+semijoin_prefilter", (q, cat.last_plan)
+            info = cat.last_pushdown["semijoin_prefilter"]
+            assert info["big"] == "big_t" and info["small"] == "small_t"
+            assert info["n_keys"] == n_small
+            want = con.sql(q).fetch_arrow_table()
+            assert got.equals(want), (q, got.to_pydict(), want.to_pydict())
+        for q in plain:
+            got = cat.sql(q)
+            assert cat.last_plan == "stream", (q, cat.last_plan)
+            want = con.sql(q).fetch_arrow_table()
+            assert got.equals(want), q
+        assert "semi-join prefilter candidate" in cat.explain(prefiltered[0])
+    finally:
+        con.close()
+
+
+def test_semijoin_prefilter_gates(ray_session, tmp_path):
+    """Near-symmetric sides refuse the prefilter (the key pass would not
+    pay); the result is still correct on the plain path."""
+    t = pa.table({"k": pa.array(list(range(100)), pa.int64())})
+    pq.write_table(t, f"{tmp_path}/a.parquet")
+    pq.write_table(t, f"{tmp_path}/b.parquet")
+    ep.encode_parquet(f"{tmp_path}/a.parquet", f"{tmp_path}/ea", concurrency=1).take_all()
+    ep.encode_parquet(f"{tmp_path}/b.parquet", f"{tmp_path}/eb", concurrency=1).take_all()
+    cat = Catalog()
+    cat.register_stripes("ta", f"{tmp_path}/ea")
+    cat.register_stripes("tb", f"{tmp_path}/eb")
+    got = cat.sql("SELECT count(*) AS n FROM ta JOIN tb ON ta.k = tb.k")
+    assert cat.last_plan == "stream"  # equal sizes: asymmetry gate refuses
+    assert got.column("n")[0].as_py() == 100
+
+
+def test_join_prefilter_planner_shapes():
+    from datafusion_orc_ray.sources import sqlagg
+
+    s1 = pa.schema([("k", pa.int64()), ("v", pa.float64())])
+    s2 = pa.schema([("k", pa.int64()), ("tag", pa.string())])
+    schemas = {"t1": s1, "t2": s2}
+    ok = [
+        "SELECT * FROM t1 JOIN t2 ON t1.k = t2.k",
+        "SELECT * FROM t1 a JOIN t2 b ON a.k = b.k WHERE v > 0 ORDER BY v LIMIT 5",
+        "SELECT * FROM t1 JOIN t2 USING (k)",
+        "SELECT * FROM t1 JOIN t2 ON v = tag",  # resolves... type mismatch -> veto
+    ]
+    assert sqlagg.plan_join_prefilter(ok[0], schemas) == ("t1", "k", "t2", "k")
+    assert sqlagg.plan_join_prefilter(ok[1], schemas) == ("t1", "k", "t2", "k")
+    assert sqlagg.plan_join_prefilter(ok[2], schemas) == ("t1", "k", "t2", "k")
+    assert sqlagg.plan_join_prefilter(ok[3], schemas) is None  # float vs string
+    veto = [
+        "SELECT * FROM t1 LEFT JOIN t2 ON t1.k = t2.k",
+        "SELECT * FROM t1 JOIN t2 ON t1.k = t2.k JOIN t1 x ON x.k = t2.k",
+        "SELECT * FROM t1 JOIN t2 ON t1.k < t2.k",          # non-equi
+        "SELECT * FROM t1 JOIN t2 ON k = k",                # ambiguous bare refs
+        "SELECT * FROM t1 JOIN t1 b ON t1.k = b.k",         # self join
+        "SELECT * FROM t1 JOIN t2 ON t1.k = t2.k WHERE k IN (SELECT k FROM t1)",
+    ]
+    for q in veto:
+        assert sqlagg.plan_join_prefilter(q, schemas) is None, q
