@@ -1855,6 +1855,61 @@ def _semijoin_sql_orders(sf_dir: str):
     )
 
 
+def _url_features_documents(sf_dir: str):
+    """URL decomposition (text.url_features): host / tld / path_depth /
+    is_https via one RE2 pass + Arrow kernels — the webtext table's
+    ``url`` column is first-class in the north rule. The driver tables
+    carry no URLs, so the entry synthesizes them DETERMINISTICALLY from
+    (doc_id, source, lang) — scheme, registrable-domain and path depth
+    all vary, every 17th row is malformed (NULL features) — and the
+    oracle rebuilds the identical urls in SQL before mirroring the
+    extraction with regexp_extract."""
+    import pyarrow.compute as pc
+
+    from datafusion_orc_ray.pipelines import text as tx
+
+    ds = _ds(sf_dir, "documents", ["doc_id", "lang", "source"])
+
+    def synth(batch: pa.Table) -> pa.Table:
+        did = batch.column("doc_id")
+
+        def mod(a, k):  # this pyarrow build ships no modulo kernel
+            return pc.subtract(a, pc.multiply(pc.divide(a, k), k))
+
+        scheme = pc.if_else(
+            pc.equal(mod(did, 3), 0), pa.scalar("http"), pa.scalar("https")
+        )
+        tld = pc.if_else(
+            pc.equal(mod(did, 2), 0), pa.scalar("com"), pa.scalar("org")
+        )
+        tail = pc.binary_repeat(pa.scalar("/p"), pc.cast(mod(did, 3), pa.int32()))
+        url = pc.binary_join_element_wise(
+            scheme, "://", pc.cast(batch.column("source"), pa.string()),
+            ".example.", tld, "/", pc.cast(batch.column("lang"), pa.string()),
+            tail, "",
+        )
+        url = pc.if_else(
+            pc.equal(mod(did, 17), 0), pa.scalar("not a url"), url
+        )
+        return pa.table({"doc_id": did, "url": url})
+
+    out = tx.url_features(ds.map_batches(synth, batch_format="pyarrow"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        b = b.select(["doc_id", "host", "tld", "path_depth", "is_https"])
+        # nullable bools format as None vs the oracle's NaN in the
+        # driver's pandas compare: ship 0/1/NULL ints on both sides
+        return b.set_column(
+            b.schema.get_field_index("is_https"),
+            "is_https",
+            _pc.cast(b.column("is_https"), pa.int64()),
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
 def _pivot_documents(sf_dir: str):
     """Pivot: per-source document counts with one column per language
     (single grouped pass + driver scatter)."""
@@ -2253,6 +2308,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_sql_orders": _topk_sql_orders,
         "stats_sql_orders": _stats_sql_orders,
         "semijoin_sql_orders": _semijoin_sql_orders,
+        "url_features_documents": _url_features_documents,
         "pivot_documents": _pivot_documents,
         "kmeans_embeddings": _kmeans_embeddings,
         "argmax_orders": _argmax_orders,
@@ -3361,6 +3417,23 @@ GROUP BY k.doc_id, k.n_trans
             "SELECT c_mktsegment, count(*) AS n, round(sum(o_totalprice), 2) AS total "
             "FROM orders JOIN customer ON o_custkey = c_custkey "
             "GROUP BY c_mktsegment ORDER BY c_mktsegment"
+        ),
+        "url_features_documents": (
+            "WITH u AS (SELECT doc_id, CASE WHEN doc_id IS NULL THEN NULL "
+            "WHEN doc_id % 17 = 0 THEN 'not a url' "
+            "ELSE (CASE WHEN doc_id % 3 = 0 THEN 'http' ELSE 'https' END) || '://' "
+            "|| source || '.example.' "
+            "|| (CASE WHEN doc_id % 2 = 0 THEN 'com' ELSE 'org' END) || '/' || lang "
+            "|| repeat('/p', (doc_id % 3)::INT) END AS url FROM documents), "
+            "m AS (SELECT doc_id, url, "
+            "coalesce(regexp_matches(url, '^https?://'), FALSE) AS ok, "
+            "lower(regexp_extract(url, '^(https?)://([^/?#]+)([^?#]*)', 2)) AS h, "
+            "regexp_extract(url, '^(https?)://([^/?#]+)([^?#]*)', 3) AS p, "
+            "regexp_extract(url, '^(https?)://([^/?#]+)([^?#]*)', 1) AS s FROM u) "
+            "SELECT doc_id, CASE WHEN ok THEN h END AS host, "
+            "CASE WHEN ok THEN nullif(regexp_extract(h, '\\.([^.]+)$', 1), '') END AS tld, "
+            "CASE WHEN ok THEN length(p) - length(replace(p, '/', '')) END AS path_depth, "
+            "CASE WHEN ok THEN (s = 'https')::BIGINT END AS is_https FROM m"
         ),
         "stats_sql_orders": (
             "SELECT count(*) AS n_rows, count(o_custkey) AS n_cust, "

@@ -690,3 +690,37 @@ def byte_entropy(
     # regardless of text length, so the bound must come from the row
     # count, not block bytes (8192 rows -> ~32 MB transient)
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=8192)
+
+
+def url_features(
+    ds: ray.data.Dataset,
+    url_col: str = "url",
+) -> ray.data.Dataset:
+    """Vectorized URL decomposition for web corpora (the north-rule
+    table's ``url`` column is first-class): appends ``host`` (lowercase
+    authority), ``tld`` (last host label), ``path_depth`` (number of
+    '/' in the path part) and ``is_https``. One RE2 ``extract_regex``
+    pass per batch + Arrow kernels; malformed / NULL urls yield NULL
+    features. The grammar is the pragmatic scheme://authority/path
+    split (query/fragment excluded from the path), exactly mirrorable
+    in DuckDB regexp_extract for the oracle."""
+    import pyarrow.compute as pc
+
+    pattern = r"^(?P<scheme>https?)://(?P<host>[^/?#]+)(?P<path>[^?#]*)"
+
+    def fn(batch: pa.Table) -> pa.Table:
+        u = batch.column(url_col)
+        if isinstance(u, pa.ChunkedArray):
+            u = u.combine_chunks()
+        ex = pc.extract_regex(u, pattern)
+        scheme = pc.struct_field(ex, "scheme")
+        host = pc.utf8_lower(pc.struct_field(ex, "host"))
+        path = pc.struct_field(ex, "path")
+        tld = pc.struct_field(pc.extract_regex(host, r"[.](?P<tld>[^.]+)$"), "tld")
+        depth = pc.count_substring(path, "/")
+        out = batch.append_column("host", host)
+        out = out.append_column("tld", tld)
+        out = out.append_column("path_depth", pc.cast(depth, pa.int64()))
+        return out.append_column("is_https", pc.equal(scheme, "https"))
+
+    return ds.map_batches(fn, batch_format="pyarrow")

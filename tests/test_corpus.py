@@ -465,3 +465,28 @@ def test_tfidf_top_terms(ray_session):
     )
     # "shared" is in every doc -> idf 0 -> score 0, still rank 2
     assert en[1][1] == "shared" and en[1][2] == 0.0
+
+
+def test_url_features_kernel(ray_session):
+    """host/tld/path_depth/is_https extraction: malformed and NULL urls
+    yield NULL features; query/fragment never count toward the path."""
+    import ray.data as rdata
+
+    from datafusion_orc_ray.pipelines import text as tx
+
+    urls = [
+        "https://A.Example.COM/x/y?q=/1#/f",
+        "http://foo.org",
+        "ftp://nope.com/x",
+        "garbage",
+        None,
+        "https://one.two.three.net/a/b/c",
+    ]
+    out = rel.collect(
+        tx.url_features(rdata.from_arrow(pa.table({"url": pa.array(urls)})))
+    )
+    assert out.column("host").to_pylist() == [
+        "a.example.com", "foo.org", None, None, None, "one.two.three.net"]
+    assert out.column("tld").to_pylist() == ["com", "org", None, None, None, "net"]
+    assert out.column("path_depth").to_pylist() == [2, 0, None, None, None, 3]
+    assert out.column("is_https").to_pylist() == [True, False, None, None, None, True]
