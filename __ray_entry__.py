@@ -1910,6 +1910,41 @@ def _url_features_documents(sf_dir: str):
     return out.map_batches(finish, batch_format="pyarrow")
 
 
+def _host_stats_documents(sf_dir: str):
+    """Per-host corpus profile: url_features composed with the
+    distributed grouped aggregate — docs and total chars per host. The
+    standard first question against a web crawl ('which hosts
+    dominate?') as one streaming chain + one size-gated reduce."""
+    from datafusion_orc_ray.pipelines import relational as rel
+    from datafusion_orc_ray.pipelines import text as tx
+    import pyarrow.compute as _pc
+
+    ds = _ds(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+
+    def synth(batch: pa.Table) -> pa.Table:
+        did = batch.column("doc_id")
+
+        def mod(a, k):
+            return _pc.subtract(a, _pc.multiply(_pc.divide(a, k), k))
+
+        tld = _pc.if_else(
+            _pc.equal(mod(did, 2), 0), pa.scalar("com"), pa.scalar("org")
+        )
+        url = _pc.binary_join_element_wise(
+            "https://", _pc.cast(batch.column("source"), pa.string()),
+            ".example.", tld, "/p", "",
+        )
+        return pa.table({"url": url, "n_chars": batch.column("n_chars")})
+
+    feats = tx.url_features(ds.map_batches(synth, batch_format="pyarrow"))
+    t = rel.grouped_agg(
+        feats,
+        ["host"],
+        {"n_docs": ("count", "host"), "total_chars": ("sum", "n_chars")},
+    )
+    return t.sort_by("host")
+
+
 def _pivot_documents(sf_dir: str):
     """Pivot: per-source document counts with one column per language
     (single grouped pass + driver scatter)."""
@@ -2309,6 +2344,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stats_sql_orders": _stats_sql_orders,
         "semijoin_sql_orders": _semijoin_sql_orders,
         "url_features_documents": _url_features_documents,
+        "host_stats_documents": _host_stats_documents,
         "pivot_documents": _pivot_documents,
         "kmeans_embeddings": _kmeans_embeddings,
         "argmax_orders": _argmax_orders,
@@ -3417,6 +3453,12 @@ GROUP BY k.doc_id, k.n_trans
             "SELECT c_mktsegment, count(*) AS n, round(sum(o_totalprice), 2) AS total "
             "FROM orders JOIN customer ON o_custkey = c_custkey "
             "GROUP BY c_mktsegment ORDER BY c_mktsegment"
+        ),
+        "host_stats_documents": (
+            "SELECT lower(source || '.example.' || "
+            "(CASE WHEN doc_id % 2 = 0 THEN 'com' ELSE 'org' END)) AS host, "
+            "count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars "
+            "FROM documents GROUP BY host ORDER BY host"
         ),
         "url_features_documents": (
             "WITH u AS (SELECT doc_id, CASE WHEN doc_id IS NULL THEN NULL "
