@@ -1838,21 +1838,42 @@ def _stats_sql_orders(sf_dir: str):
 
 def _semijoin_sql_orders(sf_dir: str):
     """Two-table SQL with semi-join reduction (sqlagg.plan_join_prefilter):
-    when the byte/asymmetry gates engage, the customer side's distinct
-    keys filter the orders scan worker-side before batches stream to
-    the query node — DataFusion's sideways-information-passing analogue.
-    The result is identical on either path (the driver re-runs the full
-    query); the plan taken is recorded in last_plan."""
+    a NON-aggregate join, so when the byte/asymmetry gates engage the
+    customer side's distinct keys filter the orders scan worker-side
+    before batches stream to the query node — DataFusion's
+    sideways-information-passing analogue. (Aggregate joins take the
+    stronger join_aggregate_pushdown path — see join_agg_sql_orders.)"""
     from datafusion_orc_ray.sources.stripes import Catalog
 
     cat = Catalog()
     cat.register_stripes("orders_j", _encoded(sf_dir, "orders"))
     cat.register_stripes("customer_j", _encoded(sf_dir, "customer"))
     return cat.sql(
-        "SELECT c_mktsegment, count(*) AS n, round(sum(o_totalprice), 2) AS total "
+        "SELECT o_orderkey, o_totalprice, c_mktsegment "
         "FROM orders_j JOIN customer_j ON o_custkey = c_custkey "
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 50"
+    )
+
+
+def _join_agg_sql_orders(sf_dir: str):
+    """Distributed join-aggregate pushdown (sqlagg.plan_join_aggregate):
+    the customer side broadcasts, each orders batch joins and
+    pre-aggregates ON ITS WORKER (Acero join + DuckDB partial), and
+    only per-segment partials reach the driver's merge — DataFusion's
+    partial-aggregate-above-HashJoinExec analogue. No joined row ever
+    leaves its worker."""
+    from datafusion_orc_ray.sources.stripes import Catalog
+
+    cat = Catalog()
+    cat.register_stripes("orders_g", _encoded(sf_dir, "orders"))
+    cat.register_stripes("customer_g", _encoded(sf_dir, "customer"))
+    out = cat.sql(
+        "SELECT c_mktsegment, count(*) AS n, round(sum(o_totalprice), 2) AS total "
+        "FROM orders_g JOIN customer_g ON o_custkey = c_custkey "
         "GROUP BY c_mktsegment ORDER BY c_mktsegment"
     )
+    assert cat.last_plan == "join_aggregate_pushdown", cat.last_plan
+    return out
 
 
 def _url_features_documents(sf_dir: str):
@@ -2343,6 +2364,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_sql_orders": _topk_sql_orders,
         "stats_sql_orders": _stats_sql_orders,
         "semijoin_sql_orders": _semijoin_sql_orders,
+        "join_agg_sql_orders": _join_agg_sql_orders,
         "url_features_documents": _url_features_documents,
         "host_stats_documents": _host_stats_documents,
         "pivot_documents": _pivot_documents,
@@ -3450,6 +3472,11 @@ GROUP BY k.doc_id, k.n_trans
             "ORDER BY o_totalprice DESC, o_orderkey LIMIT 25"
         ),
         "semijoin_sql_orders": (
+            "SELECT o_orderkey, o_totalprice, c_mktsegment "
+            "FROM orders JOIN customer ON o_custkey = c_custkey "
+            "ORDER BY o_totalprice DESC, o_orderkey LIMIT 50"
+        ),
+        "join_agg_sql_orders": (
             "SELECT c_mktsegment, count(*) AS n, round(sum(o_totalprice), 2) AS total "
             "FROM orders JOIN customer ON o_custkey = c_custkey "
             "GROUP BY c_mktsegment ORDER BY c_mktsegment"

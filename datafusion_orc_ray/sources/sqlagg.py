@@ -675,6 +675,75 @@ def plan_join_prefilter(query: str, schemas: dict) -> tuple[str, str, str, str] 
     return ta, ka, tb, kb
 
 
+@dataclass
+class JoinAggPlan:
+    t1: str
+    k1: str
+    t2: str
+    k2: str
+    agg: AggPlan  # partial runs over the JOINED batch
+
+
+def plan_join_aggregate(query: str, schemas: dict) -> JoinAggPlan | None:
+    """Distributed aggregate over a two-table INNER equi-join: when the
+    join shape passes plan_join_prefilter's gates AND the query is an
+    aggregate plan_aggregate_pushdown can decompose, rewrite it to run
+    the partial over each WORKER-side joined batch (broadcast small
+    side + per-batch Acero join + DuckDB partial) with the driver
+    merging partials only — no joined row ever leaves its worker.
+    DataFusion's partial-aggregate-above-HashJoinExec analogue.
+
+    Extra gates beyond the prefilter shape: no non-key column name may
+    appear in both schemas (bare references after qualifier stripping
+    must be unambiguous), and the qualifier-stripped rewrite must pass
+    the aggregate planner's own binder validation against the joined
+    schema."""
+    import pyarrow as pa
+
+    pj = plan_join_prefilter(query, schemas)
+    if pj is None:
+        return None
+    t1, k1, t2, k2 = pj
+    s1, s2 = schemas[t1], schemas[t2]
+    shared = set(s1.names) & set(s2.names)
+    same_key = k1 == k2
+    if shared - ({k1} if same_key else set()):
+        return None  # ambiguous bare refs after stripping qualifiers
+
+    # joined-batch schema: left fields + right fields (key coalesced
+    # when names match — mirrors pa.Table.join(coalesce_keys=True))
+    fields = list(s1)
+    for f in s2:
+        if same_key and f.name == k2:
+            continue
+        fields.append(f)
+    joined_schema = pa.schema(fields)
+
+    # rewrite FROM <join> -> FROM __joined and strip table/alias
+    # qualifiers (unambiguous by the shared-name gate above)
+    q = query.strip().rstrip(";").strip()
+    spans = _find_clauses(q)
+    from_span = [s for s in spans if s[0] == "from"][0]
+    idx = spans.index(from_span)
+    end = spans[idx + 1][1] if idx + 1 < len(spans) else len(q)
+    from_text = q[from_span[2] : end]
+    m = re.match(
+        r"(?is)^\s*(\w+)(?:\s+(?:as\s+)?(?!join\b)(\w+))?\s+join\s+"
+        r"(\w+)(?:\s+(?:as\s+)?(?!on\b|using\b)(\w+))?\s+",
+        from_text,
+    )
+    owners = {t1, t2}
+    if m:
+        owners |= {g for g in (m.group(2), m.group(4)) if g}
+    q2 = q[: from_span[2]] + " __joined " + q[end:]
+    for owner in owners:
+        q2 = re.sub(rf"\b{re.escape(owner)}\s*\.\s*(\w+)", r"\1", q2)
+    agg = plan_aggregate_pushdown(q2, "__joined", joined_schema)
+    if agg is None:
+        return None
+    return JoinAggPlan(t1=t1, k1=k1, t2=t2, k2=k2, agg=agg)
+
+
 def _binds(partial_sql: str, batch_name: str, schema, final_sql: str) -> bool:
     """Both rewritten queries must bind in DuckDB: the partial against an
     empty table with the real schema, the final against the partial's

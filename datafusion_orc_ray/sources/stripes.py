@@ -551,6 +551,54 @@ class Catalog:
         }
         return {"big": big, "fn": prefilter}
 
+    def _prepare_join_aggregate(self, query, schemas):
+        """Gate + setup for the join-aggregate pushdown: shape-plan via
+        sqlagg.plan_join_aggregate, pick the small side by manifest raw
+        bytes, and collect it under the prefilter byte cap. Returns
+        (plan, small, skey, big, bkey, small_table) or None — on None
+        the caller falls through to the prefilter/stream paths, so the
+        pushdown can never change a result."""
+        from . import sqlagg
+
+        jp = sqlagg.plan_join_aggregate(query, schemas)
+        if jp is None:
+            return None
+
+        def raw_bytes(name: str) -> int:
+            return sum(
+                e.get("raw_bytes", 0) for e in manifest.load_manifest(self._tables[name])
+            )
+
+        b1, b2 = raw_bytes(jp.t1), raw_bytes(jp.t2)
+        small, skey, big, bkey = (
+            (jp.t1, jp.k1, jp.t2, jp.k2) if b1 <= b2 else (jp.t2, jp.k2, jp.t1, jp.k1)
+        )
+        if min(b1, b2) > self._PREFILTER_SMALL_BYTES:
+            return None
+        import pyarrow as pa
+
+        proj = self._resolve_projections(query, [small])[small]
+        cols = None if proj is None else sorted({*proj, skey})
+        batches: list[pa.Table] = []
+        got = 0
+        for t in self.table(small, columns=cols).iter_batches(
+            batch_size=None, batch_format="pyarrow"
+        ):
+            batches.append(t)
+            got += t.nbytes
+            if got > self._PREFILTER_SMALL_BYTES:
+                return None  # byte estimate lied: don't broadcast it
+        if batches:
+            small_tbl = pa.concat_tables(batches).combine_chunks()
+        else:
+            schema = (
+                schemas[small]
+                if cols is None
+                else pa.schema([schemas[small].field(c) for c in cols])
+            )
+            small_tbl = schema.empty_table()
+        return jp, small, skey, big, bkey, small_tbl
+
     def sql(self, query: str):
         """SQL over registered stripe tables (the reference's headline UX:
         ``register_orc`` -> DataFusion SQL, src/lib.rs:107-169). Tables
@@ -622,6 +670,11 @@ class Catalog:
                     query, referenced[0], schemas[referenced[0]]
                 )
                 plan_kind = "topk_pushdown"
+        join_agg = None
+        if len(referenced) == 2:
+            from . import sqlagg
+
+            join_agg = self._prepare_join_aggregate(query, schemas)
         con = duckdb.connect()
         readers = []  # keep referenced readers alive until fetch
         try:
@@ -655,6 +708,58 @@ class Catalog:
                 con.register("__partials", reader)
                 self.last_plan = plan_kind
                 return con.sql(plan.final_sql).fetch_arrow_table()
+            if join_agg is not None:
+                from . import sqlagg
+
+                jp, small, skey, big, bkey, small_tbl = join_agg
+                same = jp.k1 == jp.k2
+                small_ref = ray.put(small_tbl)
+                partial_fn = sqlagg.run_partial(jp.agg.partial_sql)
+
+                def join_partial(
+                    batch, _ref=small_ref, _bk=bkey, _sk=skey, _same=same
+                ):
+                    j = batch.join(
+                        ray.get(_ref),
+                        keys=[_bk],
+                        right_keys=[_sk],
+                        join_type="inner",
+                        coalesce_keys=_same,
+                    )
+                    return partial_fn(j)
+
+                big_cols = projections[big]
+                if big_cols is not None and bkey not in big_cols:
+                    big_cols = [*big_cols, bkey]
+                partials = self.table(
+                    big, columns=big_cols, predicate=predicates[big]
+                ).map_batches(join_partial, batch_format="pyarrow")
+                # partial-schema fallback: bind the partial against an
+                # empty JOINED table so a fully-pruned big scan still
+                # yields the right 0-row/identity answer
+                big_schema = (
+                    schemas[big]
+                    if big_cols is None
+                    else pa.schema([schemas[big].field(c) for c in big_cols])
+                )
+                vcon = duckdb.connect()
+                try:
+                    empty_join = big_schema.empty_table().join(
+                        small_tbl.schema.empty_table(),
+                        keys=[bkey],
+                        right_keys=[skey],
+                        join_type="inner",
+                        coalesce_keys=same,
+                    )
+                    vcon.register("__batch", empty_join)
+                    fallback = vcon.sql(jp.agg.partial_sql).fetch_arrow_table().schema
+                finally:
+                    vcon.close()
+                reader = _dataset_reader(partials, fallback_schema=fallback)
+                readers.append(reader)
+                con.register("__partials", reader)
+                self.last_plan = "join_aggregate_pushdown"
+                return con.sql(jp.agg.final_sql).fetch_arrow_table()
             prefilter = self._plan_semijoin_prefilter(query, referenced, schemas)
             for name in referenced:
                 ds = self.table(

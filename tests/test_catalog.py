@@ -816,3 +816,65 @@ def test_join_prefilter_planner_shapes():
     ]
     for q in veto:
         assert sqlagg.plan_join_prefilter(q, schemas) is None, q
+
+
+def test_catalog_sql_join_aggregate_pushdown(ray_session, tmp_path):
+    """Two-table inner equi-join + decomposable aggregate runs fully
+    DISTRIBUTED: broadcast small side, per-batch Acero join + DuckDB
+    partial on the workers, driver merges partials only. Every pushed
+    query equals DuckDB over the raw tables; non-aggregate join shapes
+    fall to the semijoin-prefilter/stream paths and stay correct."""
+    import duckdb
+
+    n_big = 4000
+    big = pa.table(
+        {
+            "k": pa.array([i % 50 for i in range(n_big)], pa.int64()),
+            "v": pa.array([float(i % 97) for i in range(n_big)]),
+        }
+    )
+    small = pa.table(
+        {
+            "ck": pa.array(list(range(50)), pa.int64()),
+            "seg": pa.array([f"s{i % 5}" for i in range(50)]),
+        }
+    )
+    pq.write_table(big, f"{tmp_path}/big.parquet", row_group_size=400)
+    pq.write_table(small, f"{tmp_path}/small.parquet", row_group_size=20)
+    ep.encode_parquet(f"{tmp_path}/big.parquet", f"{tmp_path}/eb", concurrency=2).take_all()
+    ep.encode_parquet(f"{tmp_path}/small.parquet", f"{tmp_path}/es", concurrency=2).take_all()
+    cat = Catalog()
+    cat.register_stripes("big_t", f"{tmp_path}/eb")
+    cat.register_stripes("small_t", f"{tmp_path}/es")
+
+    pushed = [
+        "SELECT seg, count(*) AS n, sum(v) AS s FROM big_t JOIN small_t ON k = ck "
+        "GROUP BY seg ORDER BY seg",
+        "SELECT seg, round(avg(v), 3) AS m FROM big_t b JOIN small_t s ON b.k = s.ck "
+        "WHERE v > 10 GROUP BY seg ORDER BY m DESC, seg LIMIT 3",
+        "SELECT count(*) AS n, min(v) AS lo, max(v) AS hi FROM big_t JOIN small_t ON k = ck",
+        "SELECT seg, count(*) AS n FROM big_t JOIN small_t ON small_t.ck = big_t.k "
+        "WHERE seg <> 's1' GROUP BY seg ORDER BY seg",
+    ]
+    con = duckdb.connect()
+    con.register("big_t", big)
+    con.register("small_t", small)
+    try:
+        for q in pushed:
+            got = cat.sql(q)
+            assert cat.last_plan == "join_aggregate_pushdown", (q, cat.last_plan)
+            want = con.sql(q).fetch_arrow_table()
+            assert got.equals(want), (q, got.to_pydict(), want.to_pydict())
+        # a filtered-to-empty big side still returns the right identity
+        got0 = cat.sql(
+            "SELECT count(*) AS n FROM big_t JOIN small_t ON k = ck WHERE v > 1e9"
+        )
+        assert cat.last_plan == "join_aggregate_pushdown"
+        assert got0.column("n").to_pylist() == [0]
+        # non-aggregate join: falls through (prefilter or stream), correct
+        q2 = "SELECT k, v, seg FROM big_t JOIN small_t ON k = ck ORDER BY v, k, seg LIMIT 7"
+        got2 = cat.sql(q2)
+        assert cat.last_plan != "join_aggregate_pushdown"
+        assert got2.equals(con.sql(q2).fetch_arrow_table())
+    finally:
+        con.close()
