@@ -742,7 +742,14 @@ def test_catalog_sql_semijoin_prefilter(ray_session, tmp_path, monkeypatch):
     monkeypatch.setattr(Catalog, "_PREFILTER_ASYMMETRY", 1)
 
     prefiltered = [
+        # NON-aggregate joins: the join-agg pushdown doesn't apply, the
+        # semijoin prefilter does
         "SELECT big_t.k, v, tag FROM big_t JOIN small_t ON big_t.k = small_t.k ORDER BY v",
+        "SELECT big_t.k AS k, v, tag FROM big_t JOIN small_t ON small_t.k = big_t.k "
+        "WHERE v > 100 ORDER BY v, tag",
+    ]
+    join_agg = [
+        # aggregate joins take the STRONGER distributed join-agg path
         "SELECT b.k AS k, sum(v) AS s FROM big_t b JOIN small_t s ON b.k = s.k GROUP BY b.k ORDER BY k",
         "SELECT count(*) AS n FROM big_t JOIN small_t USING (k)",
         "SELECT tag, count(*) AS n FROM big_t JOIN small_t ON small_t.k = big_t.k "
@@ -762,6 +769,11 @@ def test_catalog_sql_semijoin_prefilter(ray_session, tmp_path, monkeypatch):
             info = cat.last_pushdown["semijoin_prefilter"]
             assert info["big"] == "big_t" and info["small"] == "small_t"
             assert info["n_keys"] == n_small
+            want = con.sql(q).fetch_arrow_table()
+            assert got.equals(want), (q, got.to_pydict(), want.to_pydict())
+        for q in join_agg:
+            got = cat.sql(q)
+            assert cat.last_plan == "join_aggregate_pushdown", (q, cat.last_plan)
             want = con.sql(q).fetch_arrow_table()
             assert got.equals(want), (q, got.to_pydict(), want.to_pydict())
         for q in plain:
@@ -785,9 +797,16 @@ def test_semijoin_prefilter_gates(ray_session, tmp_path):
     cat = Catalog()
     cat.register_stripes("ta", f"{tmp_path}/ea")
     cat.register_stripes("tb", f"{tmp_path}/eb")
+    # aggregate join: the join-agg pushdown has no asymmetry gate (the
+    # partial-agg win doesn't depend on side sizes), only smallness
     got = cat.sql("SELECT count(*) AS n FROM ta JOIN tb ON ta.k = tb.k")
-    assert cat.last_plan == "stream"  # equal sizes: asymmetry gate refuses
+    assert cat.last_plan == "join_aggregate_pushdown"
     assert got.column("n")[0].as_py() == 100
+    # non-aggregate join between near-equal sides: the prefilter's
+    # asymmetry gate refuses, plain streaming answers
+    got2 = cat.sql("SELECT ta.k AS k FROM ta JOIN tb ON ta.k = tb.k ORDER BY ta.k")
+    assert cat.last_plan == "stream"
+    assert got2.num_rows == 100
 
 
 def test_join_prefilter_planner_shapes():
