@@ -414,8 +414,12 @@ class Catalog:
         projections = self._resolve_projections(query, referenced)
         schemas = {name: stripes_schema(self._tables[name]) for name in referenced}
         predicates = self._resolve_filter_pushdown(query, referenced, schemas)
-        agg = topk = None
+        agg = topk = join_agg = None
         stats_ans = None
+        if len(referenced) == 2:
+            from . import sqlagg as _sa2
+
+            join_agg = _sa2.plan_join_aggregate(query, schemas)
         if len(referenced) == 1:
             from . import sqlagg
 
@@ -446,6 +450,9 @@ class Catalog:
                 if agg is not None
                 else "distributed top-k pushdown"
                 if topk is not None
+                else "distributed join-aggregate pushdown (broadcast small side, "
+                "per-batch join + partial agg on workers)"
+                if join_agg is not None
                 else "stream"
             )
         ]
@@ -467,7 +474,13 @@ class Catalog:
                 + (" AND ".join(_pred_str(p) for p in preds) if preds else "none")
                 + f", stripes={kept}/{len(entries)} after stats pruning"
             )
-        if len(referenced) == 2 and stats_ans is None and agg is None and topk is None:
+        if (
+            len(referenced) == 2
+            and stats_ans is None
+            and agg is None
+            and topk is None
+            and join_agg is None
+        ):
             from . import sqlagg as _sa
 
             pj = _sa.plan_join_prefilter(query, schemas)

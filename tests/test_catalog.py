@@ -897,3 +897,17 @@ def test_catalog_sql_join_aggregate_pushdown(ray_session, tmp_path):
         assert got2.equals(con.sql(q2).fetch_arrow_table())
     finally:
         con.close()
+
+
+def test_explain_join_aggregate(ray_session, tmp_path):
+    t = pa.table({"k": pa.array([1, 2], pa.int64())})
+    u = pa.table({"ck": pa.array([1], pa.int64()), "g": pa.array(["x"])})
+    pq.write_table(t, f"{tmp_path}/t.parquet")
+    pq.write_table(u, f"{tmp_path}/u.parquet")
+    ep.encode_parquet(f"{tmp_path}/t.parquet", f"{tmp_path}/et", concurrency=1).take_all()
+    ep.encode_parquet(f"{tmp_path}/u.parquet", f"{tmp_path}/eu", concurrency=1).take_all()
+    cat = Catalog()
+    cat.register_stripes("jt", f"{tmp_path}/et")
+    cat.register_stripes("ju", f"{tmp_path}/eu")
+    plan = cat.explain("SELECT g, count(*) AS n FROM jt JOIN ju ON k = ck GROUP BY g")
+    assert "distributed join-aggregate pushdown" in plan
