@@ -1842,17 +1842,40 @@ def _semijoin_sql_orders(sf_dir: str):
     customer side's distinct keys filter the orders scan worker-side
     before batches stream to the query node — DataFusion's
     sideways-information-passing analogue. (Aggregate joins take the
-    stronger join_aggregate_pushdown path — see join_agg_sql_orders.)"""
+    stronger join_aggregate_pushdown path — see join_agg_sql_orders —
+    and ORDER BY + LIMIT joins take join_topk_pushdown — see
+    join_topk_sql_orders; this entry keeps the prefilter plan
+    oracle-exercised with a no-LIMIT ordered projection.)"""
     from datafusion_orc_ray.sources.stripes import Catalog
 
     cat = Catalog()
     cat.register_stripes("orders_j", _encoded(sf_dir, "orders"))
     cat.register_stripes("customer_j", _encoded(sf_dir, "customer"))
-    return cat.sql(
+    out = cat.sql(
         "SELECT o_orderkey, o_totalprice, c_mktsegment "
         "FROM orders_j JOIN customer_j ON o_custkey = c_custkey "
+        "WHERE c_mktsegment = 'BUILDING' ORDER BY o_orderkey"
+    )
+    assert cat.last_plan == "stream+semijoin_prefilter", cat.last_plan
+    return out
+
+
+def _join_topk_sql_orders(sf_dir: str):
+    """Join top-k pushdown (sqlagg.plan_join_topk): ORDER BY ... LIMIT
+    over the join runs as per-batch (join + local top-n) on the
+    workers; the driver re-sorts <= n rows per block."""
+    from datafusion_orc_ray.sources.stripes import Catalog
+
+    cat = Catalog()
+    cat.register_stripes("orders_t", _encoded(sf_dir, "orders"))
+    cat.register_stripes("customer_t", _encoded(sf_dir, "customer"))
+    out = cat.sql(
+        "SELECT o_orderkey, o_totalprice, c_mktsegment "
+        "FROM orders_t JOIN customer_t ON o_custkey = c_custkey "
         "ORDER BY o_totalprice DESC, o_orderkey LIMIT 50"
     )
+    assert cat.last_plan == "join_topk_pushdown", cat.last_plan
+    return out
 
 
 def _join_agg_sql_orders(sf_dir: str):
@@ -2365,6 +2388,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stats_sql_orders": _stats_sql_orders,
         "semijoin_sql_orders": _semijoin_sql_orders,
         "join_agg_sql_orders": _join_agg_sql_orders,
+        "join_topk_sql_orders": _join_topk_sql_orders,
         "url_features_documents": _url_features_documents,
         "host_stats_documents": _host_stats_documents,
         "pivot_documents": _pivot_documents,
@@ -3472,6 +3496,11 @@ GROUP BY k.doc_id, k.n_trans
             "ORDER BY o_totalprice DESC, o_orderkey LIMIT 25"
         ),
         "semijoin_sql_orders": (
+            "SELECT o_orderkey, o_totalprice, c_mktsegment "
+            "FROM orders JOIN customer ON o_custkey = c_custkey "
+            "WHERE c_mktsegment = 'BUILDING' ORDER BY o_orderkey"
+        ),
+        "join_topk_sql_orders": (
             "SELECT o_orderkey, o_totalprice, c_mktsegment "
             "FROM orders JOIN customer ON o_custkey = c_custkey "
             "ORDER BY o_totalprice DESC, o_orderkey LIMIT 50"

@@ -698,6 +698,23 @@ def plan_join_aggregate(query: str, schemas: dict) -> JoinAggPlan | None:
     must be unambiguous), and the qualifier-stripped rewrite must pass
     the aggregate planner's own binder validation against the joined
     schema."""
+    rewritten = _join_rewrite(query, schemas)
+    if rewritten is None:
+        return None
+    t1, k1, t2, k2, q2, joined_schema = rewritten
+    agg = plan_aggregate_pushdown(q2, "__joined", joined_schema)
+    if agg is None:
+        return None
+    return JoinAggPlan(t1=t1, k1=k1, t2=t2, k2=k2, agg=agg)
+
+
+def _join_rewrite(query: str, schemas: dict):
+    """Shared front half of the join pushdowns: gate the join shape via
+    plan_join_prefilter, veto shared non-key column names, build the
+    joined-batch schema (key coalesced when names match — mirrors
+    pa.Table.join(coalesce_keys=True)) and rewrite the query to
+    ``FROM __joined`` with table/alias qualifiers stripped. Returns
+    (t1, k1, t2, k2, q2, joined_schema) or None."""
     import pyarrow as pa
 
     pj = plan_join_prefilter(query, schemas)
@@ -710,8 +727,6 @@ def plan_join_aggregate(query: str, schemas: dict) -> JoinAggPlan | None:
     if shared - ({k1} if same_key else set()):
         return None  # ambiguous bare refs after stripping qualifiers
 
-    # joined-batch schema: left fields + right fields (key coalesced
-    # when names match — mirrors pa.Table.join(coalesce_keys=True))
     fields = list(s1)
     for f in s2:
         if same_key and f.name == k2:
@@ -719,8 +734,6 @@ def plan_join_aggregate(query: str, schemas: dict) -> JoinAggPlan | None:
         fields.append(f)
     joined_schema = pa.schema(fields)
 
-    # rewrite FROM <join> -> FROM __joined and strip table/alias
-    # qualifiers (unambiguous by the shared-name gate above)
     q = query.strip().rstrip(";").strip()
     spans = _find_clauses(q)
     from_span = [s for s in spans if s[0] == "from"][0]
@@ -738,10 +751,24 @@ def plan_join_aggregate(query: str, schemas: dict) -> JoinAggPlan | None:
     q2 = q[: from_span[2]] + " __joined " + q[end:]
     for owner in owners:
         q2 = re.sub(rf"\b{re.escape(owner)}\s*\.\s*(\w+)", r"\1", q2)
-    agg = plan_aggregate_pushdown(q2, "__joined", joined_schema)
-    if agg is None:
+    return t1, k1, t2, k2, q2, joined_schema
+
+
+def plan_join_topk(query: str, schemas: dict) -> JoinAggPlan | None:
+    """ORDER BY ... LIMIT n over a two-table INNER equi-join: the same
+    qualifier-stripped rewrite as plan_join_aggregate, but fed to the
+    TOP-K planner — each worker joins its batch against the broadcast
+    small side and keeps only its local top-n, the driver re-sorts
+    <= n rows per block. (Aggregate shapes take plan_join_aggregate
+    first; this covers the projection + ORDER BY + LIMIT join.)"""
+    rewritten = _join_rewrite(query, schemas)
+    if rewritten is None:
         return None
-    return JoinAggPlan(t1=t1, k1=k1, t2=t2, k2=k2, agg=agg)
+    t1, k1, t2, k2, q2, joined_schema = rewritten
+    topk = plan_topk_pushdown(q2, "__joined", joined_schema)
+    if topk is None:
+        return None
+    return JoinAggPlan(t1=t1, k1=k1, t2=t2, k2=k2, agg=topk)
 
 
 def _binds(partial_sql: str, batch_name: str, schema, final_sql: str) -> bool:

@@ -573,7 +573,14 @@ class Catalog:
         pushdown can never change a result."""
         from . import sqlagg
 
+        kind = "join_aggregate_pushdown"
         jp = sqlagg.plan_join_aggregate(query, schemas)
+        if jp is None:
+            # projection + ORDER BY + LIMIT joins: per-batch join +
+            # local top-n on the workers instead of streaming every
+            # joined row to the query node
+            jp = sqlagg.plan_join_topk(query, schemas)
+            kind = "join_topk_pushdown"
         if jp is None:
             return None
 
@@ -610,7 +617,7 @@ class Catalog:
                 else pa.schema([schemas[small].field(c) for c in cols])
             )
             small_tbl = schema.empty_table()
-        return jp, small, skey, big, bkey, small_tbl
+        return kind, jp, small, skey, big, bkey, small_tbl
 
     def sql(self, query: str):
         """SQL over registered stripe tables (the reference's headline UX:
@@ -724,7 +731,7 @@ class Catalog:
             if join_agg is not None:
                 from . import sqlagg
 
-                jp, small, skey, big, bkey, small_tbl = join_agg
+                join_kind, jp, small, skey, big, bkey, small_tbl = join_agg
                 same = jp.k1 == jp.k2
                 small_ref = ray.put(small_tbl)
                 partial_fn = sqlagg.run_partial(jp.agg.partial_sql)
@@ -771,7 +778,7 @@ class Catalog:
                 reader = _dataset_reader(partials, fallback_schema=fallback)
                 readers.append(reader)
                 con.register("__partials", reader)
-                self.last_plan = "join_aggregate_pushdown"
+                self.last_plan = join_kind
                 return con.sql(jp.agg.final_sql).fetch_arrow_table()
             prefilter = self._plan_semijoin_prefilter(query, referenced, schemas)
             for name in referenced:

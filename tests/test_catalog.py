@@ -911,3 +911,47 @@ def test_explain_join_aggregate(ray_session, tmp_path):
     cat.register_stripes("ju", f"{tmp_path}/eu")
     plan = cat.explain("SELECT g, count(*) AS n FROM jt JOIN ju ON k = ck GROUP BY g")
     assert "distributed join-aggregate pushdown" in plan
+
+
+def test_catalog_sql_join_topk_pushdown(ray_session, tmp_path):
+    """ORDER BY ... LIMIT over a two-table inner equi-join: each batch
+    joins against the broadcast small side and keeps its local top-n;
+    the driver re-sorts partials only."""
+    import duckdb
+
+    big = pa.table(
+        {
+            "k": pa.array([i % 30 for i in range(2000)], pa.int64()),
+            "v": pa.array([float((i * 13) % 997) for i in range(2000)]),
+        }
+    )
+    small = pa.table(
+        {
+            "ck": pa.array(list(range(30)), pa.int64()),
+            "tag": pa.array([f"t{i % 4}" for i in range(30)]),
+        }
+    )
+    pq.write_table(big, f"{tmp_path}/b.parquet", row_group_size=250)
+    pq.write_table(small, f"{tmp_path}/s.parquet")
+    ep.encode_parquet(f"{tmp_path}/b.parquet", f"{tmp_path}/eb", concurrency=2).take_all()
+    ep.encode_parquet(f"{tmp_path}/s.parquet", f"{tmp_path}/es", concurrency=1).take_all()
+    cat = Catalog()
+    cat.register_stripes("bt", f"{tmp_path}/eb")
+    cat.register_stripes("st2", f"{tmp_path}/es")
+
+    con = duckdb.connect()
+    con.register("bt", big)
+    con.register("st2", small)
+    try:
+        for q in [
+            "SELECT bt.k AS k, v, tag FROM bt JOIN st2 ON k = ck "
+            "ORDER BY v DESC, k, tag LIMIT 9",
+            "SELECT tag, v FROM bt JOIN st2 ON st2.ck = bt.k "
+            "WHERE v > 100 ORDER BY v, tag LIMIT 5",
+        ]:
+            got = cat.sql(q)
+            assert cat.last_plan == "join_topk_pushdown", (q, cat.last_plan)
+            want = con.sql(q).fetch_arrow_table()
+            assert got.equals(want), (q, got.to_pydict(), want.to_pydict())
+    finally:
+        con.close()
