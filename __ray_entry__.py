@@ -1860,6 +1860,25 @@ def _semijoin_sql_orders(sf_dir: str):
     return out
 
 
+def _having_sql_orders(sf_dir: str):
+    """HAVING through the distributed aggregate pushdown (round 5):
+    group filters rewrite onto the driver's FINAL merge (their
+    aggregates become extra partial columns), so per-batch partials
+    stay plain pre-aggregations and a group passing globally always
+    survives — batch-local HAVING would silently drop it."""
+    from datafusion_orc_ray.sources.stripes import Catalog
+
+    cat = Catalog()
+    cat.register_stripes("orders_h", _encoded(sf_dir, "orders"))
+    out = cat.sql(
+        "SELECT o_orderstatus, count(*) AS n, max(o_orderkey) AS hi "
+        "FROM orders_h GROUP BY o_orderstatus "
+        "HAVING count(*) > 1000 ORDER BY o_orderstatus"
+    )
+    assert cat.last_plan == "aggregate_pushdown", cat.last_plan
+    return out
+
+
 def _join_topk_sql_orders(sf_dir: str):
     """Join top-k pushdown (sqlagg.plan_join_topk): ORDER BY ... LIMIT
     over the join runs as per-batch (join + local top-n) on the
@@ -2389,6 +2408,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semijoin_sql_orders": _semijoin_sql_orders,
         "join_agg_sql_orders": _join_agg_sql_orders,
         "join_topk_sql_orders": _join_topk_sql_orders,
+        "having_sql_orders": _having_sql_orders,
         "url_features_documents": _url_features_documents,
         "host_stats_documents": _host_stats_documents,
         "pivot_documents": _pivot_documents,
@@ -3504,6 +3524,11 @@ GROUP BY k.doc_id, k.n_trans
             "SELECT o_orderkey, o_totalprice, c_mktsegment "
             "FROM orders JOIN customer ON o_custkey = c_custkey "
             "ORDER BY o_totalprice DESC, o_orderkey LIMIT 50"
+        ),
+        "having_sql_orders": (
+            "SELECT o_orderstatus, count(*) AS n, max(o_orderkey) AS hi "
+            "FROM orders GROUP BY o_orderstatus "
+            "HAVING count(*) > 1000 ORDER BY o_orderstatus"
         ),
         "join_agg_sql_orders": (
             "SELECT c_mktsegment, count(*) AS n, round(sum(o_totalprice), 2) AS total "

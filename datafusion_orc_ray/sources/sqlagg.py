@@ -5,7 +5,7 @@ the node running the query. For the single most common analytic shape —
 
     SELECT <exprs over group cols + count/sum/min/max/avg calls>
     FROM <one table> [WHERE row-local] [GROUP BY cols]
-    [ORDER BY select aliases] [LIMIT n]
+    [HAVING <agg predicate>] [ORDER BY select aliases] [LIMIT n]
 
 — the aggregation is decomposable, so this planner rewrites it into a
 PARTIAL query that runs inside ``map_batches`` on every decoded batch
@@ -29,7 +29,10 @@ as large as the input — never worse.)
 Soundness gates (any failure -> ``None`` -> the caller falls back to the
 streaming path, so pushdown can never change a result):
 * single registered table, plain ``FROM name``; no JOIN / subquery /
-  HAVING / DISTINCT / window / set ops (keyword + ``(select`` scan)
+  DISTINCT / window / set ops (keyword + ``(select`` scan); HAVING is
+  supported since r5 — it filters GROUPS, so it rewrites onto the
+  FINAL merge (aggregate calls become merge expressions over extra
+  partial columns) while every group still reaches the merge
 * only whitelisted aggregate functions; aggregate select items must be
   aliased (``AS x``) so output names match the unpushed execution
 * GROUP BY lists bare columns of the table; ORDER BY references only
@@ -53,7 +56,7 @@ import re
 from dataclasses import dataclass
 
 _FORBIDDEN = re.compile(
-    r"(?i)\b(join|having|distinct|over|union|except|intersect|with|exists|"
+    r"(?i)\b(join|distinct|over|union|except|intersect|with|exists|"
     r"qualify|sample|using|natural|cross|values|unnest|lateral)\b"
 )
 _SUBQUERY = re.compile(r"(?i)\(\s*select\b")
@@ -107,7 +110,7 @@ def _find_clauses(q: str) -> list[tuple[str, int, int]] | None:
                     spans.append((word + " by", i, j + m.end()))
                     i = j + m.end()
                     continue
-            elif word in ("from", "where", "limit"):
+            elif word in ("from", "where", "having", "limit"):
                 spans.append((word, i, j))
             i = j
             continue
@@ -230,7 +233,11 @@ def plan_aggregate_pushdown(query: str, table: str, schema) -> AggPlan | None:
         return None
     spans = [s for s in spans if s[1] >= body_start]
     order = [s[0] for s in spans]
-    expected = [k for k in ("from", "where", "group by", "order by", "limit") if k in order]
+    expected = [
+        k
+        for k in ("from", "where", "group by", "having", "order by", "limit")
+        if k in order
+    ]
     if order != expected or "from" not in order:
         return None
     ends = [s[1] for s in spans] + [len(q)]
@@ -273,6 +280,17 @@ def plan_aggregate_pushdown(query: str, table: str, schema) -> AggPlan | None:
             final_items.append(item)
     if not saw_agg:
         return None  # plain projection: the streaming path is already right
+    having_merged: str | None = None
+    if "having" in texts:
+        # HAVING filters GROUPS, so it belongs entirely to the FINAL
+        # merge: rewrite its aggregate calls to merge expressions over
+        # partial columns (extending state BEFORE partial_sql is built),
+        # leave group-col references as-is. The partial stays a plain
+        # pre-aggregation — every group must reach the merge or a
+        # batch-local HAVING would drop groups that pass globally.
+        having_merged = _rewrite_item(texts["having"], state)
+        if having_merged is None:
+            return None
     partial_sql = (
         "SELECT "
         + ", ".join(group_cols + state["partials"])
@@ -283,6 +301,8 @@ def plan_aggregate_pushdown(query: str, table: str, schema) -> AggPlan | None:
     final_sql = "SELECT " + ", ".join(final_items) + " FROM __partials"
     if group_cols:
         final_sql += " GROUP BY " + ", ".join(group_cols)
+    if having_merged is not None:
+        final_sql += " HAVING " + having_merged
     if "order by" in texts:
         ident_ok = set(a.lower() for a in aliases) | set(c.lower() for c in group_cols)
         for tok in re.findall(r"[A-Za-z_]\w*", texts["order by"]):

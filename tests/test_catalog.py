@@ -267,8 +267,12 @@ def test_catalog_sql_aggregate_pushdown(ray_session, tmp_path):
         "SELECT sum(CASE WHEN n > 6 THEN v ELSE 0 END) AS s FROM agt WHERE v >= 1",
         "SELECT k, round(sum(v) / count(v), 3) AS m FROM agt GROUP BY k ORDER BY m DESC, k LIMIT 3",
     ]
-    fallback = [
+    pushed += [
+        # HAVING filters groups on the FINAL merge (round 5): pushed too
         "SELECT k, sum(v) AS s FROM agt GROUP BY k HAVING sum(v) > 100 ORDER BY k",
+        "SELECT k, count(*) AS c FROM agt GROUP BY k HAVING count(*) > 80 AND min(v) = 0 ORDER BY k",
+    ]
+    fallback = [
         "SELECT count(DISTINCT k) AS n FROM agt",
         "SELECT k, v FROM agt WHERE v > 48 ORDER BY v, k, n",
     ]
@@ -311,7 +315,6 @@ def test_aggregate_planner_shapes():
         "SELECT k, v FROM t",                                  # no aggregate
         "SELECT sum(v) FROM t",                                # unaliased agg
         "SELECT count(DISTINCT k) AS n FROM t",                # distinct
-        "SELECT k, sum(v) AS s FROM t GROUP BY k HAVING sum(v) > 3",
         "SELECT k, sum(v) OVER () AS s FROM t",                # window
         "SELECT a.k, sum(a.v) AS s FROM t a GROUP BY a.k",     # FROM alias
         "SELECT k, sum(v) AS s FROM t GROUP BY upper(k)",      # expr group key
@@ -955,3 +958,43 @@ def test_catalog_sql_join_topk_pushdown(ray_session, tmp_path):
             assert got.equals(want), (q, got.to_pydict(), want.to_pydict())
     finally:
         con.close()
+
+
+def test_having_pushdown_shapes():
+    """HAVING rewrites onto the final merge; its aggregates extend the
+    partial list; per-batch semantics never leak (a group passing
+    globally but failing per batch must survive)."""
+    import duckdb
+
+    from datafusion_orc_ray.sources import sqlagg
+
+    schema = pa.schema([("k", pa.string()), ("v", pa.float64())])
+    p = sqlagg.plan_aggregate_pushdown(
+        "SELECT k, sum(v) AS s FROM t GROUP BY k HAVING count(*) > 2 ORDER BY k",
+        "t",
+        schema,
+    )
+    assert p is not None
+    assert "HAVING" in p.final_sql and "HAVING" not in p.partial_sql
+    assert "__p1" in p.final_sql  # count(*) became its own partial column
+
+    # global-vs-batch semantics: group 'a' fails HAVING in every batch
+    # alone but passes on the merged totals
+    t = pa.table({"k": pa.array(["a"] * 6), "v": pa.array([1.0] * 6)})
+    fn = sqlagg.run_partial(p.partial_sql)
+    partials = pa.concat_tables([fn(t.slice(i, 1)) for i in range(6)])
+    con = duckdb.connect()
+    try:
+        con.register("__partials", partials)
+        got = con.sql(p.final_sql).fetch_arrow_table()
+    finally:
+        con.close()
+    assert got.column("k").to_pylist() == ["a"] and got.column("s")[0].as_py() == 6.0
+
+    # HAVING on a topk shape (no aggregate) still vetoes the topk planner
+    assert (
+        sqlagg.plan_topk_pushdown(
+            "SELECT k FROM t GROUP BY k HAVING k > 'a' ORDER BY k LIMIT 3", "t", schema
+        )
+        is None
+    )
