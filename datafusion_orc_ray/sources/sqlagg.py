@@ -258,15 +258,18 @@ def plan_aggregate_pushdown(query: str, table: str, schema) -> AggPlan | None:
     state: dict = {"n": 0, "partials": []}
     final_items: list[str] = []
     aliases: list[str] = []
+    shadowing: set[str] = set()  # alias == a real column, item != that column
     saw_agg = False
     for item in _split_top_commas(select_text):
         item = item.strip()
         if not item or "*" in re.sub(r"(?i)count\s*\(\s*\*\s*\)", "count()", item):
             return None
         has_agg = bool(_AGG_CALL.search(item))
+        am = re.search(r"(?is)\s+as\s+(\w+)\s*$", item)
+        if am and am.group(1) in schema.names and item[: am.start()].strip() != am.group(1):
+            shadowing.add(am.group(1).lower())
         if has_agg:
             saw_agg = True
-            am = re.search(r"(?is)\s+as\s+(\w+)\s*$", item)
             if not am:
                 return None  # output name must survive the rewrite
             aliases.append(am.group(1))
@@ -275,7 +278,6 @@ def plan_aggregate_pushdown(query: str, table: str, schema) -> AggPlan | None:
                 return None
             final_items.append(rewritten)
         else:
-            am = re.search(r"(?is)\s+as\s+(\w+)\s*$", item)
             aliases.append(am.group(1) if am else item)
             final_items.append(item)
     if not saw_agg:
@@ -288,6 +290,15 @@ def plan_aggregate_pushdown(query: str, table: str, schema) -> AggPlan | None:
         # leave group-col references as-is. The partial stays a plain
         # pre-aggregation — every group must reach the merge or a
         # batch-local HAVING would drop groups that pass globally.
+        # alias-shadowing veto (r5 review #4): when an aggregate alias
+        # shadows a real column, a bare reference in HAVING is a binder
+        # ERROR on the streaming path but would bind to the alias over
+        # __partials — the pushdown must not turn an error into rows
+        if shadowing and any(
+            tok.lower() in shadowing
+            for tok in re.findall(r"[A-Za-z_]\w*", texts["having"])
+        ):
+            return None
         having_merged = _rewrite_item(texts["having"], state)
         if having_merged is None:
             return None
@@ -760,6 +771,14 @@ def _join_rewrite(query: str, schemas: dict):
     idx = spans.index(from_span)
     end = spans[idx + 1][1] if idx + 1 < len(spans) else len(q)
     from_text = q[from_span[2] : end]
+    if same_key and not re.search(r"(?i)\busing\s*\(", from_text):
+        # ON t1.k = t2.k with SAME-named keys: DuckDB's un-pushed
+        # SELECT * keeps BOTH key columns while the joined batch
+        # coalesces them — a star select would silently change the
+        # result schema (r5 review #2). USING coalesces in both.
+        q_norm = re.sub(r"(?i)count\s*\(\s*\*\s*\)", "count()", q)
+        if "*" in q_norm:
+            return None
     m = re.match(
         r"(?is)^\s*(\w+)(?:\s+(?:as\s+)?(?!join\b)(\w+))?\s+join\s+"
         r"(\w+)(?:\s+(?:as\s+)?(?!on\b|using\b)(\w+))?\s+",
@@ -770,8 +789,34 @@ def _join_rewrite(query: str, schemas: dict):
         owners |= {g for g in (m.group(2), m.group(4)) if g}
     q2 = q[: from_span[2]] + " __joined " + q[end:]
     for owner in owners:
-        q2 = re.sub(rf"\b{re.escape(owner)}\s*\.\s*(\w+)", r"\1", q2)
+        # string-aware: a literal containing '<owner>.<word>' must not
+        # be rewritten (r5 review #1 — re.sub over the whole text
+        # corrupted WHERE tag = 'o.k.' into 'k.')
+        q2 = _sub_outside_strings(
+            rf"\b{re.escape(owner)}\s*\.\s*(\w+)", r"\1", q2
+        )
     return t1, k1, t2, k2, q2, joined_schema
+
+
+def _sub_outside_strings(pattern: str, repl: str, text: str) -> str:
+    """re.sub applied only OUTSIDE single-quoted SQL string literals
+    ('' escapes parse as two adjacent literals, which keeps the parity
+    correct)."""
+    parts: list[str] = []
+    i = 0
+    while i < len(text):
+        j = text.find("'", i)
+        if j < 0:
+            parts.append(re.sub(pattern, repl, text[i:]))
+            break
+        parts.append(re.sub(pattern, repl, text[i:j]))
+        k = text.find("'", j + 1)
+        if k < 0:  # unbalanced: leave the tail untouched (binder vetoes)
+            parts.append(text[j:])
+            break
+        parts.append(text[j : k + 1])
+        i = k + 1
+    return "".join(parts)
 
 
 def plan_join_topk(query: str, schemas: dict) -> JoinAggPlan | None:

@@ -414,12 +414,14 @@ class Catalog:
         projections = self._resolve_projections(query, referenced)
         schemas = {name: stripes_schema(self._tables[name]) for name in referenced}
         predicates = self._resolve_filter_pushdown(query, referenced, schemas)
-        agg = topk = join_agg = None
+        agg = topk = join_agg = join_topk = None
         stats_ans = None
         if len(referenced) == 2:
             from . import sqlagg as _sa2
 
             join_agg = _sa2.plan_join_aggregate(query, schemas)
+            if join_agg is None:
+                join_topk = _sa2.plan_join_topk(query, schemas)
         if len(referenced) == 1:
             from . import sqlagg
 
@@ -451,8 +453,13 @@ class Catalog:
                 else "distributed top-k pushdown"
                 if topk is not None
                 else "distributed join-aggregate pushdown (broadcast small side, "
-                "per-batch join + partial agg on workers)"
+                "per-batch join + partial agg on workers; subject to the "
+                "small-side byte gate)"
                 if join_agg is not None
+                else "distributed join top-k pushdown (broadcast small side, "
+                "per-batch join + local top-n on workers; subject to the "
+                "small-side byte gate)"
+                if join_topk is not None
                 else "stream"
             )
         ]
@@ -480,6 +487,7 @@ class Catalog:
             and agg is None
             and topk is None
             and join_agg is None
+            and join_topk is None
         ):
             from . import sqlagg as _sa
 
@@ -497,6 +505,36 @@ class Catalog:
     # side must be meaningfully bigger for the extra key pass to pay
     _PREFILTER_SMALL_BYTES = 256 << 20
     _PREFILTER_ASYMMETRY = 4
+
+    def _raw_bytes(self, name: str) -> int:
+        """Decoded-bytes estimate for a registered table from its
+        manifest rows (metadata only)."""
+        return sum(
+            e.get("raw_bytes", 0) for e in manifest.load_manifest(self._tables[name])
+        )
+
+    def _collect_capped(self, name: str, columns: list[str] | None):
+        """Stream a registered table onto the driver under the
+        prefilter byte cap; None when the cap is exceeded (the byte
+        estimate lied — caller stays on its plain path). An empty table
+        keeps the projected schema."""
+        import pyarrow as pa
+
+        batches: list[pa.Table] = []
+        got = 0
+        for t in self.table(name, columns=columns).iter_batches(
+            batch_size=None, batch_format="pyarrow"
+        ):
+            batches.append(t)
+            got += t.nbytes
+            if got > self._PREFILTER_SMALL_BYTES:
+                return None
+        if batches:
+            return pa.concat_tables(batches).combine_chunks()
+        schema = stripes_schema(self._tables[name])
+        if columns is not None:
+            schema = pa.schema([schema.field(c) for c in columns])
+        return schema.empty_table()
 
     def _plan_semijoin_prefilter(self, query, referenced, schemas):
         """Semi-join reduction for streamed two-table INNER equi-joins
@@ -518,34 +556,17 @@ class Catalog:
         if pj is None:
             return None
         ta, ka, tb, kb = pj
-
-        def raw_bytes(name: str) -> int:
-            return sum(
-                e.get("raw_bytes", 0) for e in manifest.load_manifest(self._tables[name])
-            )
-
-        ba, bb = raw_bytes(ta), raw_bytes(tb)
+        ba, bb = self._raw_bytes(ta), self._raw_bytes(tb)
         (small, skey, big, bkey) = (ta, ka, tb, kb) if ba <= bb else (tb, kb, ta, ka)
         if min(ba, bb) > self._PREFILTER_SMALL_BYTES:
             return None
         if max(ba, bb) < self._PREFILTER_ASYMMETRY * min(ba, bb):
             return None  # near-symmetric: the key pass wouldn't pay
 
-        key_batches: list[pa.Table] = []
-        got = 0
-        for t in self.table(small, columns=[skey]).iter_batches(
-            batch_size=None, batch_format="pyarrow"
-        ):
-            key_batches.append(t)
-            got += t.nbytes
-            if got > self._PREFILTER_SMALL_BYTES:
-                return None  # byte estimate lied: stay on the plain path
-        if key_batches:
-            keys = pc.unique(
-                pa.concat_tables(key_batches).column(skey).combine_chunks()
-            ).drop_null()
-        else:  # empty small side: inner join is empty — filter all
-            keys = pa.array([], type=schemas[small].field(skey).type)
+        key_tbl = self._collect_capped(small, [skey])
+        if key_tbl is None:
+            return None  # byte estimate lied: stay on the plain path
+        keys = pc.unique(key_tbl.column(skey).combine_chunks()).drop_null()
         keys_ref = ray.put(keys)
 
         def prefilter(batch: pa.Table, _ref=keys_ref, _col=bkey) -> pa.Table:
@@ -564,13 +585,16 @@ class Catalog:
         }
         return {"big": big, "fn": prefilter}
 
-    def _prepare_join_aggregate(self, query, schemas):
-        """Gate + setup for the join-aggregate pushdown: shape-plan via
-        sqlagg.plan_join_aggregate, pick the small side by manifest raw
-        bytes, and collect it under the prefilter byte cap. Returns
-        (plan, small, skey, big, bkey, small_table) or None — on None
-        the caller falls through to the prefilter/stream paths, so the
-        pushdown can never change a result."""
+    def _prepare_join_aggregate(self, query, schemas, projections):
+        """Gate + setup for the join-aggregate / join-topk pushdowns:
+        shape-plan via sqlagg, pick the small side by manifest raw
+        bytes, and collect it — projected to the caller's resolved
+        columns plus the join key (r5 review #3: resolving projections
+        here with only the small table registered always fell back to
+        full width) — under the prefilter byte cap. Returns
+        (kind, plan, small, skey, big, bkey, small_table) or None — on
+        None the caller falls through to the prefilter/stream paths, so
+        the pushdown can never change a result."""
         from . import sqlagg
 
         kind = "join_aggregate_pushdown"
@@ -583,40 +607,17 @@ class Catalog:
             kind = "join_topk_pushdown"
         if jp is None:
             return None
-
-        def raw_bytes(name: str) -> int:
-            return sum(
-                e.get("raw_bytes", 0) for e in manifest.load_manifest(self._tables[name])
-            )
-
-        b1, b2 = raw_bytes(jp.t1), raw_bytes(jp.t2)
+        b1, b2 = self._raw_bytes(jp.t1), self._raw_bytes(jp.t2)
         small, skey, big, bkey = (
             (jp.t1, jp.k1, jp.t2, jp.k2) if b1 <= b2 else (jp.t2, jp.k2, jp.t1, jp.k1)
         )
         if min(b1, b2) > self._PREFILTER_SMALL_BYTES:
             return None
-        import pyarrow as pa
-
-        proj = self._resolve_projections(query, [small])[small]
+        proj = projections.get(small)
         cols = None if proj is None else sorted({*proj, skey})
-        batches: list[pa.Table] = []
-        got = 0
-        for t in self.table(small, columns=cols).iter_batches(
-            batch_size=None, batch_format="pyarrow"
-        ):
-            batches.append(t)
-            got += t.nbytes
-            if got > self._PREFILTER_SMALL_BYTES:
-                return None  # byte estimate lied: don't broadcast it
-        if batches:
-            small_tbl = pa.concat_tables(batches).combine_chunks()
-        else:
-            schema = (
-                schemas[small]
-                if cols is None
-                else pa.schema([schemas[small].field(c) for c in cols])
-            )
-            small_tbl = schema.empty_table()
+        small_tbl = self._collect_capped(small, cols)
+        if small_tbl is None:
+            return None  # byte estimate lied: don't broadcast it
         return kind, jp, small, skey, big, bkey, small_tbl
 
     def sql(self, query: str):
@@ -692,9 +693,7 @@ class Catalog:
                 plan_kind = "topk_pushdown"
         join_agg = None
         if len(referenced) == 2:
-            from . import sqlagg
-
-            join_agg = self._prepare_join_aggregate(query, schemas)
+            join_agg = self._prepare_join_aggregate(query, schemas, projections)
         con = duckdb.connect()
         readers = []  # keep referenced readers alive until fetch
         try:

@@ -998,3 +998,100 @@ def test_having_pushdown_shapes():
         )
         is None
     )
+
+
+def test_r5_review2_fixes(ray_session, tmp_path):
+    """Second-review regressions: (1) qualifier stripping must not touch
+    string literals; (2) SELECT * over a same-name ON join vetoes (the
+    joined batch coalesces the key, DuckDB's streaming star keeps both);
+    (3) explain() reports join top-k exactly as sql() runs it; (4) a
+    HAVING referencing an alias that shadows a real column vetoes (the
+    streaming path errors — pushdown must not answer)."""
+    import duckdb
+
+    from datafusion_orc_ray.sources import sqlagg
+
+    s1 = pa.schema([("k", pa.int64()), ("v", pa.float64()), ("tag", pa.string())])
+    s2 = pa.schema([("k", pa.int64()), ("g", pa.string())])
+    s3 = pa.schema([("ck", pa.int64()), ("g", pa.string())])
+
+    # (1) literal containing alias-dot survives the rewrite
+    q = ("SELECT count(*) AS n FROM t1 o JOIN t2 ON o.k = ck "
+         "WHERE tag = 'o.k.' GROUP BY g")
+    plan = sqlagg.plan_join_aggregate(q, {"t1": s1, "t2": s3})
+    assert plan is not None
+    assert "'o.k.'" in plan.agg.partial_sql  # literal untouched
+
+    # (2) same-name ON join + star: veto; USING star: allowed
+    assert sqlagg.plan_join_topk(
+        "SELECT * FROM t1 JOIN t2 ON t1.k = t2.k ORDER BY v LIMIT 5",
+        {"t1": s1, "t2": s2},
+    ) is None
+    assert sqlagg.plan_join_topk(
+        "SELECT * FROM t1 JOIN t2 USING (k) ORDER BY v LIMIT 5",
+        {"t1": s1, "t2": s2},
+    ) is not None
+
+    # (4) HAVING over a shadowing alias vetoes
+    sch = pa.schema([("k", pa.string()), ("v", pa.float64())])
+    assert sqlagg.plan_aggregate_pushdown(
+        "SELECT k, sum(v) AS v FROM t GROUP BY k HAVING v > 5", "t", sch
+    ) is None
+    # non-shadowing alias in HAVING still pushes
+    assert sqlagg.plan_aggregate_pushdown(
+        "SELECT k, sum(v) AS s FROM t GROUP BY k HAVING s > 5", "t", sch
+    ) is not None
+
+    # (3) explain mirrors sql for a join top-k query
+    big = pa.table({"k": pa.array([1, 2, 3], pa.int64()),
+                    "v": pa.array([1.0, 2.0, 3.0])})
+    small = pa.table({"ck": pa.array([1, 2], pa.int64()),
+                      "g": pa.array(["x", "y"])})
+    pq.write_table(big, f"{tmp_path}/b.parquet")
+    pq.write_table(small, f"{tmp_path}/s.parquet")
+    ep.encode_parquet(f"{tmp_path}/b.parquet", f"{tmp_path}/eb", concurrency=1).take_all()
+    ep.encode_parquet(f"{tmp_path}/s.parquet", f"{tmp_path}/es", concurrency=1).take_all()
+    cat = Catalog()
+    cat.register_stripes("bt3", f"{tmp_path}/eb")
+    cat.register_stripes("st3", f"{tmp_path}/es")
+    jq = "SELECT bt3.k AS k, v, g FROM bt3 JOIN st3 ON k = ck ORDER BY v LIMIT 2"
+    assert "distributed join top-k pushdown" in cat.explain(jq)
+    got = cat.sql(jq)
+    assert cat.last_plan == "join_topk_pushdown"
+    con = duckdb.connect()
+    try:
+        con.register("bt3", big)
+        con.register("st3", small)
+        assert got.equals(con.sql(jq).fetch_arrow_table())
+    finally:
+        con.close()
+
+
+def test_join_small_side_projection_applied(ray_session, tmp_path):
+    """r5 review #3: the broadcast small side must collect only the
+    query's resolved columns + join key, not full width."""
+    big = pa.table({"k": pa.array([i % 5 for i in range(2000)], pa.int64()),
+                    "v": pa.array([float(i) for i in range(2000)])})
+    small = pa.table({
+        "ck": pa.array([1, 2], pa.int64()),
+        "g": pa.array(["x", "y"]),
+        "wide_unused": pa.array(["W" * 64] * 2),
+    })
+    pq.write_table(big, f"{tmp_path}/b.parquet")
+    pq.write_table(small, f"{tmp_path}/s.parquet")
+    ep.encode_parquet(f"{tmp_path}/b.parquet", f"{tmp_path}/eb", concurrency=1).take_all()
+    ep.encode_parquet(f"{tmp_path}/s.parquet", f"{tmp_path}/es", concurrency=1).take_all()
+    cat = Catalog()
+    cat.register_stripes("bt4", f"{tmp_path}/eb")
+    cat.register_stripes("st4", f"{tmp_path}/es")
+    prepared = cat._prepare_join_aggregate(
+        "SELECT g, sum(v) AS s FROM bt4 JOIN st4 ON k = ck GROUP BY g ORDER BY g",
+        {"bt4": cat.schema("bt4"), "st4": cat.schema("st4")},
+        cat._resolve_projections(
+            "SELECT g, sum(v) AS s FROM bt4 JOIN st4 ON k = ck GROUP BY g ORDER BY g",
+            ["bt4", "st4"],
+        ),
+    )
+    assert prepared is not None
+    small_tbl = prepared[-1]
+    assert sorted(small_tbl.column_names) == ["ck", "g"]  # wide_unused pruned
