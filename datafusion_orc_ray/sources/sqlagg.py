@@ -1,4 +1,21 @@
-"""Distributed aggregate pushdown for ``Catalog.sql`` (S9).
+"""Distributed execution planners for ``Catalog.sql`` (S9).
+
+Five rewrites, tried in this order by the catalog (every one falls back
+to the streaming path on any gate failure, so a pushdown can never
+change a result):
+
+* ``plan_stats_answer`` — no-WHERE count/min/max answered from manifest
+  STATS alone (zero stripes decoded).
+* ``plan_aggregate_pushdown`` — single-table decomposable aggregates
+  (incl. HAVING): per-batch partials on the workers, driver merges.
+* ``plan_topk_pushdown`` — single-table ORDER BY ... LIMIT n: per-batch
+  local top-n, driver re-sorts <= n rows per block.
+* ``plan_join_aggregate`` / ``plan_join_topk`` — two-table inner
+  equi-join feeding either shape: broadcast small side, per-batch
+  Acero join + partial (or local top-n) in ONE worker stage.
+* ``plan_join_prefilter`` — remaining inner equi-joins: the small
+  side's distinct keys filter the big scan worker-side (semi-join
+  reduction) before batches stream to the query node.
 
 The streaming SQL surface funnels every (projected, filtered) row through
 the node running the query. For the single most common analytic shape —
